@@ -1,0 +1,78 @@
+"""Benchmark: run the headline workload queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set. Each query is
+executed to completion via a count-collapsing action so the timing covers
+the full plan (scan → shuffle → agg), not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.session import build_session
+
+# Headline set: one per operator family — scan/agg, multi-join, window,
+# sessionization, as-of, EAV pivot, dedup, date suite.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_lookup",
+    "join_asof",
+    "window_topk_per_group",
+    "window_running_agg",
+    "sessionize_gap",
+    "pivot_event_values",
+    "eav_pivot_roundtrip",
+    "dedup_first_seen",
+    "date_anchor_shift",
+    "case_dispatch",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = build_session("bench")
+    qs = workload.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once (excluded from per-query timing).
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,413 @@
+"""Core relational operators: scans, filters, joins, aggregates, set ops.
+
+Generalizes the reference's relational surface (SURVEY.md §2.2-2.4, §2.6):
+every join in the reference is a broadcast hash lookup over a dict
+(``redcap-etl.py:297``, ``dcc_transforms.py:25-31,234,289-291``); here the
+same semantics are declared as DataFrame joins and Catalyst/AQE pick
+broadcast vs shuffle. Each public query is registered in the workload with
+a DuckDB oracle.
+
+Scale notes (100 TB): fact-fact joins (lineitem ⨝ orders) shuffle on the
+join key — both sides arrive partitioned by key, and AQE handles skew;
+fact-dim joins broadcast (dims are bounded); aggregations are partial
+(map-side combine) before the shuffle because they are expressed as
+``groupBy().agg()`` over codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+
+# --------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): scan → filter → group-agg.
+# Exercises: filter pushdown, map-side partial aggregation, multi-agg.
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary; SURVEY §2.4 A3-A6 generalized.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shipping priority (TPC-H Q3 shape): 3-way join + agg + top-k.
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate <  TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  >  TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter, fact join, top-k.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = cat["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = cat["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = cat["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is the small filtered side → broadcast (reference J1 analog)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume (TPC-H Q5 shape): 6-way snowflake join.
+# Dims broadcast; facts shuffle on their keys once each.
+# --------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: snowflake join, broadcast dims, single fact shuffle.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    nation_region = (
+        cat["nation"]
+        .join(F.broadcast(cat["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = cat["supplier"].join(F.broadcast(nation_region), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    orders = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        cat["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cat["customer"].select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast dim join (J1/J2/J4/J5): records ⨝ small lookup.
+# --------------------------------------------------------------------------
+@register(
+    "join_broadcast_lookup",
+    """
+    SELECT n_name, r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    doc="Reference J1/J4: broadcast hash lookup join (field_map_dict.get analog).",
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    dim = cat["nation"].join(F.broadcast(cat["region"]), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    return (
+        cat["customer"]
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi join (P7: metadata semi-filtered by surviving fields).
+# --------------------------------------------------------------------------
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    doc="Reference P7: left-semi join (EXISTS reduction).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    f_orders = cat["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cat["customer"]
+        .join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join (J7: the error channel — fields absent from the field map).
+# --------------------------------------------------------------------------
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Reference J7: left-anti join error channel (missing-from-map fields).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .join(cat["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Merge-update join (J6): existing curated values overwrite fresh ones,
+# coalesce-with-priority per column (dictionary_extraction.py:84-103).
+# --------------------------------------------------------------------------
+@register(
+    "join_merge_update",
+    """
+    WITH fresh AS (
+        SELECT p_partkey, p_brand, p_type FROM part
+    ), curated AS (
+        SELECT p_partkey, upper(p_brand) AS p_brand
+        FROM part WHERE p_size > 25
+    )
+    SELECT f.p_partkey,
+           coalesce(c.p_brand, f.p_brand) AS p_brand,
+           f.p_type
+    FROM fresh f LEFT JOIN curated c ON f.p_partkey = c.p_partkey
+    """,
+    doc="Reference J6: merge-update (curated-overwrites-fresh coalesce join).",
+)
+def join_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    fresh = cat["part"].select("p_partkey", "p_brand", "p_type")
+    curated = (
+        cat["part"].filter(F.col("p_size") > 25).select("p_partkey", F.upper("p_brand").alias("cur_brand"))
+    )
+    return merge_update(fresh, curated.withColumnRenamed("cur_brand", "p_brand"), keys=["p_partkey"]).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+
+
+def merge_update(fresh: DataFrame, curated: DataFrame, keys: list[str]) -> DataFrame:
+    """General merge-update: left-join ``curated`` onto ``fresh``; for every
+    shared non-key column, a non-null curated value wins
+    (``dictionary_extraction.py:101`` ``df.update`` semantics).
+
+    The curated side is typically small (human-edited) → broadcast.
+    """
+    shared = [c for c in curated.columns if c in fresh.columns and c not in keys]
+    cur = curated.select(keys + shared)
+    for c in shared:
+        cur = cur.withColumnRenamed(c, f"__cur_{c}")
+    out = fresh.join(F.broadcast(cur), on=keys, how="left")
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(f"__cur_{c}"), F.col(c))).drop(f"__cur_{c}")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Distinct / dedup (A1/A2) and set ops (U-series + net-new intersect/except).
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct_keys",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Reference A1/A2: distinct-by-key accumulation as distinct aggregates.",
+)
+def agg_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="Net-new set op (SURVEY §2.6): INTERSECT.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+@register(
+    "setop_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="Net-new set op (SURVEY §2.6): EXCEPT.",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.subtract(o_side)  # EXCEPT (set semantics; exceptAll = bag)
+
+
+@register(
+    "union_chunks",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey AS k, 'early' AS chunk FROM orders
+      WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey AS k, 'late' AS chunk FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    )
+    """,
+    doc="Reference U1/U2/U5: union-append of chunked scans by name.",
+)
+def union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    cut = F.lit("1994-01-01 00:00:00").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_orderkey").alias("k"), F.lit("early").alias("chunk"))
+    late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_orderkey").alias("k"), F.lit("late").alias("chunk"))
+    return early.unionByName(late)
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube — net-new aggregates (SURVEY §2.4 note).
+# --------------------------------------------------------------------------
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Net-new: ROLLUP aggregate.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Net-new: CUBE aggregate.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+# --------------------------------------------------------------------------
+# CASE dispatch (F20): the reference's if/elif chains as one when-chain.
+# --------------------------------------------------------------------------
+@register(
+    "case_dispatch",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS size_class,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN 'urgent' ELSE 'routine' END AS urgency
+    FROM orders
+    """,
+    doc="Reference F20: multi-way conditional dispatch as codegen'd CASE.",
+)
+def case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(
+            F.col("o_orderpriority").startswith("1-") | F.col("o_orderpriority").startswith("2-"), "urgent"
+        )
+        .otherwise("routine")
+        .alias("urgency"),
+    )

@@ -1,0 +1,261 @@
+"""Window-function operators: ranking, analytics, frames, sessionization.
+
+The reference has no window functions (SURVEY §2.5) but two of its core
+idioms are window-shaped: per-group anchor broadcast (J3 dob-shift) and
+first-seen-wins dedup (A1). Both are implemented here as
+``pyspark.sql.Window`` plans plus the net-new ranking/analytic surface.
+
+Scale notes: a window partitioned by a key is exactly one shuffle on that
+key; frames evaluate inside the sorted partition with no further exchange.
+Sessionization is the classic gap-islands plan — lag + conditional cumsum —
+which is one shuffle + one sort, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+
+def topk_per_group(df: DataFrame, partition_cols: list[str], order_cols: list, k: int) -> DataFrame:
+    """Top-k rows per group via row_number (deterministic given a total order)."""
+    w = W.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def first_seen_dedup(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """First-occurrence-wins dedup (reference A1: ``seen_record_ids`` set,
+    dcc_transforms.py:249-255) — row_number = 1 over an explicit order, so
+    the result is deterministic where the reference's depended on input
+    order."""
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the in-user gap
+    exceeds ``gap_minutes``. Returns one row per session."""
+    order = [F.col(ts_col), F.col("event_id")] if "event_id" in df.columns else [F.col(ts_col)]
+    w = W.partitionBy(user_col).orderBy(*order)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    with_flag = df.withColumn("__new_session", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered workload queries
+# --------------------------------------------------------------------------
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window (net-new, SURVEY §2.5).",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return topk_per_group(
+        o, ["o_orderpriority"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           (epoch(date_trunc('second', ts))
+            - epoch(date_trunc('second', lag(ts) OVER w)))::BIGINT AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Analytic window: lag/lead over per-user event streams.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long").alias("gap_seconds"),
+    )
+
+
+@register(
+    "window_running_agg",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """,
+    doc="Aggregate-over-frame window: running sum/count per user.",
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "dedup_first_seen",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="Reference A1: first-seen-wins dedup as a deterministic ranking window.",
+)
+def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    return first_seen_dedup(e, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")]).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@register(
+    "sessionize_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(date_trunc('second', ts))
+                          - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization via gap-islands (lag + conditional cumsum).",
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    return sessionize(e, gap_minutes=30).select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (net-new, SURVEY §2.3 generalization): for each purchase,
+# the latest same-user signup at-or-before it. Implemented as a union +
+# window (single shuffle on user_id) instead of an O(n²) theta join —
+# the plan that survives 100 TB. DuckDB's native ASOF JOIN is the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "join_asof",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join via union+window — one shuffle, no range explosion.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    return asof_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "signup"),
+        on="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id"],
+        right_value="event_id",
+        right_alias="signup_event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "signup_event_id",
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_value: str,
+    right_alias: str,
+) -> DataFrame:
+    """Backward as-of join (latest right row with ``right.ts <= left.ts``
+    per ``on`` key).
+
+    Plan: tag both sides, union, sort within the key partition by
+    (ts, side-priority), and carry the last seen right value forward with
+    ``last(..., ignorenulls=True)``. One shuffle on the key; no range
+    cross-product, so it scales linearly where a theta join would explode.
+    DuckDB ASOF semantics: ties (left.ts == right.ts) match, so the right
+    side sorts before the left at equal timestamps.
+    """
+    lt = left.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("__side"), *[F.col(c) for c in left_cols if c not in (on, ts_col)]
+    ).withColumn("__rv", F.lit(None).cast(dict(right.dtypes)[right_value]))
+    rt = right.select(F.col(on), F.col(ts_col), F.lit(0).alias("__side"), F.col(right_value).alias("__rv"))
+    for c in left_cols:
+        if c not in (on, ts_col):
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = W.partitionBy(on).orderBy(ts_col, "__side").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        unioned.withColumn(right_alias, F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__rv")
+    )
