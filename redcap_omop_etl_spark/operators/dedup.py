@@ -1,7 +1,333 @@
-"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
-Net-new LLM-data-pipeline surface (BASELINE.json north star). Filled in
-alongside the documents-table workload queries.
+Net-new LLM-data-pipeline surface (BASELINE.json north star). Strategy
+ladder, cheapest first — all pure DataFrame plans, no Python in the hot
+path:
+
+- **exact**: hash-groupBy on a normalized-content fingerprint. One shuffle
+  on the md5 key; at 100 TB this is the map-side-combine friendly baseline.
+- **n-gram Jaccard** (exact near-dup): shingle → explode → self-equi-join
+  on shingle → per-pair intersection counts → Jaccard. Exact but the
+  shingle join is quadratic in hot shingles; ``df_cap`` drops
+  ubiquitous shingles from candidate generation (the standard
+  "stop-shingle" cap) while Jaccard itself stays exact per candidate pair.
+- **MinHash + LSH** (scale path): k hash functions over shingle hashes →
+  signature → bands → bucket-join candidates → exact-Jaccard verify.
+  Candidate generation is linear in documents × bands; the verify join
+  touches only bucket collisions. Hash = xxhash64 (Spark-deterministic),
+  so this query is rows-only for the DuckDB oracle; its recall/precision
+  against the exact operator is pinned by pytest.
+- **SimHash**: 64-bit signed-projection fingerprint from token hashes;
+  near-dups = fingerprints within Hamming distance d, blocked by
+  band-exactness (pigeonhole) to avoid the quadratic compare.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators.textstats import fingerprint_md5, normalized_text, ws_tokens
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+# Mersenne-31 prime for the (a*h + b) mod p minhash family. 31-bit hash
+# space keeps a*h < 2^62 — no signed-long overflow under ANSI arithmetic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>)."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-content hash: keep the min-id representative
+    per group, count the copies. One shuffle on the fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None) -> DataFrame:
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+    if df_cap is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (exact near-dup).
+
+    Plan: explode shingles, self-equi-join on the shingle (NOT a theta
+    join), count shared shingles per pair, join per-doc set sizes back,
+    filter on Jaccard. Shuffles: one on the shingle, one on the pair key,
+    two tiny ones for sizes. ``df_cap`` caps shingle document frequency to
+    keep the equi-join from going quadratic on boilerplate shingles at
+    scale (trades recall only for pairs whose entire overlap is
+    boilerplate).
+    """
+    sh = _shingle_table(df, id_col, text_col, n, df_cap).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document array of 31-bit shingle hashes (the minhash input).
+
+    Computed once and intended to be persisted by callers: every
+    downstream signature/verify expression refers to the stored array, so
+    the tokenize→shingle→hash pipeline runs exactly once per document
+    (Spark's projection collapse would otherwise re-inline it into each of
+    the 64 signature expressions).
+    """
+    sh = shingles(F.col(text_col), n)
+    # pmod keeps the reduced hash non-negative without abs() (abs(MIN_LONG)
+    # overflows under ANSI arithmetic).
+    hashed = F.array_distinct(F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))))
+    return df.select(F.col(id_col).alias("doc"), hashed.alias("hashes"))
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (a_i * h + b_i) mod p over 31-bit shingle hashes.
+
+    The hash family parameters derive deterministically from the index (no
+    RNG), so results are reproducible across runs and partitionings. All
+    arithmetic is JVM-side higher-order functions — zero shuffles.
+    """
+    params = [(2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(num_hashes)]
+    base = shingle_hashes(df, n, text_col, id_col)
+
+    def perm(a: int, b: int):
+        # factory, not default-arg lambda: PySpark derives the HOF's arity
+        # from the Python lambda's parameter count
+        return lambda h: (h * a + b) % _MERSENNE_P
+
+    sig = F.array(*[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for a, b in params])
+    return base.select("doc", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Candidate pairs collide in ≥1 of ``bands`` bands (rows = k/bands);
+    verification recomputes exact shingle Jaccard only for candidates, so
+    precision is exact and recall is the LSH S-curve. This is the plan
+    that survives 100 TB: candidates ∝ docs × bands, never docs².
+    """
+    rows = num_hashes // bands
+    params = [(2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(num_hashes)]
+    # Persist the hashed-shingle arrays: the banding self-join and the
+    # verify join would otherwise recompute tokenize→shingle→hash 4×.
+    base = shingle_hashes(df, n, text_col, id_col).persist()
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % _MERSENNE_P
+
+    sig = F.array(*[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for a, b in params])
+    sigs = base.select("doc", sig.alias("sig")).persist()
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.concat_ws("_", *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+        .distinct()
+    )
+    # Exact verify on candidate pairs only, over the persisted hash arrays
+    # (Jaccard over 31-bit hashes ≡ shingle Jaccard modulo negligible
+    # collision mass in a ~2^31 space).
+    sh = base.select("doc", F.col("hashes").alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
+        .join(sh.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
+        .withColumn("i", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("u", F.size("sh1") + F.size("sh2") - F.col("i"))
+        .withColumn("jaccard", F.col("i") / F.col("u"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash64(text: Column, n_grams: int = 1) -> Column:
+    """64-bit SimHash of the token stream: per-bit signed votes weighted by
+    token hashes, sign → bit. Pure higher-order-function arithmetic."""
+    toks = ws_tokens(normalized_text(text)) if n_grams == 1 else shingles(text, n_grams)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_mask(b: int) -> int:
+        # bit 63 is the sign bit: 1<<63 overflows signed long, use min-long
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    def vote_fn(b: int):
+        # close over b with a factory — a default-arg lambda would change
+        # the lambda's arity, which PySpark inspects to build the HOF
+        mask = F.lit(bit_mask(b)).cast("long")
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b)) for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(bit_mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``max_hamming + 1`` segments; any pair within distance d agrees on ≥1
+    segment, so candidates are an equi-join on (segment_idx, segment
+    value) — never a full cross-product. Distance is verified exactly via
+    popcount on the XOR.
+    """
+    nseg = max_hamming + 1
+    seg_bits = 64 // nseg
+    fp = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    segs = fp.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftrightunsigned("fp", i * seg_bits).bitwiseAND(F.lit((1 << seg_bits) - 1).cast("long")).alias("val"),
+                    )
+                    for i in range(nseg)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc", "fp", "s.seg", "s.val")
+    cand = (
+        segs.alias("x")
+        .join(
+            segs.alias("y"),
+            (F.col("x.seg") == F.col("y.seg")) & (F.col("x.val") == F.col("y.val")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"), F.col("x.fp").alias("fp1"), F.col("y.fp").alias("fp2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered workload queries
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-content fingerprint.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(Catalog(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
+    """,
+    doc="Exact n-gram-Jaccard near-dup pairs (threshold 0.6, 3-gram shingles).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6, n=3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based — not reproducible in DuckDB; pinned by pytest vs exact
+    doc="MinHash-LSH near-dup (scale path): banding candidates + exact verify.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6)
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based — pinned by pytest
+    doc="SimHash near-dup with pigeonhole blocking (Hamming ≤ 3).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(Catalog(spark, sf_dir)["documents"], max_hamming=3)

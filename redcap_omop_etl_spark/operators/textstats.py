@@ -1,7 +1,232 @@
-"""Text analysis operators: language-ID, quality scoring, token counts,
+"""Text analysis operators: tokenization, quality scoring, language-ID,
 document fingerprinting.
 
-Net-new LLM-data-pipeline surface (BASELINE.json north star).
+Net-new LLM-data-pipeline surface (BASELINE.json north star): the
+operations a 100 TB pretraining-data pipeline runs over a ``documents``
+table. Everything here is built-in ``pyspark.sql.functions`` — string ops
+stay inside whole-stage codegen, so each query is one scan with no shuffle
+(aggregations excepted) and no Python in the hot path.
+
+The DuckDB oracles reproduce the exact same deterministic formulas, so
+these are hash-checked, not rows-only.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+# Marker stopwords per language for the n-gram/token heuristic language ID.
+# Tiny on purpose: the operator is the dispatch plan; swapping in a real
+# marker table is a data change, not a code change.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "和", "在"],
+}
+
+# Word-boundary "BPE-ish" token pattern: runs of letters, runs of digits,
+# or single non-space symbols — the standard pre-tokenizer shape.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization of normalized (lower/trim) text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_marker_hits(tokens: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list (membership, with repeats)."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*markers)))
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text — the dedup/fingerprint key."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex string)."""
+    return F.md5(normalized_text(text))
+
+
+# --------------------------------------------------------------------------
+# Registered workload queries (documents table)
+# --------------------------------------------------------------------------
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+'))      AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           length(text)                                            AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenizer.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text)                                                  AS n,
+             len(string_split_regex(lower(trim(text)), '\\s+'))            AS n_tok,
+             length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g'))     AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))               AS n_digit
+      FROM documents
+    )
+    SELECT doc_id,
+           round(n_punct * 1.0 / n, 6)                      AS punct_ratio,
+           round(n_digit * 1.0 / n, 6)                      AS digit_ratio,
+           round((n - n_tok + 1) * 1.0 / greatest(n_tok, 1), 6) AS avg_token_len,
+           CASE WHEN n >= 100 AND n_punct * 1.0 / n < 0.1
+                     AND n_digit * 1.0 / n < 0.2
+                THEN 1 ELSE 0 END                           AS quality_keep
+    FROM t
+    """,
+    doc="Quality scoring: length / punctuation / digit ratios + keep gate.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    n = F.length("text")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"""[^.,;:!?'"()-]""", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    t = d.select("doc_id", n.alias("n"), n_tok.alias("n_tok"), n_punct.alias("n_punct"), n_digit.alias("n_digit"))
+    return t.select(
+        "doc_id",
+        F.round(F.col("n_punct") / F.col("n"), 6).alias("punct_ratio"),
+        F.round(F.col("n_digit") / F.col("n"), 6).alias("digit_ratio"),
+        F.round((F.col("n") - F.col("n_tok") + 1) / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (F.col("n") >= 100)
+            & (F.col("n_punct") / F.col("n") < 0.1)
+            & (F.col("n_digit") / F.col("n") < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+def _duckdb_marker_filter(markers: list[str]) -> str:
+    ors = " OR ".join(f"x = '{m}'" for m in markers)
+    return f"len(list_filter(w, x -> {ors}))"
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {_duckdb_marker_filter(LANG_MARKERS["en"])} AS s_en,
+             {_duckdb_marker_filter(LANG_MARKERS["es"])} AS s_es,
+             {_duckdb_marker_filter(LANG_MARKERS["fr"])} AS s_fr,
+             {_duckdb_marker_filter(LANG_MARKERS["de"])} AS s_de,
+             {_duckdb_marker_filter(LANG_MARKERS["zh"])} AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+    FROM scores
+    """,
+    doc="Language-ID: marker-token heuristic with deterministic argmax.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        *[token_marker_hits(toks, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in ["en", "es", "fr", "de", "zh"]],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in ["en", "es", "fr", "de", "zh"]}
+    pred = (
+        F.when((s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0) & (s["zh"] == 0), "und")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_len
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized text.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        F.length(normalized_text(F.col("text"))).alias("fp_len"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k
+    FROM events
+    """,
+    doc="Reference F16/F17/F19: JSON parse + map-key extraction.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    )
+
+
+@register(
+    "string_suite",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1)  AS first_word,
+           CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END AS src_prefix_1,
+           CASE WHEN lang = 'en' OR lang = 'de' THEN upper(lang) ELSE lang END AS lang_norm,
+           substr(source, 4)                     AS src_num
+    FROM documents
+    """,
+    doc="Reference F10-F12: suffix/prefix tests, regex extraction, substring slices.",
+)
+def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("source").startswith("src1"), 1).otherwise(0).alias("src_prefix_1"),
+        F.when(F.col("lang").isin("en", "de"), F.upper("lang")).otherwise(F.col("lang")).alias("lang_norm"),
+        F.substring("source", 4, 2147483647).alias("src_num"),
+    )

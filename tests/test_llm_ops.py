@@ -1,0 +1,126 @@
+"""Tests for LLM-pipeline operators without a DuckDB oracle:
+MinHash-LSH / SimHash recall+precision vs the exact operator, ANN recall
+vs brute force, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators import dedup, multimodal, similarity
+from redcap_omop_etl_spark.sources.readers import Catalog
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return Catalog(spark, SF_SMOKE)["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return Catalog(spark, SF_SMOKE)["embeddings"]
+
+
+def _pair_set(df):
+    return {(r.d1, r.d2) for r in df.select("d1", "d2").collect()}
+
+
+class TestMinhash:
+    def test_recall_and_precision_vs_exact(self, docs):
+        exact = _pair_set(dedup.ngram_jaccard_pairs(docs, threshold=0.6))
+        approx = _pair_set(dedup.minhash_lsh_pairs(docs, threshold=0.6))
+        assert exact, "fixture should contain near-dup pairs"
+        # verification step makes precision exact (modulo 31-bit hash collisions)
+        assert approx <= exact or len(approx - exact) <= 1
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.85, f"LSH recall too low: {recall}"
+
+    def test_synthetic_duplicates_found(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        variant = base.replace("lazy", "sleepy", 1)
+        rows = [(1, base), (2, base), (3, variant), (4, "completely different words " * 12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = _pair_set(dedup.minhash_lsh_pairs(df, threshold=0.5))
+        assert (1, 2) in pairs
+        assert (1, 3) in pairs and (2, 3) in pairs
+        assert not any(4 in p for p in pairs)
+
+
+class TestSimhash:
+    def test_synthetic_duplicates_found(self, spark):
+        # long, diverse token stream: a one-token edit moves few bit votes,
+        # so the fingerprint stays within a small Hamming ball
+        base = " ".join(f"tok{i}" for i in range(400))
+        variant = base.replace("tok250 ", "changed ", 1)
+        rows = [(1, base), (2, base), (3, variant), (4, "totally unrelated content here " * 40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r.d1, r.d2): r.hamming for r in dedup.simhash_near_pairs(df, max_hamming=8).collect()}
+        assert out.get((1, 2)) == 0  # identical docs → identical fingerprints
+        assert (1, 3) in out  # near-identical → within hamming budget
+        assert not any(4 in p for p in out)
+
+    def test_overlaps_high_jaccard_pairs(self, docs):
+        # corpus docs are short (~60 tokens): use a wider hamming budget
+        high_j = _pair_set(dedup.ngram_jaccard_pairs(docs, threshold=0.95))
+        sim = _pair_set(dedup.simhash_near_pairs(docs, max_hamming=8))
+        if high_j:
+            recall = len(sim & high_j) / len(high_j)
+            assert recall >= 0.7, f"simhash missed high-jaccard pairs: {recall}"
+
+
+class TestAnnLsh:
+    def test_recall_vs_brute_force(self, emb):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        brute = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+        approx = [r.vec_id for r in similarity.ann_lsh_topk(emb, qv, k=10, n_planes=8).collect()]
+        assert approx[0] == 0  # the query vector is its own nearest neighbor
+        overlap = len(set(brute) & set(approx)) / 10
+        assert overlap >= 0.3, f"ANN recall vs brute force too low: {overlap}"
+
+    def test_exact_topk_self_hit(self, emb):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+        top = similarity.cosine_topk(emb, qv, k=3).collect()
+        assert top[0].vec_id == 7
+        assert top[0].cos_sim == pytest.approx(1.0, abs=1e-3)
+
+
+class TestMultimodal:
+    def test_synth_schema_and_featurize(self, docs):
+        media = multimodal.synth_media(docs.limit(20))
+        assert [f.name for f in media.schema["media"].dataType.fields] == [
+            "payload", "media_type", "width", "height", "n_frames",
+        ]
+        feats = multimodal.extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == 20
+        r = rows[0]
+        assert r.n_bytes > 0 and 0 < r.byte_mean < 256
+        assert len(r.histogram16) == 16
+        assert sum(r.histogram16) == pytest.approx(1.0, abs=1e-9)
+
+    def test_feature_determinism(self, docs):
+        media = multimodal.synth_media(docs.limit(5))
+        a = sorted(multimodal.extract_features(media).collect())
+        b = sorted(multimodal.extract_features(media).collect())
+        assert a == b
+
+    def test_frame_sample(self, docs):
+        media = multimodal.synth_media(docs.limit(10))
+        frames = multimodal.frame_sample(media, every_k=4)
+        out = frames.groupBy("doc_id").count().collect()
+        assert len(out) == 10
+        nf = {r.doc_id: r["media.n_frames"] if "media.n_frames" in frames.columns else None for r in []}
+        for r in frames.select("frame_idx").distinct().collect():
+            assert r.frame_idx % 4 == 0
+
+    def test_resize_is_stubbed(self, docs):
+        media = multimodal.synth_media(docs.limit(1))
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_media(media, 64, 64)
+
+    def test_stats_pipeline(self, docs):
+        row = multimodal.media_feature_stats(docs.limit(50)).head()
+        assert row.n_docs == 50
+        assert row.avg_n_bytes > 0
