@@ -1,0 +1,135 @@
+"""Oracle-checked workload queries for the reference-surface operators.
+
+The driver's harness only ships the relational test tables, so these
+queries synthesize the REDCap shapes from them inline (an EAV stream
+unpivoted from ``part``, a field map from literal VALUES) and run the real
+engine operators — the DuckDB oracle reproduces the semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators.eav import unpivot_to_eav
+from redcap_omop_etl_spark.operators.phi_filter import phi_filter
+from redcap_omop_etl_spark.sinks.chunked import with_global_index
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+_FIELD_MAP_ROWS = [
+    ("p_brand", "Include", None),
+    ("p_type", "Include", "A"),               # event-restricted
+    ("p_size", "TransformDateYear", None),    # needs the date_cleaned flag
+    ("p_retailprice", "Exclude", None),
+]
+_FM_SCHEMA = "field_name string, status string, restrict_to_event_list string"
+
+
+def _synth_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → EAV stream with event + date_cleaned columns synthesized."""
+    p = Catalog(spark, sf_dir)["part"]
+    eav = unpivot_to_eav(p, ["p_partkey"], ["p_brand", "p_type", "p_size", "p_retailprice", "p_name"])
+    complete = p.select(
+        "p_partkey", F.lit("load_complete").alias("field_name"), F.lit("2").alias("value")
+    )
+    return (
+        eav.unionByName(complete)
+        .withColumn("event", F.when(F.col("p_partkey") % 2 == 0, "A").otherwise("B"))
+        .withColumn(
+            "date_cleaned",
+            F.when(F.col("field_name") == "p_size", F.col("p_partkey") % 3 == 0),
+        )
+        .withColumnRenamed("p_partkey", "record_id")
+    )
+
+
+_EAV_SQL = """
+    eav AS (
+      SELECT p_partkey AS record_id,
+             CASE WHEN p_partkey % 2 = 0 THEN 'A' ELSE 'B' END AS event,
+             f.field_name, f.value,
+             CASE WHEN f.field_name = 'p_size' THEN p_partkey % 3 = 0 END AS date_cleaned
+      FROM part, LATERAL (
+        VALUES ('p_brand', p_brand), ('p_type', p_type),
+               ('p_size', CAST(p_size AS VARCHAR)),
+               ('p_retailprice', CAST(p_retailprice AS VARCHAR)),
+               ('p_name', p_name), ('load_complete', '2')
+      ) f(field_name, value)
+    ), fm(field_name, status, restrict_events) AS (
+      VALUES ('p_brand', 'Include', NULL),
+             ('p_type', 'Include', 'A'),
+             ('p_size', 'TransformDateYear', NULL),
+             ('p_retailprice', 'Exclude', NULL)
+    )
+"""
+
+
+@register(
+    "phi_filter_keep",
+    f"""
+    WITH {_EAV_SQL}
+    SELECT e.record_id, e.event, e.field_name, e.value
+    FROM eav e LEFT JOIN fm ON e.field_name = fm.field_name
+    WHERE e.field_name = 'redcap_data_access_group'
+       OR e.field_name LIKE '%\\_complete' ESCAPE '\\'
+       OR (fm.field_name IS NOT NULL AND (
+             (fm.status = 'Include'
+              AND (fm.restrict_events IS NULL OR fm.restrict_events = e.event))
+          OR (fm.status IN ('TransformDateYear','TransformDate',
+                            'TransformDateTimeSeconds','TransformDateTime')
+              AND e.date_cleaned)))
+    """,
+    doc="Reference P6: the PHI allowlist filter (broadcast join + CASE chain).",
+)
+def phi_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eav = _synth_eav(spark, sf_dir)
+    fm = spark.createDataFrame(_FIELD_MAP_ROWS, _FM_SCHEMA)
+    res = phi_filter(eav, fm, event_col="event")
+    return res.kept.select("record_id", "event", "field_name", "value")
+
+
+@register(
+    "phi_filter_errors",
+    f"""
+    WITH {_EAV_SQL}
+    SELECT DISTINCT e.field_name, 'field missing from field map' AS error
+    FROM eav e LEFT JOIN fm ON e.field_name = fm.field_name
+    WHERE fm.field_name IS NULL
+      AND e.field_name <> 'redcap_data_access_group'
+      AND e.field_name NOT LIKE '%\\_complete' ESCAPE '\\'
+    """,
+    doc="Reference J7/V3: missing-from-map error side channel (anti join).",
+)
+def phi_filter_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eav = _synth_eav(spark, sf_dir)
+    fm = spark.createDataFrame(_FIELD_MAP_ROWS, _FM_SCHEMA)
+    return phi_filter(eav, fm, event_col="event").errors
+
+
+@register(
+    "sink_chunk_assignment",
+    """
+    WITH indexed AS (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+      FROM orders
+    )
+    SELECT (idx // 1000) + 1 AS chunk_number,
+           count(*) AS n_records,
+           min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+    FROM indexed GROUP BY 1
+    """,
+    doc="Reference S9: deterministic chunk assignment via scalable global index.",
+)
+def sink_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"].select("o_orderkey")
+    indexed = with_global_index(o, ["o_orderkey"])
+    return (
+        indexed.withColumn("chunk_number", (F.col("__idx") / 1000).cast("long") + 1)
+        .groupBy("chunk_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )

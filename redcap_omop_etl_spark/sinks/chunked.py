@@ -1,0 +1,124 @@
+"""Chunk-enveloped sinks — the reference's transmit stage, distributed.
+
+``transmit`` (``/root/reference/redcap-etl.py:223-292``) slices the record
+list into 50,000-row chunks, wraps each in an envelope
+``{chunk_number, project ids, extraction_run_datetime, redcap_records,
+[metadata on chunk 1]}``, and POSTs each. Here:
+
+- ``with_global_index``: a scalable global row index — range-partition on
+  the order key, count rows per partition (one small job), broadcast the
+  offsets, add partition-local row_number. No single-partition
+  ``Window.orderBy()`` bottleneck, so chunk assignment survives 100 TB.
+- ``chunk_envelopes``: chunk = index div chunk_size; one envelope row per
+  chunk via ``collect_list(struct(...))`` + ``to_json`` — metadata rides
+  only on chunk 1 (redcap-etl.py:244-248).
+- ``foreach_chunk_post``: ``foreachPartition`` POST with a pluggable
+  transport (stubbed: no network in this environment).
+- ``write_jsonl``: the ``--fake -w out`` dry-run sink, fail-if-exists
+  (redcap-etl.py:216-221, mode "x").
+- ``debug_pub``: the pivoted CSV debug sink (redcap-etl.py:382-397).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators.eav import pivot_from_eav
+
+
+def with_global_index(df: DataFrame, order_cols: list[str], index_col: str = "__idx") -> DataFrame:
+    """0-based global row index in ``order_cols`` order, computed without a
+    global sort bottleneck.
+
+    Plan: range-repartition on the key (so partitions hold contiguous key
+    ranges), sort within partitions, count rows per partition (tiny job,
+    one long per partition), broadcast the cumulative offsets, and add
+    ``offset + local row_number``. Two passes over the data, no
+    single-reducer stage.
+    """
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    counts = {r["__pid"]: r["n"] for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    )
+    w = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn(index_col, offset_col + F.row_number().over(w) - 1)
+        .drop("__pid")
+    )
+
+
+def chunk_envelopes(
+    df: DataFrame,
+    order_cols: list[str],
+    chunk_size: int,
+    project_info: dict[str, str] | None = None,
+    metadata_json: str | None = None,
+    run_datetime: str = "",
+) -> DataFrame:
+    """One row per chunk: ``chunk_number`` (1-based) + JSON envelope.
+
+    Matches the reference envelope (redcap-etl.py:236-248): records array
+    under ``redcap_records``; ``redcap_metadata_filtered`` present only on
+    chunk 1 (:244-248, ``include_metadata``).
+    """
+    indexed = with_global_index(df, order_cols)
+    chunked = indexed.withColumn("chunk_number", (F.col("__idx") / chunk_size).cast("long") + 1).drop("__idx")
+    payload_cols = [c for c in df.columns]
+    per_chunk = chunked.groupBy("chunk_number").agg(
+        F.to_json(F.collect_list(F.struct(*payload_cols))).alias("records_json"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    base = {k: v for k, v in (project_info or {}).items()}
+    envelope = F.concat(
+        F.lit("{"),
+        F.lit('"chunk_number": '),
+        F.col("chunk_number").cast("string"),
+        *[F.lit(f', "{k}": {json.dumps(v)}') for k, v in base.items()],
+        F.lit(f', "extraction_run_datetime": {json.dumps(run_datetime)}'),
+        F.lit(', "redcap_records": '),
+        F.col("records_json"),
+        F.when(
+            (F.col("chunk_number") == 1) & F.lit(metadata_json is not None),
+            F.lit(f', "redcap_metadata_filtered": {metadata_json or "null"}'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return per_chunk.select("chunk_number", "n_records", envelope.alias("envelope"))
+
+
+def foreach_chunk_post(envelopes: DataFrame, transport: Callable[[str], None]) -> None:
+    """POST each chunk envelope via the pluggable transport
+    (redcap-etl.py:270-282). The transport runs on executors; it must be
+    picklable and raise on non-2xx (reference aborts on failed POST)."""
+
+    def post_partition(rows: Iterator) -> None:
+        for row in rows:
+            transport(row["envelope"])
+
+    envelopes.foreachPartition(post_partition)
+
+
+def write_jsonl(df: DataFrame, path: str, overwrite: bool = False) -> None:
+    """JSON-lines file sink; default fail-if-exists mirrors the reference's
+    open(..., "x") (redcap-etl.py:216-221)."""
+    df.write.mode("overwrite" if overwrite else "errorifexists").json(path)
+
+
+def debug_pub(transform_records: DataFrame, field_names: list[str], path: str) -> None:
+    """Pivot the transform-record stream wide and write CSV
+    (redcap-etl.py:382-397). Pivot values are pinned by the caller."""
+    wide = pivot_from_eav(
+        transform_records, ["record_id"], field_names, field_col="field_name", value_col="field_value"
+    )
+    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

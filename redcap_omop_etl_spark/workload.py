@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         eav,
         date_transform,
         dedup,
+        reference_workload,
         similarity,
         textstats,
         windows,
