@@ -36,6 +36,14 @@ HEADLINE = [
     "dedup_first_seen",
     "date_anchor_shift",
     "case_dispatch",
+    "phi_filter_keep",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "similarity_cosine_topk",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "sink_chunk_assignment",
 ]
 
 

@@ -93,20 +93,25 @@ def eav_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_values",
     """
     SELECT user_id,
-           round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2)    AS click,
-           round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2)    AS error,
-           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase,
-           round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2)   AS signup,
-           round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2)     AS view
+           round(coalesce(sum(value::DECIMAL(8,2)) FILTER (event_type = 'click'), 0)::DOUBLE, 2)    AS click,
+           round(coalesce(sum(value::DECIMAL(8,2)) FILTER (event_type = 'error'), 0)::DOUBLE, 2)    AS error,
+           round(coalesce(sum(value::DECIMAL(8,2)) FILTER (event_type = 'purchase'), 0)::DOUBLE, 2) AS purchase,
+           round(coalesce(sum(value::DECIMAL(8,2)) FILTER (event_type = 'signup'), 0)::DOUBLE, 2)   AS signup,
+           round(coalesce(sum(value::DECIMAL(8,2)) FILTER (event_type = 'view'), 0)::DOUBLE, 2)     AS view
     FROM events GROUP BY user_id
     """,
     doc="Reference A5/R1 generalized: pivot with a real aggregate (sum).",
 )
 def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
-    pivoted = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.sum("value"))
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(8,2)")))
+    )
     return pivoted.select(
-        "user_id", *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in EVENT_TYPES]
+        "user_id",
+        *[F.round(F.coalesce(F.col(t).cast("double"), F.lit(0.0)), 2).alias(t) for t in EVENT_TYPES],
     )
 
 

@@ -31,13 +31,16 @@ from redcap_omop_etl_spark.workload import register
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(sum(l_quantity::DECIMAL(6,2))::DOUBLE, 2)                  AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(10,2))::DOUBLE, 2)            AS sum_base_price,
+           round(sum(l_extendedprice::DECIMAL(10,2)
+                     * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2)          AS sum_disc_price,
+           round(sum(l_extendedprice::DECIMAL(10,2)
+                     * (1 - l_discount::DECIMAL(4,2))
+                     * (1 + l_tax::DECIMAL(4,2)))::DOUBLE, 2)               AS sum_charge,
+           round(sum(l_quantity::DECIMAL(6,2))::DOUBLE / count(*), 6)       AS avg_qty,
+           round(sum(l_extendedprice::DECIMAL(10,2))::DOUBLE / count(*), 6) AS avg_price,
+           round(sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*), 6)       AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -47,18 +50,26 @@ from redcap_omop_etl_spark.workload import register
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Money columns are 2dp: decimal-exact sums are order-independent, so
+    # Spark's partial-aggregation order can never flip a rounding boundary
+    # against the oracle (double sums would differ in the last ulp).
+    qty = F.col("l_quantity").cast("decimal(6,2)")
+    price = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (1 - disc)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + tax)).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -71,7 +82,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice::DECIMAL(10,2)
+                     * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -95,7 +107,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # customer is the small filtered side → broadcast (reference J1 analog)
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
         .select(
             "l_orderkey",
             "revenue",
@@ -113,7 +133,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(l_extendedprice::DECIMAL(10,2)
+                              * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -150,7 +171,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -160,7 +189,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast_lookup",
     """
-    SELECT n_name, r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    SELECT n_name, r_name, count(*) AS n_customers, round(sum(c_acctbal::DECIMAL(9,2))::DOUBLE, 2) AS total_acctbal
     FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -177,7 +206,7 @@ def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["customer"]
         .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "r_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum(F.col("c_acctbal").cast("decimal(9,2)")).cast("double"), 2).alias("total_acctbal"))
     )
 
 
@@ -352,7 +381,7 @@ def union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, round(sum(o_totalprice::DECIMAL(10,2))::DOUBLE, 2) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -361,14 +390,14 @@ def union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir)["orders"]
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double"), 2).alias("total")
     )
 
 
 @register(
     "agg_cube",
     """
-    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity::DECIMAL(6,2))::DOUBLE, 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -376,7 +405,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"]
-    return li.cube("l_returnflag", "l_linestatus").agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(6,2)")).cast("double"), 2).alias("sum_qty")
+    )
 
 
 # --------------------------------------------------------------------------

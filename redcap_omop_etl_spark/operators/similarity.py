@@ -55,8 +55,13 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int, id_col: s
     scored = embeddings.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
     )
+    # sort+limit compiles to TakeOrderedAndProject (per-partition top-k
+    # heaps merged on the driver) — no single-partition window shuffle, so
+    # this survives N=billions; the rank column is added over the k
+    # survivors only.
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
     w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
@@ -113,8 +118,9 @@ def ann_lsh_topk(
     sig = hyperplane_bits(F.col(vec_col), n_planes, dim)
     candidates = embeddings.withColumn("__sig", sig).filter(F.col("__sig").isin(probe_sigs))
     scored = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
     w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def embedding_near_dup_pairs(

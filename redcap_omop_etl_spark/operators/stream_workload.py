@@ -1,0 +1,77 @@
+"""Batch-mode workload queries for the streaming window operators.
+
+The same plans run as Structured Streaming (see ``streaming.windows``);
+registering the batch form gives them DuckDB oracles, and
+``tests/test_streaming.py`` asserts stream ≡ batch on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from redcap_omop_etl_spark.workload import register
+
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value::DECIMAL(8,2))::DOUBLE, 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Streaming §2.9: tumbling event-time window agg (batch-equivalent form).",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(Catalog(spark, sf_dir)["events"])
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH starts AS (
+      SELECT v.window_start, value FROM events, LATERAL (
+        VALUES (time_bucket(INTERVAL 30 MINUTE, ts)),
+               (time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE)
+      ) v(window_start)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value::DECIMAL(8,2))::DOUBLE, 2) AS total_value
+    FROM starts GROUP BY 1
+    """,
+    doc="Streaming §2.9: sliding windows (1h width / 30m slide) — each event in 2 windows.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(Catalog(spark, sf_dir)["events"])
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, seq
+    """,
+    doc="Streaming §2.9: session_window gap-merged sessions (end = last_ts + gap).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(Catalog(spark, sf_dir)["events"])

@@ -1,0 +1,167 @@
+"""Structured Streaming operators over the events stream.
+
+Net-new surface (SURVEY §2.9): the reference is strictly batch; its only
+incremental feature is size-bounded chunked extract/load. Here the same
+transformations run as Structured Streaming plans — the *same* windowed
+aggregations work in batch mode (the workload queries register the batch
+form with a DuckDB oracle; the streaming tests assert stream ≡ batch).
+
+Watermarks bound state: at 100 TB/day the window state store only holds
+windows newer than (max event time − watermark), and
+``dropDuplicatesWithinWatermark`` gives bounded-state dedup.
+
+Every aggregation is expressed with built-in ``window``/``session_window``
+functions so the streaming planner can use its incremental state-store
+operators — no custom state unless genuinely needed
+(``applyInPandasWithState`` shown in ``stateful_running_total``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import TABLES
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events parquet as a file-source stream (schema pinned from the
+    catalog; nanos timestamps repaired at the boundary like the batch
+    reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # file-stream sources need a directory/glob (basePath must be a dir);
+    # a glob over the single file keeps the parent as basePath
+    raw = reader.format("parquet").load(f"{sf_dir}/events.parque[t]")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with watermark-bounded state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        # decimal-exact sum: order-independent, so stream/batch/oracle agree
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(8,2)")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"))
+        # sum, not avg: a decimal-exact sum rounded at its own scale is
+        # tie-free, while avg = sum/count lands exactly on .xxxx5
+        # boundaries where engines' double rounding disagrees
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(8,2)")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-merged session windows per user (the streaming-native form of
+    the batch gap-islands sessionization in ``operators.windows``)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Bounded-state streaming dedup: duplicates arriving within the
+    watermark horizon are dropped (A1's streaming generalization)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def stateful_running_total(events: DataFrame, ttl: str = "NoTTL") -> DataFrame:
+    """Custom stateful operator template: per-user running totals via
+    ``applyInPandasWithState`` (the escape hatch when built-in windows
+    can't express the state machine).
+
+    Batch fallback: a window cumulative sum (same semantics, no state
+    store)."""
+    if not events.isStreaming:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        return events.select(
+            "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_total")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id long, event_id long, running_total double"
+    state_schema = "total double"
+
+    def fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                total += float(r["value"])
+                rows.append((key[0], int(r["event_id"]), round(total, 2)))
+        state.update((total,))
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "running_total"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_to_chunked_sink(
+    stream: DataFrame,
+    transport,
+    order_cols: list[str],
+    chunk_size: int,
+    checkpoint_dir: str,
+):
+    """foreachBatch bridge into the batch chunk-envelope sink (S9 reuse):
+    each micro-batch is chunked/enveloped/POSTed with the batch code path,
+    giving exactly-once-per-batch semantics via the checkpoint."""
+    from redcap_omop_etl_spark.sinks.chunked import chunk_envelopes, foreach_chunk_post
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        env = chunk_envelopes(batch_df, order_cols, chunk_size, project_info={"epoch": str(epoch_id)})
+        foreach_chunk_post(env, transport)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         date_transform,
         dedup,
         reference_workload,
+        stream_workload,
         similarity,
         textstats,
         windows,

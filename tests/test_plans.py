@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the properties that make queries survive
+100 TB are pinned here so regressions show up as test failures, not as
+production shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redcap_omop_etl_spark import workload
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    df = workload.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name, fn in workload.queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+
+
+def test_q1_filter_pushed_to_parquet(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "join_broadcast_lookup", "phi_filter_keep"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge at small SF"
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "join_asof")
+    # union + window formulation: exactly one exchange (on user_id)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    for name in ["q3_shipping_priority", "similarity_cosine_topk"]:
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: global top-k not heap-based"
+
+
+def test_column_pruning_reaches_scan(spark):
+    # a 2-column projection must not read the full lineitem schema
+    plan = _plan(spark, "agg_distinct_keys")
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
