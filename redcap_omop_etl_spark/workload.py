@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         dedup,
         reference_workload,
         stream_workload,
+        tpch_extra,
         similarity,
         textstats,
         windows,

@@ -1,0 +1,74 @@
+"""S7/S8: CSV and JSON scans with explicit all-string schemas and column
+pruning — the reference's pd.read_csv(usecols=..., dtype=object) and
+json_normalize surfaces on Spark readers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redcap_omop_etl_spark.operators.tpch_extra import agg_approx
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def csv_dir(spark, tmp_path):
+    path = str(tmp_path / "field_map_csv")
+    spark.createDataFrame(
+        [("np_dob", "TransformDateYear", "demo", "extra1"), ("np_gender", "Include", "demo", "extra2")],
+        "field_name string, status string, form_name string, notes string",
+    ).coalesce(1).write.option("header", True).csv(path)
+    return path
+
+
+class TestCsvScan:
+    def test_all_string_schema_no_inference(self, spark, csv_dir):
+        # dtype=object analog: declare every column string, never infer
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in ["field_name", "status", "form_name", "notes"]])
+        df = spark.read.schema(schema).option("header", True).csv(csv_dir)
+        assert all(t == "string" for _, t in df.dtypes)
+        assert df.count() == 2
+
+    def test_usecols_column_pruning(self, spark, csv_dir):
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in ["field_name", "status", "form_name", "notes"]])
+        df = spark.read.schema(schema).option("header", True).csv(csv_dir).select("field_name", "status")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # pruned read schema must not carry the dropped columns
+        assert "notes" not in plan.split("ReadSchema")[-1][:200]
+
+
+class TestJsonScan:
+    def test_nested_json_normalize(self, spark, tmp_path):
+        path = str(tmp_path / "nested_json")
+        rows = [
+            '{"record_id": "R1", "payload": {"field": "np_gender", "value": "1"}}',
+            '{"record_id": "R2", "payload": {"field": "np_gender", "value": "2"}}',
+        ]
+        p = tmp_path / "data.json"
+        p.write_text("\n".join(rows))
+        schema = T.StructType(
+            [
+                T.StructField("record_id", T.StringType()),
+                T.StructField(
+                    "payload",
+                    T.StructType(
+                        [T.StructField("field", T.StringType()), T.StructField("value", T.StringType())]
+                    ),
+                ),
+            ]
+        )
+        df = spark.read.schema(schema).json(str(p))
+        flat = df.select("record_id", "payload.*")  # json_normalize analog
+        assert flat.columns == ["record_id", "field", "value"]
+        assert {r.value for r in flat.collect()} == {"1", "2"}
+
+
+class TestApproxAgg:
+    def test_approx_within_tolerance_of_exact(self, spark):
+        rows = agg_approx(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
+            p50, p95 = r.price_p50_p95
+            assert p50 < p95
