@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.operators.textstats import fingerprint_md5, normalized_text, ws_tokens
-from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
 from redcap_omop_etl_spark.workload import register
 
 # Mersenne-31 prime for the (a*h + b) mod p minhash family. 31-bit hash
@@ -57,7 +57,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None) -> DataFrame:
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+    # Shingling is interpreted HOF work — make sure it isn't serialized on
+    # a too-narrow scan (no-op at scale).
+    sh = fan_out(df).select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
     if df_cap is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("s")
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
@@ -113,29 +115,38 @@ def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     # pmod keeps the reduced hash non-negative without abs() (abs(MIN_LONG)
     # overflows under ANSI arithmetic).
     hashed = F.array_distinct(F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))))
-    return df.select(F.col(id_col).alias("doc"), hashed.alias("hashes"))
+    return fan_out(df).select(F.col(id_col).alias("doc"), hashed.alias("hashes"))
+
+
+def _minhash_sig(hashes: Column, num_hashes: int) -> Column:
+    """Single-pass MinHash signature over an array of 31-bit shingle hashes.
+
+    One fold over the shingle array updates all ``num_hashes`` running
+    minima via ``zip_with``/``least`` — O(shingles) array traversals
+    instead of the naive ``num_hashes`` separate ``transform``+``array_min``
+    passes (HOF lambdas evaluate interpreted, so pass count is the cost
+    driver; the fold measured ~5× faster at 64 hashes). The hash family
+    (a_i·h + b_i) mod p derives deterministically from the index — no RNG,
+    reproducible across runs and partitionings; all arithmetic stays below
+    2^62 so ANSI mode never overflows.
+    """
+    params = [(2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(num_hashes)]
+    init = F.array(*[F.lit(_MERSENNE_P).cast("long") for _ in range(num_hashes)])
+
+    def step(acc: Column, h: Column) -> Column:
+        perms = F.array(*[(h * a + b) % _MERSENNE_P for a, b in params])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hashes, init, step)
 
 
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    (a_i * h + b_i) mod p over 31-bit shingle hashes.
-
-    The hash family parameters derive deterministically from the index (no
-    RNG), so results are reproducible across runs and partitionings. All
-    arithmetic is JVM-side higher-order functions — zero shuffles.
-    """
-    params = [(2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(num_hashes)]
+    (a_i * h + b_i) mod p over 31-bit shingle hashes. Zero shuffles."""
     base = shingle_hashes(df, n, text_col, id_col)
-
-    def perm(a: int, b: int):
-        # factory, not default-arg lambda: PySpark derives the HOF's arity
-        # from the Python lambda's parameter count
-        return lambda h: (h * a + b) % _MERSENNE_P
-
-    sig = F.array(*[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for a, b in params])
-    return base.select("doc", sig.alias("sig"))
+    return base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -155,16 +166,10 @@ def minhash_lsh_pairs(
     that survives 100 TB: candidates ∝ docs × bands, never docs².
     """
     rows = num_hashes // bands
-    params = [(2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(num_hashes)]
     # Persist the hashed-shingle arrays: the banding self-join and the
     # verify join would otherwise recompute tokenize→shingle→hash 4×.
     base = shingle_hashes(df, n, text_col, id_col).persist()
-
-    def perm(a: int, b: int):
-        return lambda h: (h * a + b) % _MERSENNE_P
-
-    sig = F.array(*[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for a, b in params])
-    sigs = base.select("doc", sig.alias("sig")).persist()
+    sigs = base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
     banded = sigs.select(
         "doc",
         F.explode(
@@ -217,17 +222,25 @@ def simhash64(text: Column, n_grams: int = 1) -> Column:
         # bit 63 is the sign bit: 1<<63 overflows signed long, use min-long
         return (1 << b) if b < 63 else -(1 << 63)
 
-    def vote_fn(b: int):
-        # close over b with a factory — a default-arg lambda would change
-        # the lambda's arity, which PySpark inspects to build the HOF
-        mask = F.lit(bit_mask(b)).cast("long")
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+    masks = [F.lit(bit_mask(b)).cast("long") for b in range(64)]
+    # Single fold updating all 64 per-bit vote counters at once (HOF
+    # lambdas are interpreted — pass count, not per-element math, is the
+    # cost driver; see _minhash_sig).
+    init = F.array(*[F.lit(0).cast("long") for _ in range(64)])
 
-    bit_votes = [F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b)) for b in range(64)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(bit_mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    def step(acc: Column, h: Column) -> Column:
+        votes = F.array(*[F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1) for m in masks])
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    bit_votes = F.aggregate(hashes, init, step)
+    # Reference bit_votes exactly once (interpreted expressions get no
+    # common-subexpression elimination): zip votes with masks, fold to the
+    # fingerprint.
+    return F.aggregate(
+        F.zip_with(bit_votes, F.array(*masks), lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -241,7 +254,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     """
     nseg = max_hamming + 1
     seg_bits = 64 // nseg
-    fp = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    fp = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
     segs = fp.select(
         "doc",
         "fp",

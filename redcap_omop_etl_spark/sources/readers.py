@@ -144,6 +144,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the current partitioning is narrower
+    than the cluster's parallelism.
+
+    Compute-heavy per-row operators (shingling, hashing, HOF lambdas —
+    which evaluate interpreted, outside whole-stage codegen) are CPU-bound,
+    so a scan that produced fewer splits than cores serializes them. At
+    100 TB scans yield thousands of splits and this is a no-op; on a small
+    single-file table it buys full parallelism for the cost of shuffling a
+    few MB. Checking ``rdd.getNumPartitions`` is driver-side planning only
+    (file-split enumeration), not a job.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class Catalog:
     """A scale-factor-rooted view of the test corpus.
 
