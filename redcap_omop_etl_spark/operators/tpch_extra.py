@@ -140,3 +140,305 @@ def agg_observe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double"), 2).alias("total"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(10,2)
+                     * l_discount::DECIMAL(4,2))::DOUBLE, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: tight multi-predicate scan → single-row agg "
+    "(every predicate reaches the parquet reader as PushedFilters).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(10,2)") * F.col("l_discount").cast("decimal(4,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery = left-semi join, "
+    "then priority counts.",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    returned = cat["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        cat["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join + two-level aggregation "
+    "(count per customer, then histogram of counts).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat["customer"]
+        .select("c_custkey")
+        .join(cat["orders"].select("o_custkey", "o_orderkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN (l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(4,2)))
+                   ELSE 0 END)::DOUBLE
+                 / sum(l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(4,2)))::DOUBLE,
+                 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast "
+    "fact-dim join.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(cat["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(10,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_avg",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice::DECIMAL(10,2))::DOUBLE / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE l_quantity < 0.4 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated per-group AVG subquery, decorrelated "
+    "to an aggregate + key join (what Catalyst/DuckDB both rewrite to).",
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal)::DOUBLE, 2) AS totacctbal
+    FROM customer, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS "
+    "(anti join) + group agg.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"]
+    # Scalar subquery → 1-row DF cross-joined (broadcast by AQE: 1 row).
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            cat["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q11_important_suppliers",
+    """
+    WITH sv AS (
+      SELECT l_suppkey, sum(l_extendedprice::DECIMAL(10,2)) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, round(value::DOUBLE, 2) AS total_value
+    FROM sv
+    WHERE value > (SELECT sum(l_extendedprice::DECIMAL(10,2)) * 0.0015 FROM lineitem)
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global-total scalar subquery.",
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(10,2)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(price).alias("value"))
+    total = li.agg((F.sum(price) * F.lit(0.0015).cast("decimal(6,4)")).alias("threshold"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), F.round(F.col("value").cast("double"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(4,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue::DOUBLE, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: reused subplan (revenue view) + scalar MAX "
+    "subquery equality.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(10,2)") * (1 - F.col("l_discount").cast("decimal(4,2)"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        cat["supplier"]
+        .select("s_suppkey", "s_name")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity::DECIMAL(6,2))::DOUBLE, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Net-new (SURVEY §2.4 note): explicit GROUPING SETS beyond "
+    "rollup/cube.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat["lineitem"]  # registers the temp view
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0, 10), ('medium', 10, 25), ('large', 25, 51)
+    )
+    SELECT band, count(*) AS n,
+           round(sum(l_extendedprice::DECIMAL(10,2))::DOUBLE, 2) AS revenue
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    doc="Non-equi band join (theta join) against a broadcast range dim — "
+    "the interval-lookup family the reference has no analog for.",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    bands = li.sparkSession.createDataFrame(
+        [("small", 0, 10), ("medium", 10, 25), ("large", 25, 51)], "band string, lo int, hi int"
+    )
+    # Non-equi join: only BroadcastNestedLoopJoin can evaluate it — fine
+    # because the band dim is bounded/tiny by construction.
+    return (
+        li.join(F.broadcast(bands), (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double"), 2).alias("revenue"),
+        )
+    )

@@ -16,11 +16,24 @@ def _plan(spark, name):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Queries where a BroadcastNestedLoopJoin is the *intended* physical plan:
+# either a 1-row scalar-subquery side (cross join with a broadcast
+# aggregate) or a bounded literal dim under a non-equi predicate. Both
+# sides are O(1) regardless of fact size, so the nested loop never grows.
+_NESTED_LOOP_OK = {
+    "q11_important_suppliers",  # scalar global-total threshold (1 row)
+    "q15_top_supplier",  # scalar MAX(total_revenue) (1 row)
+    "q22_idle_customers",  # scalar AVG(acctbal) threshold (1 row)
+    "join_range_bands",  # 3-row literal band dim, range predicate
+}
+
+
 def test_no_cartesian_products_anywhere(spark):
     for name, fn in workload.queries().items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+        if name not in _NESTED_LOOP_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
 
 
 def test_q1_filter_pushed_to_parquet(spark):
