@@ -153,3 +153,44 @@ def media_feature_stats(docs: DataFrame) -> DataFrame:
         F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
         F.round(F.avg("n_bytes"), 4).alias("avg_n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Registered workload queries — the multimodal plumbing is driver-visible:
+# the Arrow mapInPandas featurize path is verified per-row against the
+# oracle (payload byte counts), and frame sampling against its closed form.
+# --------------------------------------------------------------------------
+from pyspark.sql import SparkSession  # noqa: E402
+
+from redcap_omop_etl_spark.sources.readers import Catalog, fan_out  # noqa: E402
+from redcap_omop_etl_spark.workload import register  # noqa: E402
+
+
+@register(
+    "multimodal_featurize",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    doc="Arrow-batched mapInPandas featurize over binary payloads; the "
+    "byte count is the oracle-checkable projection (byte_mean/std/"
+    "histogram16 are pinned by pytest TestMultimodal).",
+)
+def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir)["documents"])
+    return extract_features(synth_media(docs)).select("doc_id", "n_bytes")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, ((length(text) % 24 + 1) - 1) // 4 + 1 AS n_sampled
+    FROM documents
+    """,
+    doc="Video-style frame sampling (explode payload into every-4th "
+    "frame); sampled-frame counts match the closed form.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    frames = frame_sample(synth_media(docs), every_k=4)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         eav,
         date_transform,
         dedup,
+        multimodal,
         reference_workload,
         stream_workload,
         tpch_extra,
