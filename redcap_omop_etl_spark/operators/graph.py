@@ -1,0 +1,128 @@
+"""Iterative graph operators: connected components over pair edges.
+
+Net-new LLM-data-pipeline surface: near-dup detection (dedup.py,
+similarity.py) emits *pairs*; the deliverable a 100 TB dedup pipeline
+needs is *clusters* — pick one representative per group of transitively
+connected duplicates. That is connected components over the pair graph.
+
+Spark-first formulation: iterative min-label propagation as a driver loop
+over DataFrame joins (the standard large-graph pattern, same shape as
+GraphX/GraphFrames' implementation):
+
+- state is ``(node, label)``, label starts as the node id;
+- each round every node takes the min label among itself and its
+  neighbors (one shuffle per round: join on edges + groupBy min);
+- stop when no label changed (an ``observe``-style count, one action).
+
+Convergence needs O(diameter) rounds; near-dup graphs are overwhelmingly
+tiny cliques + chains, so 3-5 rounds. Each round's result is
+``localCheckpoint``-ed to truncate lineage — without it the plan doubles
+every round and Catalyst analysis dominates (the classic iterative-Spark
+pitfall).
+
+The oracle is a DuckDB recursive CTE computing the same min-reachable
+label via transitive closure — exponential-ish in edges, fine at test SF,
+which is exactly why the Spark side is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+
+def connected_components(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected pair graph.
+
+    Returns ``(node, component)`` where ``component`` is the minimum node
+    id reachable from ``node``. Nodes are whatever appears in the edge
+    list (isolated nodes don't appear — callers union them in if needed).
+
+    Scale: each iteration is one edge join + one min-agg — both shuffle on
+    the node key, so rounds are linear in |E|; no collect, no driver-side
+    graph. ``localCheckpoint`` after each round keeps the plan O(1) deep.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: for each edge a→b, b's current label flows to a
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH edges AS (
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+        FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+      ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      ), inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
+    ),
+    sym AS (
+      SELECT d1 AS a, d2 AS b FROM edges
+      UNION
+      SELECT d2 AS a, d1 AS b FROM edges
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+      )
+      SELECT * FROM r
+    )
+    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    """,
+    doc="Iterative connected components over near-dup pairs → duplicate "
+    "clusters (min-label propagation; oracle = recursive-CTE closure).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+    return connected_components(pairs)

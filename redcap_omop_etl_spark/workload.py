@@ -69,8 +69,10 @@ def _ensure_loaded() -> None:
         eav,
         date_transform,
         dedup,
+        graph,
         multimodal,
         reference_workload,
+        skew,
         stream_workload,
         tpch_extra,
         similarity,
