@@ -442,3 +442,46 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "sort_paginate",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice::DOUBLE, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 10
+    """,
+    doc="Global sort (range-partitioned) + LIMIT/OFFSET pagination; the "
+    "deterministic tiebreak makes the selected page an exact row set.",
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(15)
+        .select("o_orderkey", "o_custkey", F.round(F.col("o_totalprice").cast("double"), 2).alias("total"))
+    )
+
+
+@register(
+    "agg_median_quantiles",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)                   AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact (interpolated) median + quartiles per group — Spark "
+    "percentile() ≡ DuckDB quantile_cont().",
+)
+def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+    )
