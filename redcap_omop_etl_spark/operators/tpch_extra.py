@@ -269,14 +269,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN pa ON l_partkey = pk
     WHERE l_quantity < 0.4 * avg_qty
     """,
-    doc="TPC-H Q17 shape: correlated per-group AVG subquery, decorrelated "
-    "to an aggregate + key join (what Catalyst/DuckDB both rewrite to).",
+    doc="TPC-H Q17 shape: correlated per-group AVG subquery. Formulated "
+    "as a window (avg over partitionBy l_partkey) — ONE shuffle of "
+    "lineitem, where the decorrelated agg+self-join the optimizers "
+    "rewrite to would shuffle it twice.",
 )
 def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     li = Catalog(spark, sf_dir)["lineitem"]
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("avg_qty"))
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
     return (
-        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        li.select("l_extendedprice", "l_quantity", "l_partkey")
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )

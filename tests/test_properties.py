@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the semantics SURVEY §5 calls out
+as easy to get subtly wrong: the four date-granularity formats (minute
+precision is HH:mm, NOT HH:mm:ss), first-seen dedup, error-channel
+completeness (clean + errors == input), and the pivot/unpivot round trip.
+
+Examples are deliberately few (each drives a real Spark job); the
+generators aim at the edges — midnight timestamps, empty strings,
+duplicate keys, all-null fields.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.functions.dates import GRANULARITIES, format_granularity, seconds_between
+from redcap_omop_etl_spark.functions.errors import split_errors, try_timestamp
+from redcap_omop_etl_spark.operators.eav import pivot_from_eav, unpivot_to_eav
+from redcap_omop_etl_spark.operators.windows import first_seen_dedup
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# timestamps within the sane range, second precision (the EAV contract
+# carries second-resolution strings; sub-second is out of scope)
+_TS = st.datetimes(
+    min_value=datetime(1971, 1, 1),
+    max_value=datetime(2037, 12, 31),
+).map(lambda d: d.replace(microsecond=0))
+
+_PY_FMT = {
+    "Date": "%Y-%m-%d",
+    "DateTime": "%Y-%m-%d %H:%M",
+    "DateTimeSeconds": "%Y-%m-%d %H:%M:%S",
+    "DateYear": "%Y",
+}
+
+
+class TestDateGranularityProperties:
+    @given(ts=st.lists(_TS, min_size=1, max_size=8))
+    @settings(**_SETTINGS)
+    def test_formats_match_strftime_all_granularities(self, spark, ts):
+        df = spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+        out = df.select(
+            *[format_granularity(F.col("ts"), g).alias(g) for g in GRANULARITIES]
+        ).collect()
+        for t, row in zip(ts, out):
+            for g, fmt in _PY_FMT.items():
+                assert row[g] == t.strftime(fmt), (g, t)
+
+    @given(a=_TS, b=_TS)
+    @settings(**_SETTINGS)
+    def test_seconds_between_signed_roundtrip(self, spark, a, b):
+        df = spark.createDataFrame([(a, b)], "a timestamp, b timestamp")
+        got = df.select(seconds_between(F.col("a"), F.col("b")).alias("s")).head()["s"]
+        want = int(
+            (a.replace(tzinfo=timezone.utc) - b.replace(tzinfo=timezone.utc)).total_seconds()
+        )
+        assert got == want
+
+
+class TestDedupProperties:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 100), st.text("ab", max_size=3)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_first_seen_keeps_exactly_min_order_row(self, spark, rows):
+        # make (key, seq) unique so "first" is well-defined
+        uniq = {(k, s): v for k, s, v in rows}
+        rows = [(k, s, v) for (k, s), v in uniq.items()]
+        df = spark.createDataFrame(rows, "k int, seq int, v string")
+        got = {
+            (r["k"], r["seq"], r["v"])
+            for r in first_seen_dedup(df, keys=["k"], order_cols=[F.col("seq")]).collect()
+        }
+        first = {}
+        for k, s, v in sorted(rows, key=lambda r: (r[0], r[1])):
+            first.setdefault(k, (k, s, v))
+        assert got == set(first.values())
+
+
+class TestErrorChannelProperties:
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.just("2020-01-02 03:04:05"),
+                st.just("not a date"),
+                st.just(""),
+                st.text(max_size=12),
+                _TS.map(lambda t: t.isoformat(sep=" ")),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_clean_plus_errors_is_total(self, spark, vals):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, raw string")
+        clean, errors = split_errors(df, try_timestamp("raw").isNotNull(), "bad timestamp")
+        n_clean, n_err = clean.count(), errors.count()
+        assert n_clean + n_err == len(vals)
+        # the split is a partition: no id in both sides
+        both = clean.select("id").intersect(errors.select("id")).count()
+        assert both == 0
+
+
+class TestPivotRoundtripProperties:
+    @given(
+        cells=st.dictionaries(
+            st.tuples(st.integers(0, 3), st.sampled_from(["f1", "f2", "f3"])),
+            st.text("xyz", min_size=1, max_size=4),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_unpivot_then_pivot_restores_cells(self, spark, cells):
+        eav_rows = [(rid, fname, val) for (rid, fname), val in cells.items()]
+        eav = spark.createDataFrame(eav_rows, "record_id int, field_name string, value string")
+        wide = pivot_from_eav(eav, ["record_id"], ["f1", "f2", "f3"])
+        back = unpivot_to_eav(wide, ["record_id"], ["f1", "f2", "f3"])
+        got = {
+            (r["record_id"], r["field_name"]): r["value"]
+            for r in back.collect()
+            if r["value"] is not None
+        }
+        assert got == cells
