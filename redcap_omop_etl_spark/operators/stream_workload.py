@@ -75,3 +75,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(Catalog(spark, sf_dir)["events"])
+
+
+@register(
+    "stream_watermark_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming §2.9: bounded-state dedup "
+    "(dropDuplicatesWithinWatermark); batch form keeps the deterministic "
+    "key projection so the kept-set is oracle-comparable.",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import stream_dedup
+
+    events = Catalog(spark, sf_dir)["events"].select("user_id", "event_type", "ts")
+    return stream_dedup(events, ["user_id", "event_type"]).select("user_id", "event_type")
