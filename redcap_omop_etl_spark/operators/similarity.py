@@ -232,3 +232,118 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
     return embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the second scale path the LLM-pipeline surface
+# calls for, complementing hyperplane LSH. A coarse quantizer (k-means)
+# partitions vectors into nlist cells; a query scans only the nprobe
+# nearest cells. All index construction is distributed DataFrame work —
+# the only driver-side data is the (nlist × dim) centroid table, which is
+# bounded by construction (same budget class as a broadcast dim).
+# --------------------------------------------------------------------------
+def _sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic distributed k-means coarse quantizer.
+
+    Init: the ``n_clusters`` lowest-id vectors (deterministic, no RNG).
+    Iterate: assign every vector to its nearest centroid (broadcast join
+    against the tiny centroid table — no shuffle of the vector side), then
+    recompute centroids as per-cluster per-dimension means (posexplode →
+    groupBy(cluster, dim) → re-assemble). Returns (assignments, centroids):
+    ``assignments(vec_id, cluster)``, ``centroids(cluster, centroid)``.
+
+    Scale: each iteration shuffles only (cluster, dim, value) triples —
+    rows × dim, independent of cluster count; the vector table itself is
+    never shuffled. localCheckpoint per iteration keeps the plan flat.
+    """
+    vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    centroids = (
+        vecs.orderBy("__vid")
+        .limit(n_clusters)
+        .select(
+            F.row_number().over(W.orderBy("__vid")).alias("cluster"),
+            F.transform("__v", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        assigned = _ivf_assign(vecs, centroids)
+        centroids = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))), lambda s: s["mean"]
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    assignments = _ivf_assign(vecs, centroids).select(F.col("__vid").alias(id_col), "cluster")
+    return assignments, centroids
+
+
+def _ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, keep the
+    min-distance cluster per vector (one pass, no vector shuffle)."""
+    scored = vecs.join(F.broadcast(centroids)).withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
+    w = W.partitionBy("__vid").orderBy(F.asc("__d"), F.asc("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", "__v", "cluster")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank cells by centroid distance to the query (the
+    centroid table is tiny — collected like any broadcast dim), scan only
+    the ``n_probes`` nearest cells, brute-force cosine inside them."""
+    cents = centroids.collect()  # bounded: n_clusters × dim
+    scored = sorted(
+        ((c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], query_vec))) for c in cents),
+        key=lambda t: t[1],
+    )
+    probe_clusters = [c for c, _ in scored[:n_probes]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    candidates = embeddings.join(
+        assignments.filter(F.col("cluster").isin(probe_clusters)).select(id_col), id_col
+    )
+    ranked = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+    topk = ranked.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    return topk.withColumn("rank", F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc(id_col))))
+
+
+@register(
+    "similarity_ann_ivf",
+    None,  # approximate by design; recall vs brute force pinned by pytest
+    doc="ANN top-10 via IVF: deterministic distributed k-means cells, "
+    "4-probe search (the second scale path next to hyperplane LSH).",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2)
+    return ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=4)

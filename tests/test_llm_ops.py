@@ -86,6 +86,27 @@ class TestAnnLsh:
         assert top[0].cos_sim == pytest.approx(1.0, abs=1e-3)
 
 
+class TestAnnIvf:
+    def test_recall_vs_brute_force(self, emb):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        brute = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+        assignments, centroids = similarity.ivf_build(emb, n_clusters=16, n_iters=2)
+        approx = [
+            r.vec_id
+            for r in similarity.ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=4).collect()
+        ]
+        assert approx[0] == 0  # query vector is its own nearest neighbor
+        overlap = len(set(brute) & set(approx)) / 10
+        # measured 0.9 on the synthetic embeddings (label-cluster structure)
+        assert overlap >= 0.6, f"IVF recall vs brute force too low: {overlap}"
+
+    def test_every_vector_assigned_to_one_cell(self, emb):
+        assignments, centroids = similarity.ivf_build(emb, n_clusters=8, n_iters=1)
+        assert assignments.count() == emb.count()
+        assert assignments.select("vec_id").distinct().count() == emb.count()
+        assert centroids.count() <= 8
+
+
 class TestMultimodal:
     def test_synth_schema_and_featurize(self, docs):
         media = multimodal.synth_media(docs.limit(20))

@@ -25,6 +25,7 @@ _NESTED_LOOP_OK = {
     "q15_top_supplier",  # scalar MAX(total_revenue) (1 row)
     "q22_idle_customers",  # scalar AVG(acctbal) threshold (1 row)
     "join_range_bands",  # 3-row literal band dim, range predicate
+    "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
 }
 
 
