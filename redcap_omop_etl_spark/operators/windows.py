@@ -259,3 +259,60 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__side", "__rv")
     )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(value::DECIMAL(8,2))
+                 OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DOUBLE,
+                 2) AS hour_sum
+    FROM events
+    """,
+    doc="Value-range window frame (trailing 1 hour per user) — "
+    "rangeBetween on epoch seconds; frames are value-defined so ties "
+    "are deterministic.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(8,2)")).over(w).cast("double"), 2).alias("hour_sum"),
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT event_id, event_type,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(4)       OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+    doc="Ranking-function family over one named window (unique tiebreak "
+    "keeps every function deterministic).",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
