@@ -266,21 +266,22 @@ def asof_join(
     """
     SELECT event_id, user_id,
            round(sum(value::DECIMAL(8,2))
-                 OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DOUBLE,
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::DOUBLE,
                  2) AS hour_sum
     FROM events
     """,
     doc="Value-range window frame (trailing 1 hour per user) — "
-    "rangeBetween on epoch seconds; frames are value-defined so ties "
-    "are deterministic.",
+    "rangeBetween on exact microsecond epoch (whole-second epochs would "
+    "floor away sub-second timestamps and shift frame membership); "
+    "value-defined frames keep ties deterministic.",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
