@@ -117,11 +117,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    # Keep every sketch aggregate in its OWN aggregation, separate from
+    # countDistinct: a combined agg makes Catalyst's distinct rewrite
+    # (Expand) carry one sketch buffer per (flag, orderkey) pair —
+    # ~|orderkey| HLL/percentile sketches instead of |groups| (measured
+    # 10× slower at sf0.1). The rejoins are 3 rows, broadcast.
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
     )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95")
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").join(F.broadcast(pct), "l_returnflag")
 
 
 @register(
