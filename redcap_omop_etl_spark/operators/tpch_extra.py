@@ -498,3 +498,343 @@ def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), ranked AS (
+      SELECT p_partkey, s_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM cost JOIN eu ON l_suppkey = s_suppkey
+                JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 15
+    )
+    SELECT p_partkey, s_name, floor(unit_cost * 10000) / 10000 AS unit_cost
+    FROM ranked WHERE unit_cost = min_cost
+    """,
+    doc="TPC-H Q2 shape (no partsupp table: unit cost derived from "
+    "lineitem): cheapest in-region supplier per part via a correlated-MIN "
+    "subquery, formulated as a window MIN so the per-part agg and the "
+    "probe share ONE shuffle instead of agg + self-join (two).",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    cost = (
+        cat["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat["region"].filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    sized_parts = cat["part"].filter(F.col("p_size") == 15).select("p_partkey")
+    w = W.partitionBy("l_partkey")
+    return (
+        cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sized_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        # floor(x*1e4)/1e4, not round(x, 4): both engines evaluate the
+        # identical IEEE ops, where HALF_UP-vs-banker's rounding on a
+        # .xxxx5 double representation can differ by 1 ulp of output.
+        .select("p_partkey", "s_name", (F.floor(F.col("unit_cost") * 10000) / 10000).alias("unit_cost"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)::DOUBLE
+                 / sum(rev)::DOUBLE, 6) AS mkt_share
+    FROM (
+      SELECT strftime(o_orderdate, '%Y') AS order_year,
+             l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(4,2)) AS rev,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of in-region revenue per year. "
+    "Every dim (part/supplier/customer→nation→region chain) broadcasts; "
+    "the only fact shuffle is lineitem⨝orders.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    am_cust = (
+        cat["customer"]
+        .join(F.broadcast(cat["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat["region"].filter(F.col("r_name") == "AMERICA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"].select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    econ_parts = cat["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat["orders"].select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(am_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("decimal(10,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT supp_nation, order_year, round(sum(profit)::DOUBLE, 2) AS profit
+    FROM (
+      SELECT n_name AS supp_nation, strftime(o_orderdate, '%Y') AS order_year,
+             l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(4,2))
+               - p_retailprice::DECIMAL(10,2) * l_quantity::DECIMAL(6,2)
+                 * CAST(0.1 AS DECIMAL(2,1)) AS profit
+      FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY supp_nation, order_year
+    """,
+    doc="TPC-H Q9 shape (no partsupp: supply cost proxied as 10% of "
+    "p_retailprice): profit per supplier-nation per year over a LIKE "
+    "part filter. Exact decimal arithmetic end-to-end; double only at "
+    "the rounded output boundary.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    profit = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(10,2)") * F.col("l_quantity").cast("decimal(6,2)") * F.lit("0.1").cast(
+        "decimal(2,1)"
+    )
+    red_parts = cat["part"].filter(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    supp_nation = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"].select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (no l_shipmode column: grouped by l_linestatus): "
+    "urgent-vs-other conditional counts over a date-windowed fact join; "
+    "the shipdate range reaches parquet as PushedFilters.",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(cat["orders"].select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#15'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (partsupp derived from lineitem; complaint "
+    "suppliers proxied as negative-balance): distinct supplier count per "
+    "(brand, type, size) with a NOT-IN exclusion = broadcast anti-join.",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    parts = cat["part"].filter(
+        (F.col("p_brand") != "Brand#15") & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_suppliers = cat["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(10,2)
+                     * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicates "
+    "spanning both join sides — an equi-join on partkey with the OR as a "
+    "residual filter, NOT a nested-loop; part broadcasts.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(cat["part"].select("p_partkey", "p_brand", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(10,2)") * (1 - F.col("l_discount").cast("decimal(4,2)"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity::DECIMAL(6,2)) > 100)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 3)
+    """,
+    doc="TPC-H Q20 shape (availability derived from shipped quantity): "
+    "nested IN subqueries = two left-semi joins, the grouped-HAVING "
+    "inner query first.",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    small_parts = cat["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy_suppliers = (
+        cat["lineitem"]
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+    )
+    eu_nations = cat["nation"].filter(F.col("n_regionkey") == 3).select("n_nationkey")
+    return (
+        cat["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(heavy_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (no receipt/commit dates: 'late' proxied by "
+    "returnflag='R'): sole-blaming-supplier via correlated EXISTS + NOT "
+    "EXISTS. Formulated as ONE per-order aggregate (distinct suppliers, "
+    "distinct R-suppliers) rejoined on l_orderkey — two co-partitioned "
+    "shuffles instead of the planner's three self-join shuffles.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    f_orders = cat["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li_f = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_ret_supp"),
+    )
+    sole_blame = (
+        li_f.filter(F.col("l_returnflag") == "R")
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)), "l_orderkey", "left_semi")
+    )
+    return (
+        sole_blame.join(F.broadcast(cat["supplier"].select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
