@@ -170,22 +170,29 @@ def minhash_lsh_pairs(
     # verify join would otherwise recompute tokenize→shingle→hash 4×.
     base = shingle_hashes(df, n, text_col, id_col).persist()
     sigs = base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(F.concat_ws("_", *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bucket")
+    # Persisted: the candidate self-join references banded on BOTH sides,
+    # which would re-run the 64-hash signature fold twice (the expensive
+    # expression); the materialized table is tiny (docs × bands rows).
+    banded = (
+        sigs.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(F.concat_ws("_", *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])).alias(
+                                "bucket"
+                            ),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc", "bk.band", "bk.bucket")
+        .persist()
+    )
     cand = (
         banded.alias("x")
         .join(
