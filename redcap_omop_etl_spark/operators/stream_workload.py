@@ -91,3 +91,22 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = Catalog(spark, sf_dir)["events"].select("user_id", "event_type", "ts")
     return stream_dedup(events, ["user_id", "event_type"]).select("user_id", "event_type")
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_seconds
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    doc="Streaming §2.9: stream-stream interval join (views ⨝ purchases "
+    "within 6h, watermark-bounded state in stream mode).",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import interval_join_views_purchases
+
+    return interval_join_views_purchases(Catalog(spark, sf_dir)["events"])

@@ -230,3 +230,98 @@ def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang").isin("en", "de"), F.upper("lang")).otherwise(F.col("lang")).alias("lang_norm"),
         F.substring("source", 4, 2147483647).alias("src_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash)
+# --------------------------------------------------------------------------
+_WINNOW_P = 1000003       # token-hash modulus
+_WINNOW_B = 1009          # gram base; th*B^2 stays ~1e12 (exact in long)
+_TOKEN_POWS = [31**i for i in range(8)]
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 4) -> DataFrame:
+    """Document fingerprints via winnowing (Schleimer et al., MOSS): a
+    polynomial rolling hash over 3-token grams, then the min hash of each
+    sliding window of ``w`` grams — guaranteeing any shared run of ≥
+    w+k-1 tokens contributes ≥1 shared fingerprint.
+
+    All-integer arithmetic (token hash = Σ code·31^i mod P over the first
+    8 chars; gram = th₀·B² + th₁·B + th₂) so the DuckDB oracle reproduces
+    values bit-exactly — unlike the xxhash64-based MinHash path. Zero
+    shuffles: fingerprinting is a pure projection + explode; dedup/lookup
+    consumers group on the fp column downstream.
+    """
+    clean = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[^a-z0-9 ]", "")
+    toks = F.filter(F.split(clean, " +"), lambda t: t != "")
+
+    def token_hash(t):
+        chars = F.split(F.substring(t, 1, 8), "")
+        folded = F.aggregate(
+            chars,
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw")),
+            lambda a, c: F.struct((a["h"] + F.ascii(c) * a["pw"]).alias("h"), (a["pw"] * 31).alias("pw")),
+            lambda a: a["h"] % _WINNOW_P,
+        )
+        return folded
+
+    # Materialization barrier: explode of a 1-element array is a Generate
+    # node projection-collapse cannot cross, so downstream element_at()
+    # reads the materialized th array instead of re-inlining (and
+    # re-evaluating) the whole per-token fold — without it each of the
+    # 3·w references re-runs the transform: O(tokens²) interpreted work
+    # per document (measured: hang at 500 docs).
+    th_df = (
+        df.filter(F.size(toks) >= 3)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array(F.transform(toks, token_hash))).alias("th"),
+        )
+    )
+    th = F.col("th")
+    gram = lambda i: (  # noqa: E731
+        F.element_at(th, i) * (_WINNOW_B * _WINNOW_B)
+        + F.element_at(th, i + 1) * _WINNOW_B
+        + F.element_at(th, i + 2)
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(th) - 2), gram)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, w)),
+    )
+    return th_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+@register(
+    "text_winnow_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+                 t -> t <> '') AS w
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(w, t -> list_sum(list_transform(
+                 range(1, least(length(t), 8) + 1),
+                 i -> unicode(t[i]) * [1,31,961,29791,923521,28629151,887503681,27512614111][i]
+             )) % 1000003) AS h
+      FROM toks WHERE len(w) >= 3
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(h) - 1), i -> h[i]*1018081 + h[i+1]*1009 + h[i+2]) AS g
+      FROM th
+    ), mins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+                                          i -> list_min(g[i:i+3]))) AS m
+      FROM grams
+    )
+    SELECT doc_id, CAST(u.fp AS BIGINT) AS fp FROM mins, unnest(m) u(fp)
+    """,
+    doc="Rolling-hash winnowing fingerprints (MOSS): 3-token-gram "
+    "polynomial hashes, min per 4-gram window, distinct per doc.",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(Catalog(spark, sf_dir)["documents"])

@@ -141,6 +141,40 @@ def stateful_running_total(events: DataFrame, ttl: str = "NoTTL") -> DataFrame:
     )
 
 
+def interval_join_views_purchases(
+    events: DataFrame, max_lag: str = "6 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each view paired with the same user's
+    purchases within ``max_lag`` after it.
+
+    In streaming mode both sides carry watermarks and the join condition
+    is time-bounded, so the state store only retains events inside the
+    lag window (the append-mode stream-stream join contract). The batch
+    form is the identical plan minus watermarks — a range-predicate
+    equi-join on user_id that shuffles each side once.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    if events.isStreaming:
+        views = views.withWatermark("v_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return views.join(purchases, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias("lag_seconds"),
+    )
+
+
 def stream_to_chunked_sink(
     stream: DataFrame,
     transport,

@@ -145,3 +145,35 @@ class TestMultimodal:
         row = multimodal.media_feature_stats(docs.limit(50)).head()
         assert row.n_docs == 50
         assert row.avg_n_bytes > 0
+
+
+class TestWinnowFingerprint:
+    def test_duplicate_docs_share_fingerprint_set(self, spark):
+        from redcap_omop_etl_spark.operators.textstats import winnow_fingerprints
+
+        text = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "an entirely different document about spark engines at scale")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] == by_doc[2]          # exact dup → identical set
+        assert by_doc[1] != by_doc[3]
+
+    def test_shared_run_shares_a_fingerprint(self, spark):
+        from redcap_omop_etl_spark.operators.textstats import winnow_fingerprints
+
+        # winnowing guarantee: a shared run of >= w+k-1 (= 6) tokens
+        # yields at least one shared fingerprint
+        common = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(1, f"xx yy {common} zz"), (2, f"{common} qq rr ss tt")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df).collect()
+        s1 = {r.fp for r in fps if r.doc_id == 1}
+        s2 = {r.fp for r in fps if r.doc_id == 2}
+        assert s1 & s2

@@ -67,6 +67,14 @@ class TestStreamEqualsBatch:
         s = {(r.user_id, r.event_type) for r in stream.collect()}
         assert s == b
 
+    def test_interval_join(self, spark, batch_events, stream_events):
+        batch = sw.interval_join_views_purchases(batch_events)
+        stream = _run_stream_to_memory(
+            spark, sw.interval_join_views_purchases(stream_events), "t_ivjoin", "append"
+        )
+        assert _norm(stream) == _norm(batch)
+        assert stream.count() > 0
+
     def test_stateful_running_total_batch_form(self, spark, batch_events):
         out = sw.stateful_running_total(batch_events)
         rows = out.filter(F.col("user_id") == 1).orderBy("event_id").collect()
