@@ -39,6 +39,10 @@ HEADLINE = [
     "phi_filter_keep",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_winnow",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "stream_interval_join",
     "text_quality_score",
     "similarity_cosine_topk",
     "stream_tumbling_window",

@@ -285,17 +285,22 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
         + F.element_at(th, i + 2)
     )
     grams = F.transform(F.sequence(F.lit(1), F.size(th) - 2), gram)
+    # Second barrier: `mins` slices the gram array once per window — as an
+    # inline expression `grams` would be re-evaluated per window, O(n²)
+    # per document (measured 2× on the whole fingerprint pass).
+    g_df = th_df.select("doc_id", F.explode(F.array(grams)).alias("g"))
+    g = F.col("g")
     mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(grams, i, w)),
+        F.sequence(F.lit(1), F.greatest(F.size(g) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(g, i, w)),
     )
-    return th_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    return g_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
 
 
-@register(
-    "text_winnow_fingerprint",
-    """
-    WITH toks AS (
+# DuckDB replica of winnow_fingerprints (shared by the fingerprint query
+# and the winnow near-dup query).
+_WINNOW_SQL_CTE = """
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(
                  regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
@@ -317,11 +322,66 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
              list_distinct(list_transform(range(1, greatest(len(g) - 3, 1) + 1),
                                           i -> list_min(g[i:i+3]))) AS m
       FROM grams
+    ), fp AS (
+      SELECT doc_id, CAST(u.fp AS BIGINT) AS fp FROM mins, unnest(m) u(fp)
     )
-    SELECT doc_id, CAST(u.fp AS BIGINT) AS fp FROM mins, unnest(m) u(fp)
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH {_WINNOW_SQL_CTE}
+    SELECT doc_id, fp FROM fp
     """,
     doc="Rolling-hash winnowing fingerprints (MOSS): 3-token-gram "
     "polynomial hashes, min per 4-gram window, distinct per doc.",
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(Catalog(spark, sf_dir)["documents"])
+
+
+def winnow_near_pairs(
+    df: DataFrame, min_shared: int = 5, df_cap: int | None = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs sharing ≥ ``min_shared`` winnowing fingerprints.
+
+    The MOSS candidate strategy: one equi-join on the fingerprint —
+    linear in (docs × fingerprints-per-doc), never docs². ``df_cap``
+    drops fingerprints appearing in more than that many documents
+    (boilerplate) from pair generation, bounding the per-key join fan-out
+    at scale; deterministic, so the oracle applies the same cap.
+    """
+    # Persisted: the pair self-join references the fingerprint table on
+    # both sides (plus the stop-fp scan) — without materialization the
+    # HOF fingerprint chain would run 3×.
+    fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col).persist()
+    if df_cap is not None:
+        hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("fp")
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+@register(
+    "dedup_winnow",
+    f"""
+    WITH {_WINNOW_SQL_CTE},
+    capped AS (
+      SELECT * FROM fp WHERE fp IN (
+        SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+    doc="Winnowing near-dup pairs (≥5 shared fingerprints, stop-fp cap "
+    "100) — the fully-oracled near-dup path (MinHash is rows-only).",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_near_pairs(Catalog(spark, sf_dir)["documents"])
