@@ -17,25 +17,34 @@ from redcap_omop_etl_spark.sinks.chunked import with_global_index
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
-_FIELD_MAP_ROWS = [
-    ("p_brand", "Include", None),
-    ("p_type", "Include", "A"),               # event-restricted
-    ("p_size", "TransformDateYear", None),    # needs the date_cleaned flag
-    ("p_retailprice", "Exclude", None),
-]
-_FM_SCHEMA = "field_name string, status string, restrict_to_event_list string"
+def _field_map(spark: SparkSession) -> DataFrame:
+    """The 4-row field map as a SQL VALUES relation — a local
+    ``createDataFrame`` costs a cold driver→JVM round-trip (~1.5s measured)
+    where the SQL literal is a parse-only no-op."""
+    return spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('p_brand',       'Include',           CAST(NULL AS STRING)),
+          ('p_type',        'Include',           'A'),
+          ('p_size',        'TransformDateYear', CAST(NULL AS STRING)),
+          ('p_retailprice', 'Exclude',           CAST(NULL AS STRING))
+        AS t(field_name, status, restrict_to_event_list)
+        """
+    )
 
 
 def _synth_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """part → EAV stream with event + date_cleaned columns synthesized."""
-    p = Catalog(spark, sf_dir)["part"]
-    eav = unpivot_to_eav(p, ["p_partkey"], ["p_brand", "p_type", "p_size", "p_retailprice", "p_name"])
-    complete = p.select(
-        "p_partkey", F.lit("load_complete").alias("field_name"), F.lit("2").alias("value")
+    """part → EAV stream with event + date_cleaned columns synthesized.
+
+    ``load_complete`` rides in the same unpivot as the real columns (one
+    scan of part) instead of a union with a second scan.
+    """
+    p = Catalog(spark, sf_dir)["part"].withColumn("load_complete", F.lit("2"))
+    eav = unpivot_to_eav(
+        p, ["p_partkey"], ["p_brand", "p_type", "p_size", "p_retailprice", "p_name", "load_complete"]
     )
     return (
-        eav.unionByName(complete)
-        .withColumn("event", F.when(F.col("p_partkey") % 2 == 0, "A").otherwise("B"))
+        eav.withColumn("event", F.when(F.col("p_partkey") % 2 == 0, "A").otherwise("B"))
         .withColumn(
             "date_cleaned",
             F.when(F.col("field_name") == "p_size", F.col("p_partkey") % 3 == 0),
@@ -84,7 +93,7 @@ _EAV_SQL = """
 )
 def phi_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     eav = _synth_eav(spark, sf_dir)
-    fm = spark.createDataFrame(_FIELD_MAP_ROWS, _FM_SCHEMA)
+    fm = _field_map(spark)
     res = phi_filter(eav, fm, event_col="event")
     return res.kept.select("record_id", "event", "field_name", "value")
 
@@ -103,7 +112,7 @@ def phi_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phi_filter_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     eav = _synth_eav(spark, sf_dir)
-    fm = spark.createDataFrame(_FIELD_MAP_ROWS, _FM_SCHEMA)
+    fm = _field_map(spark)
     return phi_filter(eav, fm, event_col="event").errors
 
 
