@@ -442,8 +442,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"]
-    bands = li.sparkSession.createDataFrame(
-        [("small", 0, 10), ("medium", 10, 25), ("large", 25, 51)], "band string, lo int, hi int"
+    # SQL VALUES, not createDataFrame: no driver→JVM data round-trip
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('small', 0, 10), ('medium', 10, 25), ('large', 25, 51) AS t(band, lo, hi)"
     )
     # Non-equi join: only BroadcastNestedLoopJoin can evaluate it — fine
     # because the band dim is bounded/tiny by construction.
