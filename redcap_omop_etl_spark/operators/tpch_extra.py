@@ -299,27 +299,34 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     """
     WITH cutoff AS (
-      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+      SELECT sum(c_acctbal::DECIMAL(12,2)) AS bal_sum, count(*) AS bal_n
+      FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal)::DOUBLE, 2) AS totacctbal
+           round(sum(c_acctbal::DECIMAL(12,2))::DOUBLE, 2) AS totacctbal
     FROM customer, cutoff
-    WHERE c_acctbal > avg_bal
+    WHERE c_acctbal::DECIMAL(12,2) * bal_n > bal_sum
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     GROUP BY c_nationkey
     """,
     doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS "
-    "(anti join) + group agg.",
+    "(anti join) + group agg. The above-average test is the division-free "
+    "``bal * n > sum`` over exact decimals — a double avg() is "
+    "accumulation-order-dependent in the last ulp, so a customer sitting "
+    "on the boundary could flip between engines/runs.",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cust = cat["customer"]
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
     # Scalar subquery → 1-row DF cross-joined (broadcast by AQE: 1 row).
-    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("bal_sum"), F.count(F.lit(1)).alias("bal_n")
+    )
     return (
         cust.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(bal * F.col("bal_n") > F.col("bal_sum"))
         .join(
             cat["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
@@ -328,7 +335,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+            F.round(F.sum(bal).cast("double"), 2).alias("totacctbal"),
         )
     )
 
