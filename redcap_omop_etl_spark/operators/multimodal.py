@@ -96,13 +96,24 @@ def extract_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFra
     frame. This is the template for any real decode/embed stage.
     """
 
+    # The closure must be SELF-CONTAINED (locals + stdlib/pandas/numpy
+    # only): referencing module-level helpers would make cloudpickle
+    # serialize them by module reference, and the driver's Python workers
+    # cannot import this package when the driver runs from another cwd
+    # (measured: ModuleNotFoundError under the external driver harness).
+    has_pil = _HAS_PIL
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        import pandas as _pd
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = _decode_bytes(payload)
+                if has_pil:
+                    raise NotImplementedError("real PIL decode path not wired in this container")
+                arr = np.frombuffer(payload, dtype=np.uint8)  # stub decode (see _decode_bytes)
                 hist = np.histogram(arr, bins=16, range=(0, 256))[0].astype("float64")
                 rows.append(
                     (
@@ -113,7 +124,7 @@ def extract_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFra
                         (hist / max(hist.sum(), 1.0)).tolist(),
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield _pd.DataFrame(rows, columns=out_cols)
 
     narrow = media_df.select("doc_id", F.col("media.payload").alias("payload"))
     return narrow.mapInPandas(featurize, schema=FEATURE_SCHEMA)
