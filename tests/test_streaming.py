@@ -49,6 +49,13 @@ class TestStreamEqualsBatch:
         )
         assert _norm(stream) == _norm(batch)
 
+    def test_sliding(self, spark, batch_events, stream_events):
+        batch = sw.sliding_window_agg(batch_events)
+        stream = _run_stream_to_memory(
+            spark, sw.sliding_window_agg(stream_events), "t_sliding", "complete"
+        )
+        assert _norm(stream) == _norm(batch)
+
     def test_session_window(self, spark, batch_events, stream_events):
         batch = sw.session_window_agg(batch_events)
         stream = _run_stream_to_memory(
