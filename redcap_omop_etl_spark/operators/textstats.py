@@ -255,15 +255,16 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     clean = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[^a-z0-9 ]", "")
     toks = F.filter(F.split(clean, " +"), lambda t: t != "")
 
+    # Token hash as zip-with-powers + sum, not a struct-accumulator fold:
+    # one zip pass + one sum pass, no per-char struct allocation. zip_with
+    # pads the shorter side with null (token < 8 chars → null*pow = null →
+    # coalesce 0), reproducing Σ code·31^i exactly.
+    pows = F.array(*[F.lit(p).cast("long") for p in _TOKEN_POWS])
+
     def token_hash(t):
         chars = F.split(F.substring(t, 1, 8), "")
-        folded = F.aggregate(
-            chars,
-            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw")),
-            lambda a, c: F.struct((a["h"] + F.ascii(c) * a["pw"]).alias("h"), (a["pw"] * 31).alias("pw")),
-            lambda a: a["h"] % _WINNOW_P,
-        )
-        return folded
+        weighted = F.zip_with(chars, pows, lambda c, p: F.coalesce(F.ascii(c) * p, F.lit(0).cast("long")))
+        return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x) % _WINNOW_P
 
     # Materialization barrier: explode of a 1-element array is a Generate
     # node projection-collapse cannot cross, so downstream element_at()
@@ -278,22 +279,34 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
             F.explode(F.array(F.transform(toks, token_hash))).alias("th"),
         )
     )
+    # Rolling grams and window minima via zip-shift (same single-pass
+    # technique as dedup.shingles): k-1 zips build the grams, w-1
+    # least-zips build the per-window minima — no per-index element_at /
+    # slice re-evaluation. zip_with pads with null; nulls propagate
+    # through +/least only into the trailing incomplete entries, which
+    # the final slices drop.
     th = F.col("th")
-    gram = lambda i: (  # noqa: E731
-        F.element_at(th, i) * (_WINNOW_B * _WINNOW_B)
-        + F.element_at(th, i + 1) * _WINNOW_B
-        + F.element_at(th, i + 2)
+    n_th = F.size(th)
+    th1 = F.slice(th, 2, F.greatest(n_th - 1, F.lit(0)))
+    th2 = F.slice(th, 3, F.greatest(n_th - 2, F.lit(0)))
+    grams_padded = F.zip_with(
+        F.zip_with(th, th1, lambda a, b: a * (_WINNOW_B * _WINNOW_B) + b * _WINNOW_B),
+        th2,
+        lambda ab, c: ab + c,
     )
-    grams = F.transform(F.sequence(F.lit(1), F.size(th) - 2), gram)
-    # Second barrier: `mins` slices the gram array once per window — as an
-    # inline expression `grams` would be re-evaluated per window, O(n²)
-    # per document (measured 2× on the whole fingerprint pass).
+    grams = F.slice(grams_padded, 1, F.greatest(n_th - 2, F.lit(1)))
+    # Second barrier (see above): `mins` references the gram array w
+    # times; materialize it once via Generate.
     g_df = th_df.select("doc_id", F.explode(F.array(grams)).alias("g"))
     g = F.col("g")
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(g) - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(g, i, w)),
-    )
+    n_g = F.size(g)
+    mins_padded = g
+    for j in range(1, w):
+        shifted = F.slice(g, j + 1, F.greatest(n_g - j, F.lit(0)))
+        # F.least ignores nulls, so the padded tail degrades to a min over
+        # the suffix — exactly the clamped slice(g, i, w) semantics.
+        mins_padded = F.zip_with(mins_padded, shifted, lambda a, b: F.least(a, b))
+    mins = F.slice(mins_padded, 1, F.greatest(n_g - (w - 1), F.lit(1)))
     return g_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
 
 
