@@ -1,0 +1,95 @@
+"""Plan + behavior pins for Hive-partitioned layout: static pruning,
+dynamic partition pruning (DPP), and dynamic partition overwrite — the
+scan-elimination half of the 100 TB layout story (bucketing being the
+shuffle-elimination half)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.partitioned import (
+    overwrite_partitions,
+    read_partitioned,
+    write_partitioned,
+)
+from redcap_omop_etl_spark.sources.readers import Catalog
+from tests.conftest import SF_SMOKE
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders_by_year(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "orders_by_year")
+    o = Catalog(spark, SF_SMOKE)["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_partitioned(o, path, "o_year")
+    return path
+
+
+def test_static_partition_pruning(spark, orders_by_year):
+    df = read_partitioned(spark, orders_by_year).filter(F.col("o_year") == 1995)
+    plan = _executed(df)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # the partition predicate must NOT appear as a data Filter node: it is
+    # resolved entirely at file-listing time (zero bytes scanned for other
+    # years)
+    scan_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "1995" in scan_line
+    expected = (
+        Catalog(spark, SF_SMOKE)["orders"].filter(F.year("o_orderdate") == 1995).count()
+    )
+    assert df.count() == expected
+
+
+def test_dynamic_partition_pruning(spark, orders_by_year):
+    # star-schema reality: the selective predicate lives on a dimension,
+    # not the fact — DPP must reuse the dim broadcast to prune fact
+    # partitions at runtime
+    dim = spark.createDataFrame(
+        [(y, "target" if y == 1996 else "other") for y in range(1992, 1999)],
+        "d_year int, d_label string",
+    )
+    fact = read_partitioned(spark, orders_by_year)
+    joined = (
+        fact.join(F.broadcast(dim), fact.o_year == dim.d_year)
+        .filter(F.col("d_label") == "target")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "dynamicpruning" in _executed(joined).lower()
+    expected = (
+        Catalog(spark, SF_SMOKE)["orders"].filter(F.year("o_orderdate") == 1996).count()
+    )
+    assert joined.collect()[0]["n"] == expected
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "inc")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id int, ds string, v double"
+    )
+    write_partitioned(base, path, "ds")
+
+    # incremental batch touches only ds=b; ds=a must survive the overwrite
+    patch = spark.createDataFrame([(9, "b", 99.0)], "id int, ds string, v double")
+    overwrite_partitions(patch, path, "ds")
+
+    out = {(r["id"], r["ds"], r["v"]) for r in read_partitioned(spark, path).collect()}
+    assert out == {(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)}
+    # and the session conf was restored (static overwrite still full-table)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper() == "STATIC"
+
+
+def test_partition_columns_cost_zero_bytes(spark, orders_by_year):
+    # partition values are directory-encoded; the data files must not
+    # contain the o_year column (ReadSchema excludes it)
+    df = read_partitioned(spark, orders_by_year).select("o_orderkey", "o_year")
+    plan = _executed(df)
+    scan_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    read_schema = scan_line.split("ReadSchema:")[1]
+    assert "o_orderkey" in read_schema and "o_year" not in read_schema
