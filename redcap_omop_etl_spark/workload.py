@@ -79,5 +79,6 @@ def _ensure_loaded() -> None:
         textstats,
         windows,
     )
+    from redcap_omop_etl_spark.functions import udtfs  # noqa: F401
 
     _LOADED = True
