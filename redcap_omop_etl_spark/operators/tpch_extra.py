@@ -110,6 +110,37 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS std_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Net-new (SURVEY §2.4 note): second-moment aggregate family — "
+    "stddev/variance/correlation/covariance/linear-regression — one pass, "
+    "partial+final split, no extra shuffle beyond the group-by. (skewness/"
+    "kurtosis excluded from the oracle: Spark computes population g1/g2, "
+    "DuckDB bias-corrected sample moments — definitionally different.)",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+    )
+
+
+@register(
     "agg_approx",
     None,  # approximate results differ across engines by design; pytest
     # pins accuracy vs the exact counts
