@@ -347,3 +347,34 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in qrow[0]]
     assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2)
     return ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=4)
+
+
+@register(
+    "array_hof_suite",
+    """
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 4)
+               AS vec_sum,
+           cast(len(list_filter(embedding, x -> x > 0)) AS bigint) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big,
+           round(list_max(embedding)::DOUBLE, 4) AS vmax,
+           round(list_sort(embedding)[1]::DOUBLE, 4) AS vmin_sorted
+    FROM embeddings
+    """,
+    doc="Higher-order array function suite (transform/aggregate/filter/"
+    "exists/array_max/array_sort) over the float-vector column — all "
+    "JVM-side lambdas inside whole-stage codegen, no UDF. The fold is "
+    "sequential on both engines (same element order), so double sums "
+    "agree exactly; floats are cast to double BEFORE accumulating.",
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(F.col("embedding"), lambda x: x > F.lit(0.9)).alias("has_big"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+        F.round(F.element_at(F.array_sort("embedding"), 1).cast("double"), 4).alias("vmin_sorted"),
+    )
