@@ -77,6 +77,47 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: str | list[st
             spark.conf.set(key, saved)
 
 
+def compact(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    partition_cols: str | list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Rewrite a parquet tree with AQE-sized output files (small-files fix).
+
+    Incremental loads (streaming ``foreachBatch``, per-chunk appends, the
+    reference's 100-ID extract batches) accumulate files far below the
+    scan-efficient size; a 100 TB table of 1 MB files spends more time in
+    listing/open than in I/O. ``REBALANCE`` is the AQE-native fix: a
+    round-robin (or keyed, when ``partition_cols`` is set) exchange whose
+    output partition count is decided at *runtime* from
+    ``advisoryPartitionSizeInBytes`` — unlike a hand-picked
+    ``coalesce(n)``, the same code yields sensible file sizes at any input
+    scale, and skewed partitions are split, not just merged.
+
+    Writes to ``dest`` (never in-place: Spark cannot overwrite a location
+    it is reading); the caller swaps paths at the catalog level.
+    """
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, str(target_file_bytes))
+    try:
+        df = spark.read.parquet(src)
+        if partition_cols is None:
+            df.hint("rebalance").write.mode("errorifexists").parquet(dest)
+        else:
+            cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+            # keyed rebalance co-locates each Hive partition's rows so the
+            # partitionBy write emits one right-sized file set per directory
+            write_partitioned(df.hint("rebalance", *cols), dest, cols, mode="errorifexists")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned tree; partition columns come back as real
     columns (directory-encoded, zero bytes in the data files) and

@@ -93,3 +93,45 @@ def test_partition_columns_cost_zero_bytes(spark, orders_by_year):
     scan_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
     read_schema = scan_line.split("ReadSchema:")[1]
     assert "o_orderkey" in read_schema and "o_year" not in read_schema
+
+
+def test_compact_small_files(spark, tmp_path):
+    from redcap_omop_etl_spark.sources.partitioned import compact
+    import glob
+
+    src = str(tmp_path / "small")
+    base = spark.range(0, 50_000).withColumn("v", F.col("id") * 2)
+    base.repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 32
+
+    dest = str(tmp_path / "compacted")
+    compact(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    # AQE rebalance coalesces to file(s) sized by the advisory target,
+    # decided at runtime — not a hand-picked coalesce(n)
+    assert len(glob.glob(dest + "/*.parquet")) < 8
+    got = spark.read.parquet(dest)
+    assert got.count() == 50_000
+    assert got.agg(F.sum("v")).collect()[0][0] == base.agg(F.sum("v")).collect()[0][0]
+    # advisory conf restored
+    assert spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None) != str(64 * 1024 * 1024)
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    from redcap_omop_etl_spark.sources.partitioned import compact
+    import glob
+
+    src = str(tmp_path / "psmall")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(1000)],
+        "id int, ds string, v double",
+    )
+    # simulate many per-partition appends: 8 files per ds value
+    base.repartition(8).write.partitionBy("ds").parquet(src)
+    assert len(glob.glob(src + "/ds=a/*.parquet")) == 8
+
+    dest = str(tmp_path / "pcompacted")
+    compact(spark, src, dest, partition_cols="ds")
+    assert len(glob.glob(dest + "/ds=a/*.parquet")) == 1
+    assert len(glob.glob(dest + "/ds=b/*.parquet")) == 1
+    got = {(r["id"], r["ds"], r["v"]) for r in spark.read.parquet(dest).collect()}
+    assert got == {tuple(r) for r in base.collect()}
