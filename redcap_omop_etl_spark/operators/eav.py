@@ -138,3 +138,39 @@ def checkbox_to_array_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return p.select("p_partkey", F.array_join(arr, ",").alias("selected_codes"))
+
+
+@register(
+    "map_functions_suite",
+    """
+    WITH entries AS (
+      SELECT event_id, 'type' AS key, event_type AS raw FROM events
+      UNION ALL
+      SELECT event_id, 'user', cast(user_id AS varchar) FROM events
+      UNION ALL
+      SELECT event_id, 'val',
+             cast(cast(floor(value) AS bigint) AS varchar) FROM events
+      UNION ALL
+      SELECT event_id, 'src', 'events' FROM events
+    )
+    SELECT event_id, key, key || '=' || raw AS value
+    FROM entries
+    WHERE raw IS NOT NULL
+    """,
+    doc="Map-type function suite (F19 generalized): create_map → map_concat "
+    "→ map_filter (null-valued entries dropped) → transform_values (k=v "
+    "tagging) → explode back to rows. The map stays a first-class column "
+    "between steps — no JSON round-trip; the DuckDB oracle derives the "
+    "same rows from first principles (UNION ALL per key).",
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    base = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("val"), F.floor("value").cast("bigint").cast("string"),
+    )
+    enriched = F.map_concat(base, F.create_map(F.lit("src"), F.lit("events")))
+    clean = F.map_filter(enriched, lambda k, v: v.isNotNull())
+    tagged = F.transform_values(clean, lambda k, v: F.concat(k, F.lit("="), v))
+    return e.select("event_id", F.explode(tagged).alias("key", "value"))
