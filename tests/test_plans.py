@@ -65,3 +65,18 @@ def test_column_pruning_reaches_scan(spark):
     # a 2-column projection must not read the full lineitem schema
     plan = _plan(spark, "agg_distinct_keys")
     assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_global_sort_is_range_partitioned(spark):
+    # a total-order sort must plan as a parallel range-partition exchange
+    # (sampled bounds, one sorted run per partition) — NEVER a
+    # single-partition collapse; at 100 TB the latter is a dead executor
+    from redcap_omop_etl_spark.sources.readers import Catalog
+
+    li = Catalog(spark, SF_SMOKE)["lineitem"]
+    plan = (
+        li.orderBy("l_shipdate", "l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
