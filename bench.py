@@ -44,6 +44,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "stream_interval_join",
     "text_quality_score",
+    "docs_prep_pipeline",
     "similarity_cosine_topk",
     "stream_tumbling_window",
     "stream_session_window",
