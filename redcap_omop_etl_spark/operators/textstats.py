@@ -412,26 +412,29 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
               / length(text) < 0.2
     ), fp AS (
-      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-             arg_min(source, doc_id) AS source,
-             arg_min(text, doc_id)   AS text,
-             count(*)                AS n_copies
-      FROM gated GROUP BY 1
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             min(len(string_split_regex(lower(trim(text)), '\\s+')))  AS n_tok,
+             min(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                                                                      AS n_chars,
+             count(*)                                                 AS n_copies
+      FROM gated GROUP BY 1, 2
     )
     SELECT source,
            count(*)                            AS kept_docs,
            cast(sum(n_copies - 1) AS bigint)   AS dups_removed,
-           cast(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
-                AS bigint)                     AS total_tokens,
-           round(avg(length(text)), 2)         AS avg_chars
+           cast(sum(n_tok) AS bigint)          AS total_tokens,
+           round(avg(n_chars), 2)              AS avg_chars
     FROM fp GROUP BY source
     """,
-    doc="Flagship composed LLM-data-prep pipeline: quality gate → exact "
-    "dedup keeping the min-id representative (min_by, one shuffle on the "
-    "content fingerprint) → per-source corpus stats. One declarative plan "
-    "end to end: the gate's filters run at the scan, the dedup and the "
-    "final agg are the only exchanges — the same shape a 100 TB corpus "
-    "prep job wants.",
+    doc="Flagship composed LLM-data-prep pipeline: quality gate → "
+    "per-source exact dedup → corpus stats, one declarative plan. Every "
+    "aggregate is fixed-width (token/char counts are computed on the "
+    "normalized text, so they are constant within a fingerprint group and "
+    "min() selects them hash-aggregatably) — both aggs stay "
+    "HashAggregate with map-side partials; a min_by-representative "
+    "formulation instead forces SortAggregate (string buffers aren't "
+    "hash-mutable), sorting the whole gated corpus.",
 )
 def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
@@ -440,17 +443,22 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
     gated = d.filter((n >= 100) & (n_punct / n < 0.1) & (n_digit / n < 0.2))
     rep = (
-        gated.select("doc_id", "source", "text", fingerprint_md5(F.col("text")).alias("fp"))
-        .groupBy("fp")
+        gated.select(
+            "source",
+            fingerprint_md5(F.col("text")).alias("fp"),
+            F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+            F.length(normalized_text(F.col("text"))).alias("n_chars"),
+        )
+        .groupBy("source", "fp")
         .agg(
-            F.min_by("source", "doc_id").alias("source"),
-            F.min_by("text", "doc_id").alias("text"),
+            F.min("n_tok").alias("n_tok"),
+            F.min("n_chars").alias("n_chars"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
     return rep.groupBy("source").agg(
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum(F.col("n_copies") - 1).alias("dups_removed"),
-        F.sum(F.size(ws_tokens(F.col("text"))).cast("bigint")).alias("total_tokens"),
-        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
