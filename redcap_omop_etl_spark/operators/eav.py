@@ -39,15 +39,31 @@ def pivot_from_eav(
     field_col: str = "field_name",
     value_col: str = "value",
 ) -> DataFrame:
-    """EAV long → wide: ``groupBy(ids).pivot(field, pinned).agg(first)``.
+    """EAV long → wide: hash-aggregated entry list, projected per field.
 
     ``field_names`` is mandatory: pinned pivot values keep the plan a single
     shuffle (no distinct-inference job) and bound the output schema.
     Last-write-wins in the reference (redcap-etl.py:393) is first-wins here
     under an explicit dedup upstream; with unique (id, field) pairs they
     coincide.
+
+    NOT ``pivot().agg(first)``: ``first(string)``'s buffer isn't
+    hash-mutable, so that plan degrades to SortAggregate — sorting the
+    whole EAV stream by id before the partial agg. ``collect_list`` is a
+    TypedImperativeAggregate, so this formulation runs as
+    ObjectHashAggregate (hash-based, map-side partials, sort fallback
+    only under memory pressure); the per-field projection is a codegen'd
+    array scan over each group's few entries.
     """
-    return df.groupBy(*id_cols).pivot(field_col, field_names).agg(F.first(value_col))
+    entries = F.collect_list(F.struct(F.col(field_col).alias("f"), F.col(value_col).alias("v")))
+    grouped = df.groupBy(*id_cols).agg(entries.alias("__entries"))
+    return grouped.select(
+        *id_cols,
+        *[
+            F.try_element_at(F.filter("__entries", lambda e: e["f"] == F.lit(f)), F.lit(1))["v"].alias(f)
+            for f in field_names
+        ],
+    )
 
 
 def checkbox_to_array(flag_value_pairs: list[tuple[Column, int]]) -> Column:
