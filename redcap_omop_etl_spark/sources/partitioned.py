@@ -75,6 +75,10 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: str | list[st
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+    # the session caches the path's file listing (InMemoryFileIndex);
+    # without this, the next read resolves deleted pre-overwrite files
+    # and dies with FAILED_READ_FILE.FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)
 
 
 def compact(
