@@ -378,3 +378,57 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
         F.round(F.element_at(F.array_sort("embedding"), 1).cast("double"), 4).alias("vmin_sorted"),
     )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as a cluster-partitioned parquet layout.
+
+    Vectors land under ``path/vectors/cluster=<c>/``; the tiny centroid
+    table under ``path/centroids/``. The point of the layout: an
+    ``n_probes``-cell search becomes a *partition-pruned scan* — only the
+    probed cluster directories are listed and read, so search I/O scales
+    with the probed fraction (n_probes/n_clusters of the corpus), not
+    with corpus size. Disk-level analog of the in-memory
+    ``ivf_topk`` candidate filter.
+    """
+    from redcap_omop_etl_spark.sources.partitioned import write_partitioned
+
+    vecs = embeddings.select(id_col, vec_col).join(assignments, id_col)
+    write_partitioned(vecs, f"{path}/vectors", "cluster")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: rank cells by centroid distance
+    (driver-side, centroid table is tiny), then brute-force cosine over a
+    scan whose ``cluster IN (probes)`` predicate prunes at file-listing
+    time — unprobed cells cost zero I/O."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    scored = sorted(
+        (
+            (c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], query_vec)))
+            for c in cents
+        ),
+        key=lambda t: t[1],
+    )
+    probe_clusters = [c for c, _ in scored[:n_probes]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    candidates = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(probe_clusters))
+    ranked = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+    topk = ranked.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    return topk.withColumn("rank", F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc(id_col))))

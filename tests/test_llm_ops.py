@@ -177,3 +177,33 @@ class TestWinnowFingerprint:
         s1 = {r.fp for r in fps if r.doc_id == 1}
         s2 = {r.fp for r in fps if r.doc_id == 2}
         assert s1 & s2
+
+
+class TestIvfIndex:
+    def test_persisted_index_matches_in_memory_search(self, spark, tmp_path):
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivf_build,
+            ivf_topk,
+            ivf_topk_from_index,
+            ivf_write_index,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        assignments, centroids = ivf_build(emb, n_clusters=8, n_iters=2)
+        path = str(tmp_path / "ivf")
+        ivf_write_index(emb, assignments, centroids, path)
+
+        mem = ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=3).collect()
+        disk_df = ivf_topk_from_index(spark, path, qv, k=10, n_probes=3)
+        # the probe predicate prunes at listing time: cluster is a
+        # partition column, so it must appear in PartitionFilters
+        plan = disk_df._jdf.queryExecution().executedPlan().toString()
+        scan_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+        assert "cluster" in scan_line.split("PartitionFilters")[1].split("]")[0]
+        disk = disk_df.collect()
+        assert [(r["vec_id"], r["cos_sim"]) for r in disk] == [
+            (r["vec_id"], r["cos_sim"]) for r in mem
+        ]
