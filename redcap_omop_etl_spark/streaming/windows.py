@@ -199,3 +199,31 @@ def stream_to_chunked_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch bridge into the copy-on-write upsert sink: each
+    micro-batch MERGEs into the partitioned target by key, touching only
+    the partitions present in the batch (``sinks/upsert.py``). The
+    checkpoint makes replayed batches idempotent — re-upserting the same
+    keys converges to the same table, the streaming analog of the
+    reference's re-extract-one-chunk-without-clobbering pattern."""
+    from redcap_omop_etl_spark.sinks.upsert import upsert_partitions
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df.sparkSession, target_path, batch_df, keys, partition_col)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,3 +111,30 @@ class TestForeachBatchSink:
         assert files, "sink produced no chunks"
         total = sum(len(json.loads(open(f).read())["redcap_records"]) for f in files)
         assert total == 1000  # sf0.001 events row count
+
+
+class TestStreamUpsertSink:
+    def test_stream_upserts_into_partitioned_target(self, spark, stream_events, tmp_path):
+        from redcap_omop_etl_spark.sources.partitioned import write_partitioned
+
+        target = str(tmp_path / "target")
+        # seed the target with one existing row per event_type partition,
+        # keyed so some stream rows replace it
+        seed = spark.createDataFrame(
+            [(0, "view", -1.0), (1, "purchase", -1.0)],
+            "event_id long, event_type string, value double",
+        )
+        write_partitioned(seed, target, "event_type")
+
+        thin = stream_events.select("event_id", "event_type", "value")
+        q = sw.stream_to_upsert_sink(
+            thin, target, keys=["event_id"], partition_col="event_type",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(target)
+        batch = spark.read.parquet(SF_SMOKE + "/events.parquet").select("event_id", "event_type", "value")
+        # every streamed key present exactly once with the streamed value
+        assert got.count() == batch.count()  # seeds were replaced, not duplicated
+        assert got.filter(F.col("value") == -1.0).count() == 0
