@@ -1,0 +1,135 @@
+"""Deterministic sampling, splits, and binning for corpus preparation.
+
+Training-data pipelines need *reproducible* subsets: a train/val/test
+split must give the same answer on every run, on any cluster, after any
+repartition — so RNG-based ``df.sample``/``sampleBy`` (seed + partition
+dependent, and not reproducible in another engine) is the wrong tool for
+assignment. Instead, bucket every row by a content hash of its key:
+
+    bucket(id) = int(hex(md5(id)[:8])) mod 100
+
+Pure column arithmetic — no state, no shuffle, embarrassingly parallel,
+stable under any layout, and portable (the DuckDB oracle computes the
+identical md5 buckets). Rows join their split by bucket range; a "10%
+sample" is ``bucket < 10``. The same idea powers incremental
+re-processing (process bucket b of 100 per run) and A/B cohorting.
+
+``histogram_fixed`` is the scan-friendly binning counterpart: one pass,
+one tiny shuffle of (bucket, count) partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, n_buckets)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def split_assign(key: Column, cuts: dict[str, int]) -> Column:
+    """Assign a named split by cumulative bucket ranges.
+
+    ``cuts`` maps split name → percent (must sum to 100), e.g.
+    ``{"train": 80, "val": 10, "test": 10}`` → buckets [0,80) train,
+    [80,90) val, [90,100) test.
+    """
+    if sum(cuts.values()) != 100:
+        raise ValueError(f"split percents must sum to 100, got {cuts}")
+    b = hash_bucket(key)
+    expr = None
+    hi = 0
+    for name, pct in cuts.items():
+        hi += pct
+        expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
+    return expr
+
+
+@register(
+    "sampling_split_counts",
+    """
+    WITH assigned AS (
+      SELECT n_chars,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT n_chars,
+               cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM assigned GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5 key bucket — "
+    "reproducible across runs, layouts, and engines (the oracle computes "
+    "the identical buckets); pure column arithmetic, no RNG, no shuffle "
+    "before the count.",
+)
+def sampling_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    split = split_assign(F.col("doc_id"), {"train": 80, "val": 10, "test": 10})
+    return (
+        d.select("n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT least(greatest(cast(floor((o_totalprice - 0) / 60000.0) AS int) + 1, 0), 11)
+             AS bucket,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram via width_bucket(0..600000, 10 bins): one "
+    "scan, partial counts before the single tiny shuffle. The oracle "
+    "computes width_bucket's floor arithmetic explicitly (bucket 0 / 11 "
+    "are the out-of-range gutters).",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH keyed AS (
+      SELECT event_id, nullif(event_type, 'view') AS k FROM events
+    ), dim(k, label) AS (
+      VALUES ('purchase', 'PAID'), ('click', 'ENGAGED'), (NULL, 'SUPPRESSED')
+    )
+    SELECT label, count(*) AS n
+    FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+    GROUP BY label
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match the dim's NULL row instead of vanishing — the join form of the "
+    "reference's fillna('') trick for null join keys "
+    "(dcc_transforms.py:233), without corrupting the domain. Plans as a "
+    "plain broadcast hash join on the null-safe key.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    keyed = e.select("event_id", F.nullif("event_type", F.lit("view")).alias("k"))
+    dim = spark.createDataFrame(
+        [("purchase", "PAID"), ("click", "ENGAGED"), (None, "SUPPRESSED")], "k string, label string"
+    )
+    joined = keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]), "inner")
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n"))

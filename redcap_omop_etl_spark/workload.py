@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         graph,
         multimodal,
         reference_workload,
+        sampling,
         skew,
         stream_workload,
         tpch_extra,
