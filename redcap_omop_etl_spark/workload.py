@@ -80,6 +80,6 @@ def _ensure_loaded() -> None:
         textstats,
         windows,
     )
-    from redcap_omop_etl_spark.functions import udtfs  # noqa: F401
+    from redcap_omop_etl_spark.functions import udafs, udtfs  # noqa: F401
 
     _LOADED = True
