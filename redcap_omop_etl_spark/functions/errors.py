@@ -29,3 +29,31 @@ def split_errors(df: DataFrame, ok_predicate: Column, error_label: str) -> tuple
     clean = df.filter(ok_predicate)
     errors = df.filter(~F.coalesce(ok_predicate, F.lit(False))).withColumn("error", F.lit(error_label))
     return clean, errors
+
+
+def read_json_with_errors(
+    spark, path: str, schema: str, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-input error channel at the SOURCE (V3 for scans).
+
+    PERMISSIVE mode parses what it can and routes unparseable lines into
+    ``corrupt_col`` instead of aborting (FAILFAST) or silently dropping
+    (DROPMALFORMED) — the scan-level form of the reference's
+    log-and-skip. Returns (clean, errors): clean rows with the declared
+    schema, errors carrying the raw offending line for quarantine.
+
+    Spark requires caching/materializing before filtering on the corrupt
+    column alone (the parser prunes it otherwise); selecting it together
+    with data columns as done here is the supported pattern.
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    raw = spark.read.schema(full_schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    ).json(path)
+    raw = raw.cache()  # one scan serves both channels; also required by
+    # Spark before referencing the corrupt column in a filter
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    errors = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    ).withColumn("error", F.lit("malformed_json"))
+    return clean, errors

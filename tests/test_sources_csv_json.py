@@ -72,3 +72,24 @@ class TestApproxAgg:
             assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
             p50, p95 = r.price_p50_p95
             assert p50 < p95
+
+
+class TestCorruptRecordChannel:
+    def test_permissive_json_splits_clean_and_errors(self, spark, tmp_path):
+        from redcap_omop_etl_spark.functions.errors import read_json_with_errors
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"id": 1, "v": "a"}\n'
+            "this is not json\n"
+            '{"id": 2, "v": "b"}\n'
+            '{"id": "NaN-ish", "v": 3}\n'  # wrong types -> corrupt too
+        )
+        clean, errors = read_json_with_errors(spark, str(p), "id bigint, v string")
+        assert {(r["id"], r["v"]) for r in clean.collect()} == {(1, "a"), (2, "b")}
+        errs = errors.collect()
+        assert len(errs) == 2
+        assert all(r["error"] == "malformed_json" for r in errs)
+        assert any("not json" in r["raw_line"] for r in errs)
+        # conservation: every input line lands in exactly one channel
+        assert clean.count() + errors.count() == 4
