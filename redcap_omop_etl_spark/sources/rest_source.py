@@ -23,7 +23,13 @@ from __future__ import annotations
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 EAV_SCHEMA = T.StructType(
@@ -100,6 +106,9 @@ class RestEavDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return RestEavReader(schema, self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "RestEavWriter":
+        return RestEavWriter(schema, self.options)
+
 
 def register(spark) -> None:
     """Register the source on the session.
@@ -116,3 +125,85 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(RestEavDataSource)
+
+
+@dataclass
+class ChunkCommitMessage(WriterCommitMessage):
+    partition_id: int
+    n_rows: int
+    n_chunks: int
+
+
+class RestEavWriter(DataSourceWriter):
+    """S9 as a first-class writer: ``df.write.format("rest_eav")``.
+
+    Each task serializes its partition into chunk envelopes of
+    ``chunk_size`` rows (``redcap-etl.py:225-248``) and ships them
+    through the transport — here a JSON-lines file per partition under
+    ``path``, standing in for the data-lake POST. Commit is two-phase:
+    tasks return per-partition counts as commit messages; the driver's
+    ``commit`` writes a ``_MANIFEST.json`` with the global totals only
+    after every task succeeded, so a half-failed job is detectable by
+    manifest absence (the file analog of transactional POST batching).
+    """
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rest_eav writer requires a path")
+        self.chunk_size = int(options.get("chunk_size", 50_000))  # redcap-etl.py:225
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> ChunkCommitMessage:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n_rows = 0
+        n_chunks = 0
+        buf: list[dict] = []
+        with open(out, "w") as fh:
+
+            def flush():
+                nonlocal n_chunks
+                if buf:
+                    n_chunks += 1
+                    fh.write(
+                        json.dumps(
+                            {
+                                "chunk_number": n_chunks,
+                                "partition": pid,
+                                "n_records": len(buf),
+                                "redcap_records": buf,
+                            }
+                        )
+                        + "\n"
+                    )
+                    buf.clear()
+
+            for row in iterator:
+                buf.append(dict(zip(self.columns, row)))
+                n_rows += 1
+                if len(buf) >= self.chunk_size:
+                    flush()
+            flush()
+        return ChunkCommitMessage(partition_id=pid, n_rows=n_rows, n_chunks=n_chunks)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "partitions": len(messages),
+            "total_rows": sum(m.n_rows for m in messages),
+            "total_chunks": sum(m.n_chunks for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            fh.write(json.dumps(manifest))
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        pass

@@ -120,3 +120,36 @@ class TestRestSource:
         a = sorted(map(tuple, spark.read.format("rest_eav").options(**opts).load().collect()))
         b = sorted(map(tuple, spark.read.format("rest_eav").options(**opts).load().collect()))
         assert a == b
+
+
+class TestRestSourceWriter:
+    def test_write_chunked_envelopes_with_manifest(self, spark, tmp_path):
+        import json
+        import glob
+
+        from redcap_omop_etl_spark.sources import rest_source
+
+        rest_source.register(spark)
+        ids = ",".join(f"R{i}" for i in range(25))
+        df = spark.read.format("rest_eav").option("ids", ids).option("chunk_size", 10).load()
+        n_in = df.count()
+
+        out = str(tmp_path / "lake")
+        (df.write.format("rest_eav").mode("append").option("path", out).option("chunk_size", 7).save())
+
+        manifest = json.loads(open(out + "/_MANIFEST.json").read())
+        assert manifest["total_rows"] == n_in
+        files = glob.glob(out + "/part-*.jsonl")
+        assert len(files) == manifest["partitions"]
+        rows = chunks = 0
+        for f in files:
+            for line in open(f):
+                env = json.loads(line)
+                chunks += 1
+                rows += env["n_records"]
+                assert env["n_records"] <= 7
+                assert set(env["redcap_records"][0]) == {
+                    "record_id", "redcap_event_name", "redcap_repeat_instrument",
+                    "redcap_repeat_instance", "field_name", "value",
+                }
+        assert rows == n_in and chunks == manifest["total_chunks"]
