@@ -462,3 +462,52 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+             AS rnk
+    FROM scored QUALIFY rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: explode → per-(doc,term) counts "
+    "→ per-term document frequencies → score → per-doc ranking window. "
+    "Shuffles: the two count aggs, the term join (co-partitioned at "
+    "scale), and the doc window — all on bounded keys. The corpus size N "
+    "is a driver-side scalar count folded in as a literal (one cheap "
+    "count job) so the plan carries no 1-row cross join; scores are "
+    "rounded BEFORE ranking so tie order is identical cross-engine.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir)["documents"]
+    n = d.count()
+    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
