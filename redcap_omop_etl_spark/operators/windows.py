@@ -317,3 +317,40 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           cast(date_diff('day', cohort_week, week) / 7 AS int) AS week_n,
+           count(*) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen week, counted in "
+    "each subsequent active week. Both aggs and the join key on user_id — "
+    "the first shuffle's partitioning is reused by the join and the "
+    "distinct (co-partitioned, AQE coalesced); only the final tiny "
+    "(cohort, week_n) agg reshuffles.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
