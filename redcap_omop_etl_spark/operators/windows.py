@@ -354,3 +354,47 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS n_view_click,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click)
+             AS n_view_click_purchase
+    FROM per_user
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): one "
+    "conditional-min agg per user — a single shuffle on user_id — then a "
+    "global counts rollup; step order enforced by timestamp comparison, "
+    "NULL step times fail the ordered predicate on both engines.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+
+    def step_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        step_min("view").alias("t_view"),
+        step_min("click").alias("t_click"),
+        step_min("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(purchased, 1)).alias("n_view_click_purchase"),
+    )
