@@ -398,3 +398,59 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_view_click"),
         F.count(F.when(purchased, 1)).alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                                (SELECT hi FROM bounds),
+                                                INTERVAL 1 HOUR)) AS h) s
+    ), counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.event_type,
+           strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(counts.n, 0) AS n
+    FROM spine LEFT JOIN counts
+      ON spine.event_type = counts.event_type AND spine.h = counts.h
+    """,
+    doc="Time-series gap-fill (date spine): hourly counts per type with "
+    "missing hours materialized as zeros. The spine is sequence()+explode "
+    "per type — NO cross join in the plan (the hour array is generated "
+    "inside each type's row); span bounds are two driver-side scalars "
+    "(one tiny agg job). The left join is dim-sized and broadcast; the "
+    "only real shuffle is the hourly count agg.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    lo, hi = e.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).collect()[0]
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"), F.expr("interval 1 hour")
+                )
+            ).alias("h"),
+        )
+    )
+    counts = e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("cnt", F.lit(0)).alias("n"),
+    )
