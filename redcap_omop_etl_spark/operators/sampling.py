@@ -133,3 +133,26 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]), "inner")
     return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_sketch_reaggregation",
+    None,  # sketch estimates are engine-specific; accuracy vs exact is
+    # pinned by pytest (TestSketchReaggregation)
+    doc="Mergeable-summary pattern: per-(day, type) HLL sketches unioned "
+    "up to per-type totals — the only scalable shape for distinct counts "
+    "over rolling horizons at 100 TB (daily sketches persist; any window "
+    "re-aggregates by union instead of rescanning raw events; "
+    "count(DISTINCT) cannot re-aggregate). Datasketches-backed built-ins "
+    "(hll_sketch_agg/hll_union_agg), JVM-side throughout.",
+)
+def agg_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select("event_type", "approx_users")
+    )

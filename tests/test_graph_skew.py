@@ -62,3 +62,25 @@ class TestSkewRewrites:
             for r in salted_join(fact, dim, key="k", salt_src="fid", n_salts=4, how="left").collect()
         }
         assert rows == {(1, "x"), (2, None)}
+
+
+class TestSketchReaggregation:
+    def test_union_of_daily_sketches_tracks_exact(self, spark):
+        from redcap_omop_etl_spark import workload
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        approx = {
+            r["event_type"]: r["approx_users"]
+            for r in workload.queries()["agg_sketch_reaggregation"](spark, SF_SMOKE).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in Catalog(spark, SF_SMOKE)["events"]
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for t, n in exact.items():
+            assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
