@@ -156,3 +156,37 @@ def agg_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .select("event_type", "approx_users")
     )
+
+
+@register(
+    "dq_profile_orders",
+    """
+    SELECT 'o_orderstatus' AS col,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus)   AS n_distinct,
+           cast(min(o_orderstatus) AS varchar) AS min_s,
+           cast(max(o_orderstatus) AS varchar) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+           cast(min(o_custkey) AS varchar),
+           cast(max(o_custkey) AS varchar)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+           cast(round(min(o_totalprice), 2) AS varchar),
+           cast(round(max(o_totalprice), 2) AS varchar)
+    FROM orders
+    """,
+    doc="Data-quality profile (V1/V3 generalized): nulls, exact distincts, "
+    "min/max for a column set in ONE aggregation — one scan + one Expand "
+    "for the distincts; the per-column long form is an exploded struct "
+    "array over the 1-row aggregate (free). The oracle recomputes each "
+    "column with a separate scan — same values, which is the point: the "
+    "engine gets the whole profile for one pass.",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.validation import profile_table
+
+    o = Catalog(spark, sf_dir)["orders"].select("o_orderstatus", "o_custkey", "o_totalprice")
+    return profile_table(o)

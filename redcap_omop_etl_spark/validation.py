@@ -92,3 +92,44 @@ def assert_unique_key(df: DataFrame, keys: list[str]) -> None:
     dupes = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dupes:
         raise SchemaValidationError(f"duplicate key {keys}: {dupes[0]}")
+
+
+def profile_table(df: DataFrame, numeric_round: int = 2) -> DataFrame:
+    """Single-pass column profiler: one output row per column with null
+    count, exact distinct count, and min/max (stringified; numerics
+    rounded first so the rendering is engine-portable).
+
+    All statistics for all columns are one aggregation — one scan, one
+    Expand for the distinct counts — and the per-column rows come from
+    exploding an array of structs built on the 1-row aggregate, so the
+    long-form reshape costs nothing. The profile is the engine's answer
+    to "what does this 100 TB table even contain" before any pipeline is
+    pointed at it.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if isinstance(f.dataType, T.FractionalType):
+            # round only fractional types: rounding integrals changes the
+            # rendered text ("1499" vs "1499.0") without adding information
+            aggs.append(F.round(F.min(c), numeric_round).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.round(F.max(c), numeric_round).cast("string").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("col"),
+                (F.col("__n") - F.col(f"__nn_{f.name}")).alias("n_nulls"),
+                F.col(f"__nd_{f.name}").alias("n_distinct"),
+                F.col(f"__min_{f.name}").alias("min_s"),
+                F.col(f"__max_{f.name}").alias("max_s"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select("e.*")
