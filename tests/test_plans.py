@@ -80,3 +80,37 @@ def test_global_sort_is_range_partitioned(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # row-level runtime filtering: a selective dim filter on one side of a
+    # shuffle join injects a bloom filter onto the fact scan, discarding
+    # non-joining rows BEFORE the shuffle. Complements DPP (partition
+    # granularity) at row granularity. Production thresholds (10 GB
+    # application side) are correct for real clusters; lowered here only
+    # to exercise the path at test scale.
+    from pyspark.sql import functions as F
+    from redcap_omop_etl_spark.sources.readers import Catalog
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cat = Catalog(spark, SF_SMOKE)
+        li = cat["lineitem"]
+        o = cat["orders"].filter(F.col("o_orderstatus") == "F")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
