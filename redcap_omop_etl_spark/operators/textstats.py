@@ -511,3 +511,48 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Regex PII scrub: emails then phones → typed placeholders.
+
+    The PHI-filter idea (P6) applied inside the value instead of to the
+    row: drop the sensitive substring, keep the document. Pure
+    regexp_replace chain — codegen'd, no UDF; patterns are RE2-safe so
+    the DuckDB oracle runs the identical expressions.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    doc="PII redaction scrub (emails/phones → typed placeholders) with "
+    "per-doc match counts; the md5 of the redacted text is hash-compared "
+    "so the full replace chain is value-checked. The synthetic corpus "
+    "carries no PII (counts are 0; redaction must be an identity there) "
+    "— `TestRedaction` injects crafted PII to pin the positive path.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )

@@ -207,3 +207,21 @@ class TestIvfIndex:
         assert [(r["vec_id"], r["cos_sim"]) for r in disk] == [
             (r["vec_id"], r["cos_sim"]) for r in mem
         ]
+
+
+class TestRedaction:
+    def test_crafted_pii_is_scrubbed(self, spark):
+        from redcap_omop_etl_spark.operators.textstats import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "contact bob.smith+x@lab.example.org or 555-867-5309 now"),
+                (2, "ssn-free but dial 123.456.7890"),
+                (3, "no pii here"),
+            ],
+            "id int, text string",
+        )
+        got = {r["id"]: r["out"] for r in df.select("id", redact_pii(F.col("text")).alias("out")).collect()}
+        assert got[1] == "contact [EMAIL] or [PHONE] now"
+        assert got[2] == "ssn-free but dial [PHONE]"
+        assert got[3] == "no pii here"
