@@ -205,3 +205,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     frames = frame_sample(synth_media(docs), every_k=4)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def chunk_media(media_df: DataFrame, window: int = 64, hop: int = 48) -> DataFrame:
+    """Audio-style fixed-window chunking: payload bytes sliced into
+    ``window``-byte chunks every ``hop`` bytes (overlapping when
+    hop < window) — the waveform-segmentation batch shape, runnable on raw
+    bytes with no codec. Arrow ``mapInPandas``: each input batch explodes
+    into its chunk rows executor-side; chunk payloads never visit the
+    driver. The closure is self-contained (locals only) for foreign-cwd
+    drivers.
+    """
+    out_schema = "doc_id long, chunk_idx int, chunk_bytes binary, n_bytes int"
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                idx = 0
+                for pos in range(0, max(len(data), 1), hop):
+                    chunk = data[pos : pos + window]
+                    if not chunk:
+                        break
+                    rows.append((int(doc_id), idx, chunk, len(chunk)))
+                    idx += 1
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_bytes", "n_bytes"])
+
+    return media_df.select("doc_id", F.col("media.payload").alias("payload")).mapInPandas(
+        chunker, out_schema
+    )
+
+
+@register(
+    "multimodal_chunk_audio",
+    """
+    SELECT doc_id,
+           cast((octet_length(encode(text)) - 1) // 48 + 1 AS int) AS n_chunks
+    FROM documents
+    """,
+    doc="Audio-style overlapping byte-window chunking (window 64, hop 48) "
+    "via Arrow mapInPandas; per-doc chunk counts match the closed form "
+    "floor((n_bytes-1)/hop)+1.",
+)
+def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir)["documents"])
+    chunks = chunk_media(synth_media(docs), window=64, hop=48)
+    return chunks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_chunks"))
