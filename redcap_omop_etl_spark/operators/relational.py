@@ -442,3 +442,35 @@ def case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("routine")
         .alias("urgency"),
     )
+
+
+_SQL_API_REVENUE_RANK = """
+    WITH rev AS (
+      SELECT o_orderpriority,
+             round(cast(sum(cast(l_extendedprice AS decimal(10,2))
+                            * (1 - cast(l_discount AS decimal(4,2)))) AS double), 2)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, revenue, n_items,
+           rank() OVER (ORDER BY revenue DESC) AS rev_rank
+    FROM rev
+"""
+
+
+@register(
+    "sql_api_revenue_rank",
+    _SQL_API_REVENUE_RANK,
+    doc="The SQL entry path: ONE ANSI string (CTE + join + decimal-exact "
+    "agg + window) executed verbatim by BOTH engines — spark.sql over the "
+    "catalog's registered views on one side, the DuckDB oracle on the "
+    "other. Pins that the engine's SQL surface is plain Spark SQL with no "
+    "dialect shims; Catalyst plans it identically to the DataFrame form "
+    "(broadcast join + partial agg).",
+)
+def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    return spark.sql(_SQL_API_REVENUE_RANK)
