@@ -60,7 +60,10 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int, id_col: s
     # this survives N=billions; the rank column is added over the k
     # survivors only.
     topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    # constant partition key: the input is the k survivors of limit(k), so
+    # a single partition is intended — the literal spec silences Spark's
+    # no-partition warning without changing the plan
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w))
 
 
@@ -119,7 +122,10 @@ def ann_lsh_topk(
     candidates = embeddings.withColumn("__sig", sig).filter(F.col("__sig").isin(probe_sigs))
     scored = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
     topk = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    # constant partition key: the input is the k survivors of limit(k), so
+    # a single partition is intended — the literal spec silences Spark's
+    # no-partition warning without changing the plan
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w))
 
 
@@ -272,7 +278,7 @@ def ivf_build(
         vecs.orderBy("__vid")
         .limit(n_clusters)
         .select(
-            F.row_number().over(W.orderBy("__vid")).alias("cluster"),
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy("__vid")).alias("cluster"),
             F.transform("__v", lambda x: x.cast("double")).alias("centroid"),
         )
         .localCheckpoint(eager=True)
@@ -332,7 +338,7 @@ def ivf_topk(
     )
     ranked = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
     topk = ranked.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
-    return topk.withColumn("rank", F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc(id_col))))
+    return topk.withColumn("rank", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))))
 
 
 @register(
@@ -431,4 +437,4 @@ def ivf_topk_from_index(
     candidates = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(probe_clusters))
     ranked = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
     topk = ranked.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
-    return topk.withColumn("rank", F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc(id_col))))
+    return topk.withColumn("rank", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))))
