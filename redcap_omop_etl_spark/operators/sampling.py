@@ -190,3 +190,28 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = Catalog(spark, sf_dir)["orders"].select("o_orderstatus", "o_custkey", "o_totalprice")
     return profile_table(o)
+
+
+@register(
+    "agg_boolean_suite",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50)  AS n_high,
+           bool_and(value >= 0)                AS all_nonneg,
+           bool_or(value > 99)                 AS any_extreme,
+           count(*) FILTER (WHERE props IS NOT NULL) AS n_with_props
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Boolean aggregate family (count_if / bool_and / bool_or, the "
+    "FILTER clause shape): all accumulate in the same single-pass "
+    "partial+final hash aggregation.",
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+        F.count_if(F.col("props").isNotNull()).alias("n_with_props"),
+    )
