@@ -362,3 +362,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(Catalog(spark, sf_dir)["documents"], max_hamming=3)
+
+
+@register(
+    "fuzzy_blocked_levenshtein",
+    """
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="Fuzzy matching via blocked edit distance: candidate pairs come "
+    "from an equi-join on the blocking key (p_size) — never a cross "
+    "product — and only candidates pay the O(m·n) levenshtein. The "
+    "record-linkage shape: block, then score; block key choice bounds "
+    "the quadratic term (the same role df_cap plays for shingles).",
+)
+def fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir)["part"].select("p_partkey", "p_name", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_size") == F.col("b.p_size")) & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    return (
+        pairs.select(
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )

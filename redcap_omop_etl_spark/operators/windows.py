@@ -454,3 +454,65 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("cnt", F.lit(0)).alias("n"),
     )
+
+
+@register(
+    "session_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    HAVING count(*) >= 2
+    """,
+    doc="Session path mining: gap-islands sessionization (30 min), then "
+    "each session's ordered event-type path via sort_array over collected "
+    "(ts, event_id, type) structs — deterministic under any partition "
+    "order, no listagg dependence — then path frequency. One user_id "
+    "shuffle serves the lag window, the cumulative session numbering, and "
+    "the per-session collect; only the tiny path-count agg reshuffles.",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    new_session = (
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us, 1
+        ).otherwise(0)
+    )
+    numbered = e.select("user_id", "ts", "event_id", "event_type", new_session.alias("ns"))
+    sessions = numbered.withColumn(
+        "session_no", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 2)
+    )
