@@ -135,3 +135,35 @@ class TestPivotRoundtripProperties:
             if r["value"] is not None
         }
         assert got == cells
+
+
+class TestDeterministicSplit:
+    def test_split_partitions_and_is_layout_stable(self, spark):
+        from redcap_omop_etl_spark.operators.sampling import hash_bucket, split_assign
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        cuts = {"train": 80, "val": 10, "test": 10}
+        out = df.select("k", split_assign(F.col("k"), cuts).alias("s"))
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # every row lands in exactly one split; proportions near the cuts
+        assert sum(counts.values()) == 2000
+        assert abs(counts["train"] - 1600) < 120 and abs(counts["val"] - 200) < 80
+        # layout-independence: any repartitioning yields the SAME assignment
+        again = {
+            r["k"]: r["s"]
+            for r in df.repartition(13).select("k", split_assign(F.col("k"), cuts).alias("s")).collect()
+        }
+        first = {r["k"]: r["s"] for r in out.collect()}
+        assert first == again
+        # bucket range invariant
+        bad = df.select(hash_bucket(F.col("k")).alias("b")).filter(
+            (F.col("b") < 0) | (F.col("b") >= 100)
+        )
+        assert bad.count() == 0
+
+    def test_split_percents_must_sum(self, spark):
+        from redcap_omop_etl_spark.operators.sampling import split_assign
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            split_assign(F.lit("x"), {"a": 50, "b": 20})
