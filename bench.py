@@ -45,6 +45,8 @@ HEADLINE = [
     "stream_interval_join",
     "text_quality_score",
     "docs_prep_pipeline",
+    "cohort_retention",
+    "text_tfidf_top_terms",
     "similarity_cosine_topk",
     "stream_tumbling_window",
     "stream_session_window",
