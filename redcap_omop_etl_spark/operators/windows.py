@@ -516,3 +516,38 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= 2)
     )
+
+
+@register(
+    "window_forward_fill",
+    """
+    SELECT event_id, user_id,
+           round(coalesce(
+             last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING),
+             -1.0), 2) AS v_ffill
+    FROM events
+    """,
+    doc="Forward-fill imputation: last non-null value per user carried "
+    "over null readings ('error' events masked to NULL as the synthetic "
+    "gap) — last_value(IGNORE NULLS) over an unbounded-preceding row "
+    "frame, one shuffle on the partition key; leading gaps surface as a "
+    "sentinel via coalesce.",
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(F.last(masked, ignorenulls=True).over(w), F.lit(-1.0)), 2
+        ).alias("v_ffill"),
+    )
