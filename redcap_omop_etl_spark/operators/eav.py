@@ -190,3 +190,38 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = F.map_filter(enriched, lambda k, v: v.isNotNull())
     tagged = F.transform_values(clean, lambda k, v: F.concat(k, F.lit("="), v))
     return e.select("event_id", F.explode(tagged).alias("key", "value"))
+
+
+@register(
+    "checkbox_explode_outer",
+    """
+    WITH flags AS (
+      SELECT p_partkey,
+             list_filter([CASE WHEN p_size > 25 THEN 1 ELSE 0 END,
+                          CASE WHEN p_retailprice >= 1500 THEN 2 ELSE 0 END,
+                          CASE WHEN p_brand = 'Brand#1' THEN 3 ELSE 0 END],
+                         x -> x != 0) AS codes
+      FROM part
+    )
+    SELECT p_partkey, u.code
+    FROM flags, unnest(codes) AS u(code)
+    UNION ALL
+    SELECT p_partkey, NULL AS code
+    FROM flags WHERE len(codes) = 0
+    """,
+    doc="explode_outer semantics: one row per selected checkbox code, but "
+    "rows whose selection is EMPTY survive with a NULL code — inner "
+    "explode silently drops them, losing the 'no boxes ticked' records "
+    "(the EAV pivot's null-cell dual). The oracle reconstructs the outer "
+    "form as unnest UNION ALL the empties.",
+)
+def checkbox_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir)["part"]
+    arr = checkbox_to_array(
+        [
+            (F.col("p_size") > 25, 1),
+            (F.col("p_retailprice") >= 1500, 2),
+            (F.col("p_brand") == "Brand#1", 3),
+        ]
+    )
+    return p.select("p_partkey", F.explode_outer(arr).alias("code"))
