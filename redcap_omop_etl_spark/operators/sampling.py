@@ -215,3 +215,28 @@ def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 99).alias("any_extreme"),
         F.count_if(F.col("props").isNotNull()).alias("n_with_props"),
     )
+
+
+@register(
+    "try_arithmetic_suite",
+    """
+    SELECT o_orderkey,
+           (o_totalprice / nullif(o_custkey % 10, 0)) IS NULL AS div_nulled,
+           o_orderkey // nullif(o_custkey % 10, 0) AS int_div,
+           try_cast(o_orderstatus AS int) AS status_as_int
+    FROM orders
+    """,
+    doc="Non-aborting arithmetic (V3 function family): try_divide yields "
+    "NULL on zero denominators instead of failing the job under ANSI "
+    "mode, try_cast NULLs unparseable values — per-value error channels "
+    "with zero branching in the hot path (DuckDB mirrors via nullif "
+    "guards).",
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 10).isNull().alias("div_nulled"),
+        F.floor(F.try_divide(F.col("o_orderkey"), F.col("o_custkey") % 10)).cast("bigint").alias("int_div"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+    )
