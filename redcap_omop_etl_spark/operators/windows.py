@@ -551,3 +551,77 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last(masked, ignorenulls=True).over(w), F.lit(-1.0)), 2
         ).alias("v_ffill"),
     )
+
+
+@register(
+    "anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+    doc="Z-score anomaly flagging: per-type mean/stddev in one tiny agg "
+    "(broadcast back to the stream — the fact side never shuffles), "
+    "outliers filtered at |z| > 2.5. The grouped-stats-then-rejoin shape "
+    "is the scalable alternative to a per-row window over the whole "
+    "table when the group count is dim-sized.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(cast(sum(cast(o_totalprice AS decimal(12,2))) AS double), 2)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY last_order, o_custkey)           AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency, o_custkey)            AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary, o_custkey)             AS m_quartile
+    FROM rfm
+    """,
+    doc="RFM customer segmentation: one customer-keyed agg builds "
+    "recency/frequency/monetary, quartiles via ntile with a unique "
+    "tiebreak (deterministic cross-engine). The ntile windows are global "
+    "by definition — at scale the rfm relation is |customers|, already "
+    "dim-sized next to the fact it summarizes; monetary sums in exact "
+    "decimal.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias(
+            "monetary"
+        ),
+    )
+    return rfm.select(
+        "o_custkey",
+        F.ntile(4).over(W.partitionBy(F.lit(0)).orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(W.partitionBy(F.lit(0)).orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(W.partitionBy(F.lit(0)).orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
