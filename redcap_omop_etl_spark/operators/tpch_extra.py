@@ -877,3 +877,84 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "revenue_share_window",
+    """
+    WITH nation_rev AS (
+      SELECT n_name,
+             round(cast(sum(cast(l_extendedprice AS decimal(10,2))
+                            * (1 - cast(l_discount AS decimal(4,2)))) AS double), 2)
+               AS revenue
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM nation_rev
+    """,
+    doc="Percent-of-total (ratio_to_report): per-nation revenue over the "
+    "grand total via an unbounded window over the ALREADY-AGGREGATED "
+    "dim-sized relation — the global window is |nations| rows, never the "
+    "fact; supplier→nation dims broadcast onto lineitem.",
+)
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["lineitem"]
+        .join(F.broadcast(cat["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat["nation"].select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy(F.lit(0)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return rev.select(
+        "n_name", "revenue", F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share")
+    )
+
+
+@register(
+    "basket_pair_counts",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc="Market-basket pair mining: parts co-ordered in the same order. "
+    "The self-join is an equi-join on the order key (co-partitioned, one "
+    "shuffle each side), quadratic only in per-order item count (~7) — "
+    "never a cross product; support threshold keeps the output "
+    "actionable.",
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
