@@ -72,3 +72,44 @@ def seconds_between(later: Column, earlier: Column) -> Column:
     seconds.
     """
     return (F.unix_timestamp(later) - F.unix_timestamp(earlier)).cast("long")
+
+
+def register_calendar_suite() -> None:
+    """Import-time hook: the calendar workload query lives here with the
+    rest of the date surface (F1-F9)."""
+
+
+from redcap_omop_etl_spark.sources.readers import Catalog  # noqa: E402
+from redcap_omop_etl_spark.workload import register  # noqa: E402
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+@register(
+    "date_calendar_suite",
+    """
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+           quarter(o_orderdate)    AS q,
+           weekofyear(o_orderdate) AS iso_week,
+           isodow(o_orderdate)     AS iso_dow,
+           dayofmonth(o_orderdate) AS dom
+    FROM orders
+    """,
+    doc="Calendar function family: end-of-month, quarter, ISO week, ISO "
+    "day-of-week, day-of-month — pure codegen'd projections, no shuffle. "
+    "Spark's dayofweek is 1=Sunday; the portable ISO form used here is "
+    "weekday(ts)+1 (Monday=1), matching DuckDB's isodow.",
+)
+def date_calendar_suite(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("eom"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+    )
