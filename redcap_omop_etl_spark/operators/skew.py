@@ -135,3 +135,34 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double"), 2).alias("total"),
     )
+
+
+@register(
+    "skew_key_stats",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT count(*)                         AS n_keys,
+           max(n)                           AS max_key_rows,
+           round(avg(n), 4)                 AS avg_key_rows,
+           round(max(n) / avg(n), 4)        AS skew_ratio,
+           round(stddev_samp(n), 4)         AS std_key_rows
+    FROM per_key
+    """,
+    doc="Skew diagnosis: the per-key row-count distribution of a join/agg "
+    "key — max/avg ratio is the number that decides between a plain "
+    "shuffle, AQE skew-join, and explicit salting (operators/skew.py). "
+    "Two cheap aggs (per-key counts, then the 1-row summary); run it on "
+    "a sample before committing a 100 TB shuffle strategy.",
+)
+def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.avg("n"), 4).alias("avg_key_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        F.round(F.stddev_samp("n"), 4).alias("std_key_rows"),
+    )
