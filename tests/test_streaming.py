@@ -138,3 +138,67 @@ class TestStreamUpsertSink:
         # every streamed key present exactly once with the streamed value
         assert got.count() == batch.count()  # seeds were replaced, not duplicated
         assert got.filter(F.col("value") == -1.0).count() == 0
+
+
+class TestMultiBatchIncremental:
+    """State must carry across micro-batches: split the input into many
+    files, trigger one file per micro-batch, and require the final state
+    to equal the single-batch (and batch-mode) answer."""
+
+    @pytest.fixture(scope="class")
+    def split_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("evsplit"))
+        # 8 files, arbitrary row order — late data within watermark bounds.
+        # Split the RAW layout (ts as long) — read_events_stream owns the
+        # timestamp conversion, so the split must not pre-convert.
+        raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+        raw.repartition(8).write.parquet(d + "/events.parquet")
+        return d
+
+    def test_tumbling_agg_accumulates_across_batches(self, spark, split_dir, batch_events):
+        stream = sw.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+        agg = sw.tumbling_window_agg(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("multibatch_tumbling")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+        got = _norm(spark.sql("SELECT * FROM multibatch_tumbling"))
+        want = _norm(sw.tumbling_window_agg(batch_events))
+        assert got == want
+
+    def test_dedup_state_spans_batches(self, spark, split_dir):
+        # duplicate user_ids across different files: dedup state must
+        # remember keys seen in earlier micro-batches. The watermark must
+        # exceed the corpus's event-time span (~22 days) for EXACT global
+        # dedup — a shorter horizon correctly re-emits keys whose state
+        # expired (bounded-state contract, verified first below).
+        stream = sw.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+        bounded = sw.stream_dedup(stream, ["user_id"], watermark="10 days")
+        qb = (
+            bounded.writeStream.format("memory")
+            .queryName("multibatch_dedup_bounded")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qb.awaitTermination(180)
+        n_users = Catalog(spark, SF_SMOKE)["events"].select("user_id").distinct().count()
+        n_bounded = spark.sql("SELECT count(*) AS n FROM multibatch_dedup_bounded").collect()[0]["n"]
+        assert n_bounded >= n_users  # expiry may re-emit, never lose keys
+
+        dd = sw.stream_dedup(stream, ["user_id"], watermark="40 days")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("multibatch_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        n_users = Catalog(spark, SF_SMOKE)["events"].select("user_id").distinct().count()
+        assert spark.sql("SELECT count(*) AS n FROM multibatch_dedup").collect()[0]["n"] == n_users
