@@ -126,3 +126,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3)
     return connected_components(pairs)
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    doc="Triangle enumeration on the co-purchase graph: oriented edges "
+    "(u < v) make each triangle appear exactly once as two wedge joins "
+    "plus a closing equi-join — the standard distributed formulation "
+    "(no vertex ever sees more than its neighborhood); edge support ≥ 2 "
+    "bounds the graph. Complements the iterative connected-components "
+    "operator as the second graph-analytics primitive.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
