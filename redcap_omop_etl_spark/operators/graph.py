@@ -174,3 +174,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
         .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iters: int = 10,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Damped PageRank over an undirected edge list (each edge walks both
+    ways). Per iteration: contributions = rank/degree shipped along edges
+    (one shuffle on the destination), then the damped update — the same
+    bounded-lineage discipline as ``connected_components``
+    (``localCheckpoint`` per round keeps the plan from growing
+    exponentially across iterations). Deterministic: no RNG, fixed
+    iteration count; rows-only in the driver gate, exactness pinned by
+    pytest against a dense NumPy solve of the same matrix.
+    """
+    both = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionByName(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    both = both.localCheckpoint()
+    nodes = both.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()
+    degrees = both.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iters):
+        contribs = (
+            ranks.join(degrees, ranks.node == degrees.s)
+            .join(both, "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n) + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "graph_pagerank",
+    None,  # iterative fixpoint — rows-only in the gate; pytest pins
+    # exactness against a dense NumPy evaluation of the same recurrence
+    doc="Damped PageRank (10 iterations) on the support-2 co-purchase "
+    "graph: per-iteration one shuffle (contributions to destinations), "
+    "localCheckpoint-bounded lineage — the iterative-algorithm template "
+    "next to connected components.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return pagerank(edges)

@@ -84,3 +84,32 @@ class TestSketchReaggregation:
         assert set(approx) == set(exact)
         for t, n in exact.items():
             assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+class TestPagerank:
+    def test_matches_dense_numpy_fixpoint(self, spark):
+        import numpy as np
+
+        from redcap_omop_etl_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "u bigint, v bigint"
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+
+        nodes = [1, 2, 3, 4]
+        idx = {v: i for i, v in enumerate(nodes)}
+        und = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (3, 2), (3, 1), (4, 3)]
+        deg = np.zeros(4)
+        for s, _ in und:
+            deg[idx[s]] += 1
+        r = np.full(4, 0.25)
+        for _ in range(10):
+            c = np.zeros(4)
+            for s, d in und:
+                c[idx[d]] += r[idx[s]] / deg[idx[s]]
+            r = (1 - 0.85) / 4 + 0.85 * c
+        for v in nodes:
+            assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+        # probability mass conserved
+        assert abs(sum(got.values()) - 1.0) < 1e-6
