@@ -93,3 +93,32 @@ class TestCorruptRecordChannel:
         assert any("not json" in r["raw_line"] for r in errs)
         # conservation: every input line lands in exactly one channel
         assert clean.count() + errors.count() == 4
+
+
+class TestColumnarFormats:
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        # ORC ships in Spark core: same pushdown/pruning contract as parquet
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        p = str(tmp_path / "orders_orc")
+        o = Catalog(spark, SF_SMOKE)["orders"]
+        o.write.orc(p)
+        back = spark.read.orc(p).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "o_orderstatus" in plan
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "o_totalprice" not in read_schema  # pruned
+        assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+    def test_zstd_parquet_roundtrip(self, spark, tmp_path):
+        # zstd is the 100 TB-era codec default (better ratio than snappy
+        # at comparable speed); pin that the session can write and read it
+        p = str(tmp_path / "zstd")
+        df = spark.range(0, 10_000).withColumn("v", F.col("id") * 3)
+        df.write.option("compression", "zstd").parquet(p)
+        import glob
+
+        files = glob.glob(p + "/*.zstd.parquet")
+        assert files, "expected zstd-suffixed parquet files"
+        assert spark.read.parquet(p).agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
