@@ -5,6 +5,7 @@ Approximates the driver's t2 gate so mismatches surface before a round
 ends. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --list   # registry dump (name, module, gate)
 """
 
 from __future__ import annotations
@@ -49,6 +50,12 @@ def normalize(rows, columns):
 
 
 def main() -> int:
+    if "--list" in sys.argv:
+        workload._ensure_loaded()
+        for name, spec in sorted(workload.REGISTRY.items()):
+            mode = "oracled" if spec.oracle else "rows-only"
+            print(f"{name}\t{spec.fn.__module__}\t{mode}")
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:2]) - {sf_dir} or None)
 
