@@ -202,3 +202,38 @@ class TestMultiBatchIncremental:
         q.awaitTermination(180)
         n_users = Catalog(spark, SF_SMOKE)["events"].select("user_id").distinct().count()
         assert spark.sql("SELECT count(*) AS n FROM multibatch_dedup").collect()[0]["n"] == n_users
+
+
+class TestCheckpointRestart:
+    def test_restart_from_checkpoint_does_not_reprocess(self, spark, tmp_path):
+        from redcap_omop_etl_spark.sources.partitioned import write_partitioned
+
+        target = str(tmp_path / "target")
+        ckpt = str(tmp_path / "ckpt")
+        seed = spark.createDataFrame(
+            [(0, "view", -1.0)], "event_id long, event_type string, value double"
+        )
+        write_partitioned(seed, target, "event_type")
+
+        def run_once():
+            stream = sw.read_events_stream(spark, SF_SMOKE).select(
+                "event_id", "event_type", "value"
+            )
+            q = sw.stream_to_upsert_sink(
+                stream, target, keys=["event_id"], partition_col="event_type",
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination(120)
+            return q
+
+        q1 = run_once()
+        n_after_first = spark.read.parquet(target).count()
+        assert len(q1.recentProgress) >= 1
+
+        # second start against the SAME checkpoint and unchanged input:
+        # the source offset log says everything is committed — no batch
+        # may run, and the table must be byte-for-byte stable
+        q2 = run_once()
+        batches_with_rows = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        assert batches_with_rows == []
+        assert spark.read.parquet(target).count() == n_after_first
