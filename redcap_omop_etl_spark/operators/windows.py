@@ -625,3 +625,33 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.partitionBy(F.lit(0)).orderBy("frequency", "o_custkey")).alias("f_quartile"),
         F.ntile(4).over(W.partitionBy(F.lit(0)).orderBy("monetary", "o_custkey")).alias("m_quartile"),
     )
+
+
+@register(
+    "scd2_history",
+    """
+    SELECT user_id,
+           event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w) IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 history build from a change log: each state row gets "
+    "a validity interval closed by the next change (lead), the open "
+    "interval flagged current — one window over one shuffle on the "
+    "entity key; the reference's secondary-ID mapping kept only the "
+    "latest state, this keeps the full auditable timeline.",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
