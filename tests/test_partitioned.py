@@ -135,3 +135,33 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     assert len(glob.glob(dest + "/ds=b/*.parquet")) == 1
     got = {(r["id"], r["ds"], r["v"]) for r in spark.read.parquet(dest).collect()}
     assert got == {tuple(r) for r in base.collect()}
+
+
+def test_compact_splits_skewed_partition(spark, tmp_path):
+    from redcap_omop_etl_spark.sources.partitioned import compact
+    import glob
+
+    src = str(tmp_path / "skewsrc")
+    # ds=hot carries 200k rows with a fat payload, ds=cold 100 rows
+    hot = spark.range(0, 200_000).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("hot").alias("ds"),
+        F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("payload"),
+    )
+    cold = spark.range(0, 100).select(
+        (F.col("id") + 1_000_000).cast("int").alias("id"),
+        F.lit("cold").alias("ds"),
+        F.lit("y").alias("payload"),
+    )
+    hot.unionByName(cold).repartition(4).write.partitionBy("ds").parquet(src)
+
+    dest = str(tmp_path / "skewdest")
+    # ~2 MB advisory: the hot partition (~40 MB raw) must SPLIT into
+    # several files while cold collapses to one — REBALANCE both merges
+    # undersized and splits oversized partitions
+    compact(spark, src, dest, partition_cols="ds", target_file_bytes=2 * 1024 * 1024)
+    n_hot = len(glob.glob(dest + "/ds=hot/*.parquet"))
+    n_cold = len(glob.glob(dest + "/ds=cold/*.parquet"))
+    assert n_hot > 1, f"hot partition not split (files={n_hot})"
+    assert n_cold == 1
+    assert spark.read.parquet(dest).count() == 200_100
