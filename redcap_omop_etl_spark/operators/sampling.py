@@ -240,3 +240,52 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.try_divide(F.col("o_orderkey"), F.col("o_custkey") % 10)).cast("bigint").alias("int_div"),
         F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
     )
+
+
+def sample_fraction_by(key: Column, group: Column, fractions: dict[str, float], default: float = 0.0) -> Column:
+    """Deterministic per-group sampling predicate (``sampleBy`` analog):
+    keep a row iff its md5 bucket (0-99) falls under its group's
+    fraction. Reproducible across runs/engines/layouts — the corpus-
+    mixing primitive (upsample rare sources, downsample boilerplate).
+    """
+    b = hash_bucket(key)
+    expr = None
+    for g, frac in fractions.items():
+        cut = int(round(frac * 100))
+        cond = b < cut
+        expr = F.when(group == g, cond) if expr is None else expr.when(group == g, cond)
+    return expr.otherwise(b < int(round(default * 100)))
+
+
+@register(
+    "corpus_mixture",
+    """
+    WITH b AS (
+      SELECT source, n_chars,
+             cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           cast(sum(n_chars) AS bigint) AS chars_kept
+    FROM b
+    WHERE (source = 'src0' AND bucket < 100)
+       OR (source = 'src1' AND bucket < 50)
+       OR (source NOT IN ('src0', 'src1') AND bucket < 20)
+    GROUP BY source
+    """,
+    doc="Deterministic corpus mixing: per-source keep fractions "
+    "(100%/50%/20% default) via md5 key buckets — the reproducible "
+    "sampleBy for dataset mixtures; pure filter, no shuffle before the "
+    "per-source rollup, identical sample under any partitioning.",
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    keep = sample_fraction_by(
+        F.col("doc_id"), F.col("source"), {"src0": 1.0, "src1": 0.5}, default=0.2
+    )
+    return (
+        d.filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+    )
