@@ -289,3 +289,53 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
     )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             cast(doc_id % 16 AS int) AS pack_group,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, pack_group, n_tok,
+             cast(floor((sum(n_tok) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS int) AS bin_id
+      FROM toks
+    )
+    SELECT pack_group, bin_id,
+           count(*)             AS n_docs,
+           cast(sum(n_tok) AS bigint) AS bin_tokens
+    FROM packed
+    GROUP BY pack_group, bin_id
+    """,
+    doc="Context-window sequence packing: documents packed into ~512-token "
+    "training bins. Greedy packing is inherently sequential, so the "
+    "scalable form shards into pack_groups (hash of the key) and packs "
+    "within each by running token count — one window per group (one "
+    "shuffle), deterministic bin assignment under any layout, parallel "
+    "across groups. Start-offset binning bounds overflow to one document "
+    "per bin boundary.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from redcap_omop_etl_spark.operators.textstats import ws_tokens
+
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("pack_group"),
+        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = W.partitionBy("pack_group").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("int"),
+    )
+    return packed.groupBy("pack_group", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )
