@@ -556,3 +556,42 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), 0)).alias("n_phones"),
         F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
     )
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH {_WINNOW_SQL_CTE},
+    bench AS (
+      SELECT DISTINCT f.fp
+      FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+      WHERE d.source = 'src0'
+    ),
+    train AS (
+      SELECT f.doc_id, f.fp
+      FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+      WHERE d.source <> 'src0'
+    )
+    SELECT t.doc_id, count(DISTINCT t.fp) AS shared_fps
+    FROM train t JOIN bench b ON t.fp = b.fp
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT t.fp) >= 3
+    """,
+    doc="Train/eval decontamination: training documents sharing ≥3 winnow "
+    "fingerprints with ANY benchmark document ('src0' as the held-out "
+    "benchmark). The benchmark fingerprint set is dim-sized → broadcast "
+    "semi-style join against the training fingerprint stream; the same "
+    "bit-exact rolling-hash fingerprints as dedup_winnow, so one "
+    "fingerprint table serves dedup AND decontamination.",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    fps = winnow_fingerprints(d).join(d.select("doc_id", "source"), "doc_id")
+    bench = fps.filter(F.col("source") == "src0").select("fp").distinct()
+    train = fps.filter(F.col("source") != "src0").select("doc_id", "fp")
+    return (
+        train.join(F.broadcast(bench), "fp")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
