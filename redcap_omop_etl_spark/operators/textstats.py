@@ -595,3 +595,44 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("fp").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT w[i:i] || w[i+1:i+1] AS pair
+      FROM words, LATERAL unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="One distributed BPE iteration: adjacent-symbol pair frequencies "
+    "over the tokenized corpus — the inner loop of tokenizer training. "
+    "Pairs explode from each word via sequence+substr (codegen'd, no "
+    "Python), partial counts combine map-side, top pairs via "
+    "TakeOrderedAndProject. Iterating = apply the winning merge and "
+    "re-count, each round this same one-shuffle job.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    words = d.select(F.explode(ws_tokens(F.col("text"))).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
