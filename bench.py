@@ -45,6 +45,7 @@ HEADLINE = [
     "stream_interval_join",
     "text_quality_score",
     "docs_prep_pipeline",
+    "corpus_pipeline_full",
     "cohort_retention",
     "text_tfidf_top_terms",
     "similarity_cosine_topk",

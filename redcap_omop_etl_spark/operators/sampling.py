@@ -339,3 +339,80 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
     )
+
+
+@register(
+    "corpus_pipeline_full",
+    """
+    WITH mixed AS (
+      SELECT doc_id, source, text
+      FROM (
+        SELECT doc_id, source, text,
+               cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) % 100
+                 AS bucket
+        FROM documents
+      )
+      WHERE (source = 'src0' AND bucket < 100)
+         OR (source <> 'src0' AND bucket < 50)
+    ), gated AS (
+      SELECT doc_id, source, text FROM mixed
+      WHERE length(text) >= 100
+        AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) < 0.2
+    ), deduped AS (
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS keep_id,
+             min(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tok
+      FROM gated GROUP BY 1, 2
+    ), packed AS (
+      SELECT source, keep_id, n_tok,
+             cast(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY keep_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS int) AS bin_id
+      FROM deduped
+    )
+    SELECT source,
+           count(*)                          AS kept_docs,
+           cast(sum(n_tok) AS bigint)        AS total_tokens,
+           cast(count(DISTINCT bin_id) AS bigint) AS n_bins
+    FROM packed GROUP BY source
+    """,
+    doc="Capstone composition: deterministic mixture (100%/50%) → quality "
+    "gate → per-source exact dedup → sequence packing → per-source "
+    "corpus stats, ONE declarative plan. The mixture and gate are "
+    "scan-time filters; dedup and packing share the source-keyed "
+    "shuffle; every stage is an operator demonstrated standalone "
+    "elsewhere in the registry — this query pins that they compose "
+    "without materialization barriers.",
+)
+def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from redcap_omop_etl_spark.operators.textstats import (
+        fingerprint_md5,
+        ws_tokens,
+    )
+
+    d = Catalog(spark, sf_dir)["documents"]
+    keep = sample_fraction_by(F.col("doc_id"), F.col("source"), {"src0": 1.0}, default=0.5)
+    n = F.length("text")
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    gated = d.filter(keep).filter((n >= 100) & (n_digit / n < 0.2))
+    deduped = (
+        gated.select(
+            "source",
+            "doc_id",
+            fingerprint_md5(F.col("text")).alias("fp"),
+            F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("source", "fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.min("n_tok").alias("n_tok"))
+    )
+    w = W.partitionBy("source").orderBy("keep_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = deduped.withColumn(
+        "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("int")
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count_distinct("bin_id").alias("n_bins"),
+    )
