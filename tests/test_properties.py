@@ -167,3 +167,35 @@ class TestDeterministicSplit:
 
         with _pytest.raises(ValueError):
             split_assign(F.lit("x"), {"a": 50, "b": 20})
+
+
+class TestWinnowGuarantee:
+    """MOSS guarantee: any shared token run of length >= w + k - 1
+    (window w=4, gram k=3 → 6 tokens) yields >= 1 shared fingerprint,
+    regardless of surrounding text."""
+
+    def test_planted_overlap_always_detected(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from redcap_omop_etl_spark.operators.textstats import winnow_fingerprints
+
+        words = st.sampled_from(
+            ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            prefix=st.lists(words, min_size=0, max_size=6),
+            shared=st.lists(words, min_size=6, max_size=9),
+            suffix=st.lists(words, min_size=0, max_size=6),
+        )
+        def check(prefix, shared, suffix):
+            doc_a = " ".join(prefix + shared)
+            doc_b = " ".join(shared + suffix)
+            df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+            fps = winnow_fingerprints(df)
+            a = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+            b = {r["fp"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+            assert a & b, f"no shared fingerprint for shared run {shared}"
+
+        check()
