@@ -237,3 +237,42 @@ class TestCheckpointRestart:
         batches_with_rows = [p for p in q2.recentProgress if p["numInputRows"] > 0]
         assert batches_with_rows == []
         assert spark.read.parquet(target).count() == n_after_first
+
+
+class TestUpdateMode:
+    def test_latest_update_per_key_equals_batch(self, spark, batch_events, tmp_path):
+        # update mode re-emits a window row whenever a micro-batch changes
+        # it; the LAST emission per key must equal the batch answer
+        d = str(tmp_path / "usplit")
+        spark.read.parquet(SF_SMOKE + "/events.parquet").repartition(6).write.parquet(
+            d + "/events.parquet"
+        )
+        stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+        # update mode ENFORCES the watermark (late rows drop, unlike
+        # complete mode): the split scrambles event-time across files, so
+        # exact batch equality needs a horizon wider than the data span
+        agg = sw.tumbling_window_agg(stream, watermark="40 days")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("updmode")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) > 1
+        updates = spark.sql("SELECT * FROM updmode")
+        # the memory sink appends every update in arbitrary partition
+        # order, but the count n is MONOTONE per key across updates — the
+        # row with the max n per key is that key's final state
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_start", "event_type").orderBy(F.desc("n"))
+        final = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        got = _norm(final)
+        want = _norm(sw.tumbling_window_agg(batch_events))
+        assert got == want
