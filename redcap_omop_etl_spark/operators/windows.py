@@ -655,3 +655,40 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "event_disorder_stats",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(ts) - max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY event_id
+                                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                                             AND 1 PRECEDING)
+               AS lag_us
+      FROM events
+    )
+    SELECT round(avg(CASE WHEN lag_us < 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS disorder_rate,
+           cast(coalesce(max(CASE WHEN lag_us < 0 THEN -lag_us END), 0) AS bigint)
+             AS max_lateness_us
+    FROM seq
+    """,
+    doc="Out-of-order arrival measurement (event_id as arrival proxy): "
+    "the fraction of events arriving behind their stream's high-water "
+    "mark and the worst lateness — THE statistic that sizes a watermark "
+    "(state cost vs drop rate); one shuffle on the entity key, then a "
+    "1-row rollup.",
+)
+def event_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    lag_us = F.unix_micros("ts") - F.max(F.unix_micros("ts")).over(w)
+    seq = e.select(F.col("user_id"), lag_us.alias("lag_us"))
+    return seq.agg(
+        F.round(F.avg(F.when(F.col("lag_us") < 0, 1.0).otherwise(0.0)), 6).alias("disorder_rate"),
+        F.coalesce(F.max(F.when(F.col("lag_us") < 0, -F.col("lag_us"))), F.lit(0))
+        .cast("bigint")
+        .alias("max_lateness_us"),
+    )
