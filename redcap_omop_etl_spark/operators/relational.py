@@ -547,3 +547,35 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
     return d.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "join_key_overlap",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         b AS (SELECT DISTINCT c_custkey AS k FROM customer)
+    SELECT (SELECT count(*) FROM a)                    AS n_left,
+           (SELECT count(*) FROM b)                    AS n_right,
+           (SELECT count(*) FROM a JOIN b USING (k))   AS n_both,
+           round((SELECT count(*) FROM a JOIN b USING (k)) * 1.0
+                 / (SELECT count(*) FROM a), 6)        AS left_containment
+    FROM (VALUES (1)) t(x)
+    """,
+    doc="Pre-join key-overlap diagnostic: distinct key counts per side, "
+    "the intersection, and containment — the sanity check that catches "
+    "orphaned keys / wrong-grain joins BEFORE a 100 TB shuffle runs. "
+    "Distincts and the intersection are dim-sized aggregations of the "
+    "key columns only (full column pruning at the scans).",
+)
+def join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    a = cat["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    b = cat["customer"].select(F.col("c_custkey").alias("k")).distinct()
+    both = a.join(b, "k")
+    n_left = a.count()
+    n_right = b.count()
+    n_both = both.count()
+    return spark.createDataFrame(
+        [(n_left, n_right, n_both, round(n_both / n_left, 6))],
+        "n_left bigint, n_right bigint, n_both bigint, left_containment double",
+    )
