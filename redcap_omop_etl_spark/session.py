@@ -87,3 +87,50 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    target_tb: float = 100.0,
+    executor_cores: int = 5,
+    executor_mem_gb: int = 28,
+) -> dict[str, str]:
+    """The spark-submit conf profile for multi-executor deployment — the
+    knobs local[N] cannot exercise but a 100 TB run lives or dies on.
+    Returned as a dict so callers feed it to ``build_session(extra_conf=
+    ...)`` or render ``--conf`` flags; every key is standard public Spark.
+
+    Sizing rationale (documented in DEPLOY.md):
+    - 5 cores/executor: the classic HDFS-client throughput sweet spot;
+      more cores per JVM contend on shuffle spill and GC.
+    - Initial shuffle partitions ~ bytes/128 MB (AQE coalesces down):
+      at 100 TB that is ~800k map outputs — far beyond a static
+      ``shuffle.partitions``, which is why AQE owns the number.
+    - Dynamic allocation + shuffle tracking: the corpus-prep workload is
+      bursty (scan-heavy stages fan wide, dedup verify stages narrow).
+    - Speculation re-runs stragglers (bad disk/NIC executors) — at 1000
+      executors something is always slow; 1.5× quantile-based restart
+      caps tail latency without duplicating healthy tasks.
+    """
+    initial_partitions = max(1024, int(target_tb * 1024 * 1024 / 128))
+    return {
+        # ---- elasticity ---------------------------------------------------
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": "1200",
+        "spark.dynamicAllocation.executorIdleTimeout": "120s",
+        # ---- executor shape ----------------------------------------------
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverheadFactor": "0.15",  # Arrow/python workers
+        # ---- shuffle at scale --------------------------------------------
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(initial_partitions),
+        "spark.shuffle.compress": "true",
+        "spark.io.compression.codec": "zstd",
+        # ---- stragglers ---------------------------------------------------
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "1.5",
+        "spark.speculation.quantile": "0.9",
+        # ---- resilience ---------------------------------------------------
+        "spark.stage.maxConsecutiveAttempts": "8",
+        "spark.task.maxFailures": "8",
+    }

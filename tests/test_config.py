@@ -56,3 +56,15 @@ def test_date_shifting_requires_seconds():
 def test_missing_file_raises():
     with pytest.raises(ConfigError, match="not found"):
         load_config("/nonexistent/path.ini")
+
+
+def test_cluster_conf_profile():
+    from redcap_omop_etl_spark.session import cluster_conf
+
+    c = cluster_conf()
+    assert c["spark.dynamicAllocation.enabled"] == "true"
+    assert c["spark.speculation"] == "true"
+    # 100 TB / 128 MB map splits ≈ 800k initial partitions for AQE
+    assert int(c["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) >= 500_000
+    # every key is a plain string (spark-submit renderable)
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in c.items())
