@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         sampling,
         skew,
         stream_workload,
+        temporal,
         tpch_extra,
         similarity,
         textstats,
