@@ -1,0 +1,231 @@
+"""Time-series analytic aggregates: interval coalescing, duration-in-state,
+reset-aware counter deltas, time-weighted averages.
+
+The reference's temporal surface is scalar date arithmetic only
+(``dcc_transforms.py:40-174``); these add the hypertable-analytics family
+(TimescaleDB ``state_agg`` / ``counter_agg`` / ``time_weight`` equivalents),
+each expressed as window + hash-aggregate plans that scale:
+
+- every operator shuffles ONCE on ``user_id`` (the window partition key);
+  the follow-up aggregation reuses rows already grouped per user, and the
+  final per-key hash agg is partial-aggregated map-side;
+- all money/value arithmetic is integer **cents** (``round(value*100)`` as
+  bigint) so the cross-engine hash compare is exact — no floating-point
+  accumulation-order drift between Spark and DuckDB;
+- gaps-and-islands uses a ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING``
+  running-max frame, an order-insensitive construction whose island COUNT
+  is stable under tie reordering (equal-``lo`` intervals always merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+
+def coalesce_intervals(df: DataFrame, *, key: str, lo: str, hi: str) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal islands.
+
+    Classic gaps-and-islands: an interval starts a new island iff its ``lo``
+    exceeds the running max ``hi`` of all earlier intervals in the key's
+    timeline; the island id is the running sum of those start flags. One
+    shuffle (the window partition by ``key``); both windows and the final
+    group-by share that partitioning.
+    """
+    order = W.partitionBy(key).orderBy(lo, hi)
+    prev_max_hi = F.max(hi).over(order.rowsBetween(W.unboundedPreceding, -1))
+    with_island = df.withColumn(
+        "__new", F.when(F.col(lo) > prev_max_hi, 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(order.rowsBetween(W.unboundedPreceding, 0)))
+    return with_island.groupBy(key, "__island").agg(
+        F.min(lo).alias(lo), F.max(hi).alias(hi), F.count(F.lit(1)).alias("n_merged")
+    )
+
+
+@register(
+    "interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS lo, ts + INTERVAL 30 DAY AS hi
+      FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT user_id, lo, hi,
+             CASE WHEN lo > max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+             lo, hi
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_islands, sum(n_merged) AS n_windows,
+           max(n_merged) AS max_merged,
+           sum(floor(epoch(hi)) - floor(epoch(lo)))::BIGINT AS covered_s
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gaps-and-islands interval coalescing (merge each user's overlapping "
+    "30-day error windows into maximal islands) — running-max window + "
+    "running-sum island ids; one shuffle shared by both windows and the "
+    "rollup. The union-of-intervals primitive behind uptime/incident "
+    "coverage accounting.",
+)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("hi"),
+    )
+    merged = coalesce_intervals(iv, key="user_id", lo="lo", hi="hi")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_merged").alias("n_windows"),
+            F.max("n_merged").alias("max_merged"),
+            F.sum(F.unix_timestamp("hi") - F.unix_timestamp("lo")).alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "state_durations",
+    """
+    WITH seg AS (
+      SELECT event_type AS state,
+             floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+               - floor(epoch(ts))::BIGINT AS dur_s
+      FROM events
+    )
+    SELECT state, count(*) AS n_segments, sum(dur_s) AS total_s,
+           max(dur_s) AS max_s
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY state ORDER BY state
+    """,
+    doc="Duration-in-state (TimescaleDB state_agg): each event opens a state "
+    "segment that lasts until the user's next event (lead over the per-user "
+    "timeline); summed per state. One shuffle for the window; the small "
+    "per-state agg is map-side partial.",
+)
+def state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        F.col("event_type").alias("state"),
+        (F.unix_timestamp(F.lead("ts").over(order)) - F.unix_timestamp("ts")).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_s").alias("total_s"),
+            F.max("dur_s").alias("max_s"),
+        )
+        .orderBy("state")
+    )
+
+
+@register(
+    "counter_deltas",
+    """
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             round(value * 100)::BIGINT AS cents
+      FROM events WHERE event_type = 'click'
+    ),
+    d AS (
+      SELECT user_id,
+             cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta
+      FROM pts
+    )
+    SELECT user_id,
+           count(*) AS n_deltas,
+           sum(CASE WHEN delta >= 0 THEN delta ELSE 0 END) AS increase_cents,
+           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_resets
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Reset-aware counter deltas (TimescaleDB counter_agg): per-user "
+    "consecutive differences of a gauge, negative steps counted as resets. "
+    "Integer-cents arithmetic keeps the cross-engine hash exact; one window "
+    "shuffle, partial-aggregated rollup.",
+)
+def counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = pts.select(
+        "user_id", (F.col("cents") - F.lag("cents").over(order)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.sum(F.when(F.col("delta") >= 0, F.col("delta")).otherwise(0)).alias(
+                "increase_cents"
+            ),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("n_resets"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             round(value * 100)::BIGINT AS cents,
+             floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+               - floor(epoch(ts))::BIGINT AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           sum(cents * dur_s) AS weighted_cents_s,
+           sum(dur_s) AS total_s,
+           (sum(cents * dur_s) // sum(dur_s)) AS twa_cents_floor
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-weighted average (TimescaleDB time_weight, LOCF weighting): "
+    "each observation holds until the next one; value x duration summed in "
+    "exact integer cents-seconds, with the average reported as floor "
+    "division so the hash compare is tie-free across engines.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_timestamp(F.lead("ts").over(order)) - F.unix_timestamp("ts")).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_s")).alias("weighted_cents_s"),
+            F.sum("dur_s").alias("total_s"),
+        )
+        .withColumn(
+            "twa_cents_floor",
+            F.expr("weighted_cents_s div total_s"),
+        )
+        .orderBy("user_id")
+    )

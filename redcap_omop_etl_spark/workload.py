@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         stream_workload,
         temporal,
         tpch_extra,
+        tsanalytics,
         similarity,
         textstats,
         windows,

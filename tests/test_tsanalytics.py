@@ -1,0 +1,100 @@
+"""Time-series analytics: interval coalescing, state durations, counter
+deltas, time-weighted average — hand-computed semantics plus plan pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.operators.tsanalytics import coalesce_intervals
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    df = workload.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestCoalesceIntervals:
+    def test_overlap_touch_disjoint(self, spark):
+        # a-b overlap, b-c touch (hi == lo: merges, lo > prev_max is false),
+        # d disjoint → two islands: [00:00,00:30) x3 and [01:00,01:10) x1.
+        iv = spark.sql(
+            """SELECT * FROM VALUES
+               (1, timestamp'2024-01-01 00:00:00', timestamp'2024-01-01 00:10:00'),
+               (1, timestamp'2024-01-01 00:05:00', timestamp'2024-01-01 00:20:00'),
+               (1, timestamp'2024-01-01 00:20:00', timestamp'2024-01-01 00:30:00'),
+               (1, timestamp'2024-01-01 01:00:00', timestamp'2024-01-01 01:10:00')
+               AS t(k, lo, hi)"""
+        )
+        got = sorted(
+            (r.lo.minute, r.hi.minute, r.n_merged)
+            for r in coalesce_intervals(iv, key="k", lo="lo", hi="hi").collect()
+        )
+        assert got == [(0, 30, 3), (0, 10, 1)] or got == [(0, 10, 1), (0, 30, 3)]
+
+    def test_contained_interval_does_not_split_island(self, spark):
+        # A long interval followed by a short one fully inside it: the
+        # running max (not lag) keeps the island open past the short one.
+        iv = spark.sql(
+            """SELECT * FROM VALUES
+               (1, timestamp'2024-01-01 00:00:00', timestamp'2024-01-01 01:00:00'),
+               (1, timestamp'2024-01-01 00:10:00', timestamp'2024-01-01 00:20:00'),
+               (1, timestamp'2024-01-01 00:30:00', timestamp'2024-01-01 00:40:00')
+               AS t(k, lo, hi)"""
+        )
+        merged = coalesce_intervals(iv, key="k", lo="lo", hi="hi").collect()
+        assert len(merged) == 1 and merged[0].n_merged == 3
+
+    def test_single_data_shuffle(self, spark):
+        # window on user_id; groupBy(user_id, island) and groupBy(user_id)
+        # reuse that partitioning — the only other exchange is the output
+        # orderBy's range partitioning.
+        plan = _plan(spark, "interval_coalesce")
+        assert plan.count("Exchange") == 2, plan
+        assert "SortAggregate" not in plan, plan
+
+
+class TestStateDurations:
+    def test_hand_timeline(self, spark):
+        df = spark.sql(
+            """SELECT * FROM VALUES
+               (1, 1, timestamp'2024-01-01 00:00:00', 'view'),
+               (1, 2, timestamp'2024-01-01 00:00:10', 'click'),
+               (1, 3, timestamp'2024-01-01 00:00:40', 'view')
+               AS t(user_id, event_id, ts, event_type)"""
+        )
+        df.createOrReplaceTempView("__sd")
+        from pyspark.sql import Window as W
+
+        order = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seg = df.select(
+            F.col("event_type").alias("state"),
+            (F.unix_timestamp(F.lead("ts").over(order)) - F.unix_timestamp("ts")).alias("d"),
+        ).filter(F.col("d").isNotNull())
+        got = {r.state: r.d for r in seg.collect()}
+        assert got == {"view": 10, "click": 30}  # last event opens no segment
+
+
+class TestCounterDeltas:
+    def test_reset_detection(self, spark):
+        rows = workload.queries()["counter_deltas"](spark, SF_SMOKE).collect()
+        assert rows, "no per-user counter rows"
+        for r in rows:
+            assert r.increase_cents >= 0
+            assert 0 <= r.n_resets <= r.n_deltas
+
+    def test_agg_reuses_window_partitioning(self, spark):
+        plan = _plan(spark, "counter_deltas")
+        assert plan.count("Exchange") == 2, plan  # window hash + orderBy range
+
+
+class TestTimeWeightedAvg:
+    def test_twa_bounds(self, spark):
+        # floor(weighted avg) must sit within the observed cents range.
+        rows = workload.queries()["time_weighted_avg"](spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r.twa_cents_floor * r.total_s <= r.weighted_cents_s
+            assert (r.twa_cents_floor + 1) * r.total_s > r.weighted_cents_s
