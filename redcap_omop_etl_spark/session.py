@@ -34,9 +34,12 @@ _BASE_CONF: dict[str, str] = {
     # hash aggregation.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
-    # The test corpus writes TIMESTAMP(NANOS) parquet (events.ts), which
-    # Spark refuses by default; read as long and convert at the source
-    # boundary (sources.readers.load_table).
+    # The test corpus writes TIMESTAMP(isAdjustedToUTC=false, MICROS)
+    # parquet, which Spark 4 reads as TIMESTAMP_NTZ; load_table casts to
+    # the catalog's TimestampType at the source boundary (value-preserving
+    # under the UTC session TZ below). nanosAsLong stays on defensively so
+    # a nanos-encoded file reads as long and hits the same boundary repair
+    # instead of erroring.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # ---- python interop -------------------------------------------------

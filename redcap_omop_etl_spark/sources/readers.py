@@ -134,13 +134,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller-provided session, e.g. the driver's plain harness session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Source-boundary repair: nanosecond parquet timestamps arrive as long
-    # (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
-    # timestamps here so every operator sees the catalog type. Integer
-    # `div` keeps full precision (a double division would round micros).
+    # Source-boundary repair. The corpus writes TIMESTAMP(isAdjustedToUTC=
+    # false, MICROS), which Spark 4 reads as TIMESTAMP_NTZ; the catalog
+    # contract is TimestampType. With the session TZ pinned UTC
+    # (session.py) the NTZ->TZ cast is value-preserving, and doing it here
+    # means every operator downstream (unix_micros, range frames,
+    # stream-stream interval joins) sees one timestamp type. The bigint
+    # branch covers nanos-encoded files under nanosAsLong; integer `div`
+    # keeps full precision.
+    dtypes = dict(df.dtypes)
     for field in TABLES[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and dict(df.dtypes).get(field.name) == "bigint":
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+        if isinstance(field.dataType, T.TimestampType):
+            if dtypes.get(field.name) == "bigint":
+                df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+            elif dtypes.get(field.name) == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -26,17 +26,17 @@ from redcap_omop_etl_spark.sources.readers import TABLES
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """The events parquet as a file-source stream (schema pinned from the
-    catalog; nanos timestamps repaired at the boundary like the batch
-    reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    catalog; the corpus stores ``ts`` as TIMESTAMP(NTZ, MICROS), read as
+    timestamp_ntz and cast to the catalog's timestamp at the boundary —
+    value-preserving under the pinned-UTC session)."""
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # file-stream sources need a directory/glob (basePath must be a dir);
     # a glob over the single file keeps the parent as basePath
     raw = reader.format("parquet").load(f"{sf_dir}/events.parque[t]")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
