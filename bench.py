@@ -69,14 +69,21 @@ def main() -> None:
     # Warm the JVM + parquet footers once (excluded from per-query timing).
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # Fault-isolated: one failing query reports as "err", never kills the
+    # whole bench (a crashed bench is a zero signal; a per-query err is a
+    # precise one).
+    timings: dict[str, float | str] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
+            print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+            timings[name] = "err"
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
