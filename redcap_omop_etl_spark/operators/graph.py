@@ -91,9 +91,12 @@ def connected_components(
     WITH edges AS (
       WITH t AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
-      ), sh AS (
+      ), sh0 AS (
         SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
         FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+      ), sh AS (
+        SELECT doc_id, s FROM sh0
+        WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)
       ), sz AS (
         SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       ), inter AS (
@@ -120,11 +123,14 @@ def connected_components(
     SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
     """,
     doc="Iterative connected components over near-dup pairs → duplicate "
-    "clusters (min-label propagation; oracle = recursive-CTE closure).",
+    "clusters (min-label propagation; oracle = recursive-CTE closure). "
+    "The pair input runs with the stop-shingle guard ON (df_cap=100, "
+    "mirrored in the oracle) so the candidate join is never quadratic "
+    "on boilerplate shingles.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100)
     return connected_components(pairs)
 
 

@@ -129,6 +129,67 @@ def ann_lsh_topk(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def lsh_banded_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with LSH-band blocking — the scale path.
+
+    Candidate pairs agree on at least one signature band (``bands`` bands
+    of ``n_planes/bands`` hyperplane bits), generated by an equi-join on
+    (band, bucket) exactly like MinHash banding (dedup.py) — candidates
+    ∝ collisions, never N². Only the (id, band, bucket) triples flow
+    through the candidate join; vectors rejoin for the exact-cosine
+    verify, so precision is exact and recall is the banding S-curve
+    (pinned by pytest against the unblocked baseline).
+    """
+    bpb = n_planes // bands
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = (
+        base.select("id", hyperplane_bits(F.col("v"), n_planes, dim).alias("__sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftrightunsigned("__sig", bi * bpb)
+                            .bitwiseAND(F.lit((1 << bpb) - 1).cast("long"))
+                            .alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band", "bk.bucket")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1")
+        .join(base.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding", block_col: str | None = None
 ) -> DataFrame:
@@ -222,22 +283,55 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, qv, k=10, n_planes=8)
 
 
+def _near_dup_lsh_oracle_sql(threshold: float = 0.4, n_planes: int = 8, bands: int = 4, dim: int = 64) -> str:
+    """DuckDB mirror of ``lsh_banded_near_dup_pairs``: the plane weights
+    are the same deterministic ``_plane_weight`` values, inlined as
+    literal arrays, so both engines compute the identical signature,
+    banding, candidate set, and verified pairs."""
+    planes = []
+    for p in range(n_planes):
+        w = ", ".join(repr(_plane_weight(p, d)) for d in range(dim))
+        planes.append(f"(CASE WHEN list_dot_product(v, [{w}]) > 0 THEN {1 << p} ELSE 0 END)")
+    sig_expr = "\n           + ".join(planes)
+    bpb = n_planes // bands
+    mask = (1 << bpb) - 1
+    cos = (
+        "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 4)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT id, {sig_expr} AS s FROM e
+    ),
+    banded AS (
+      SELECT id, u.band, (s >> (u.band * {bpb})) & {mask} AS bucket
+      FROM sig, unnest(range({bands})) u(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id1, y.id AS id2
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT id1, id2, {cos} AS cos_sim
+    FROM cand JOIN e a ON cand.id1 = a.id JOIN e b ON cand.id2 = b.id
+    WHERE {cos} >= {threshold}
+    """
+
+
 @register(
     "embedding_near_dup",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
-    """,
-    doc="Embedding-cosine near-dup pairs, label-blocked (scale: LSH blocks); synthetic embeddings are near-orthogonal so τ=0.4.",
+    _near_dup_lsh_oracle_sql(threshold=0.4, n_planes=8, bands=4, dim=64),
+    doc="Embedding-cosine near-dup pairs blocked by LSH band buckets "
+    "(4 bands × 2 hyperplane bits), candidates from a (band, bucket) "
+    "equi-join + exact-cosine verify — the blocking that survives 100 TB "
+    "(label blocking collapses to a few quadratic blocks). Oracle mirrors "
+    "the deterministic plane weights; recall vs the unblocked baseline is "
+    "pinned by pytest. Synthetic embeddings are near-orthogonal so τ=0.4.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
-    return embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+    return lsh_banded_near_dup_pairs(emb, threshold=0.4, n_planes=8, bands=4, dim=64)
 
 
 # --------------------------------------------------------------------------

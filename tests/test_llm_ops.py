@@ -70,6 +70,85 @@ class TestSimhash:
             assert recall >= 0.7, f"simhash missed high-jaccard pairs: {recall}"
 
 
+class TestBandedNearDup:
+    def test_recall_vs_unblocked_and_pruning(self, emb):
+        full = {
+            (r.id1, r.id2)
+            for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        banded = {
+            (r.id1, r.id2)
+            for r in similarity.lsh_banded_near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        assert full, "fixture should contain near-dup pairs"
+        # exact-cosine verify makes the banded result a subset of ground truth
+        assert banded <= full
+        recall = len(banded) / len(full)
+        assert recall >= 0.6, f"banded recall too low: {recall}"
+
+    def test_candidate_set_shrinks(self, spark, emb):
+        n = emb.count()
+        banded = (
+            emb.select(
+                "vec_id",
+                similarity.hyperplane_bits(F.col("embedding"), 8, 64).alias("s"),
+            )
+            .select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftrightunsigned("s", b * 2)
+                                .bitwiseAND(F.lit(3).cast("long"))
+                                .alias("bucket"),
+                            )
+                            for b in range(4)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select("vec_id", "bk.band", "bk.bucket")
+        )
+        cands = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select("x.vec_id", "y.vec_id")
+            .distinct()
+            .count()
+        )
+        assert cands < n * (n - 1) // 2, "banding must prune the all-pairs space"
+
+
+class TestFuzzyBlocking:
+    def test_composite_block_shrinks_candidates(self, spark):
+        part = Catalog(spark, SF_SMOKE)["part"].select(
+            "p_partkey", "p_name", "p_size", F.substring_index("p_name", " ", 1).alias("p_tok0")
+        )
+        a, b = part.alias("a"), part.alias("b")
+        size_only = a.join(
+            b,
+            (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).count()
+        composite = a.join(
+            b,
+            (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_tok0") == F.col("b.p_tok0"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).count()
+        # the composite key multiplies block cardinality, so the quadratic
+        # candidate space collapses (9× even at the tiny smoke SF; the
+        # factor grows with data since block count scales with vocabulary)
+        assert composite < size_only / 5, (composite, size_only)
+
+
 class TestAnnLsh:
     def test_recall_vs_brute_force(self, emb):
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
