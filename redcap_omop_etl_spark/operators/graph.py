@@ -225,14 +225,57 @@ def pagerank(
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def _pagerank_oracle_sql(damping: float = 0.85, n_iters: int = 10) -> str:
+    """DuckDB mirror of ``pagerank``: the fixed-iteration recurrence is
+    mechanically unrolled into ``n_iters`` chained CTEs (DuckDB's
+    recursive-CTE form can't aggregate per round). Constants are emitted
+    exactly as the Python floats Spark folds into its plan
+    (``repr(1.0 - damping)`` is NOT the same double as ``0.15``), cast to
+    DOUBLE so both engines run the identical IEEE recurrence."""
+    teleport = repr(1.0 - damping)
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(
+            f"""r{i} AS (
+      SELECT nd.node,
+             {teleport}::DOUBLE / (SELECT n FROM nn) + {damping!r}::DOUBLE * coalesce(c.c, 0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT sym.d AS node, sum(p.rank / dg.deg) AS c
+        FROM r{i - 1} p JOIN deg dg ON p.node = dg.s JOIN sym ON sym.s = p.node
+        GROUP BY sym.d
+      ) c ON nd.node = c.node
+    )"""
+        )
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT u AS s, v AS d FROM edges UNION ALL SELECT v AS s, u AS d FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM sym),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+    {chain}
+    SELECT node, round(rank, 8) AS rank FROM r{n_iters}
+    """
+
+
 @register(
     "graph_pagerank",
-    None,  # iterative fixpoint — rows-only in the gate; pytest pins
-    # exactness against a dense NumPy evaluation of the same recurrence
+    _pagerank_oracle_sql(damping=0.85, n_iters=10),
     doc="Damped PageRank (10 iterations) on the support-2 co-purchase "
     "graph: per-iteration one shuffle (contributions to destinations), "
     "localCheckpoint-bounded lineage — the iterative-algorithm template "
-    "next to connected components.",
+    "next to connected components. Deterministic fixed-iteration "
+    "recurrence, so the oracle unrolls the same 10 steps in DuckDB.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()

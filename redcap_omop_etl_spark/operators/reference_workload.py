@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.operators.eav import unpivot_to_eav
 from redcap_omop_etl_spark.operators.phi_filter import phi_filter
-from redcap_omop_etl_spark.sinks.chunked import with_global_index
+from redcap_omop_etl_spark.sinks.chunked import map_keyed_json, with_global_index
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
@@ -142,3 +142,30 @@ def sink_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("last_key"),
         )
     )
+
+
+@register(
+    "sink_json_map_export",
+    """
+    WITH per_user AS (
+      SELECT user_id % 16 AS chunk, user_id,
+             count(*) AS n, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1, 2
+    )
+    SELECT chunk,
+           '{' || string_agg(
+               '"' || user_id || '":{"n":' || n || ',"n_types":' || n_types || '}',
+               ',' ORDER BY user_id::VARCHAR) || '}' AS payload
+    FROM per_user GROUP BY chunk
+    """,
+    doc="Reference notebook cell-13 (to_json(orient='index')): per-chunk "
+    "JSON object keyed by record id, built with map_from_entries + "
+    "to_json over sorted entries. Payload per row is bounded by the "
+    "chunk key, not the corpus, so the export scales.",
+)
+def sink_json_map_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    per_user = ev.groupBy((F.col("user_id") % 16).alias("chunk"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("event_type").alias("n_types")
+    )
+    return map_keyed_json(per_user, "user_id", ["n", "n_types"], group_col="chunk")

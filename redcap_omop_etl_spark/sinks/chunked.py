@@ -97,6 +97,29 @@ def chunk_envelopes(
     return per_chunk.select("chunk_number", "n_records", envelope.alias("envelope"))
 
 
+def map_keyed_json(
+    df: DataFrame, key_col: str, value_cols: list[str], group_col: str | None = None
+) -> DataFrame:
+    """JSON object keyed by record id — the reference notebook's
+    ``to_json(orient='index')`` export (RedCap2DataModel.ipynb cell-13),
+    complementing the array-form envelope above.
+
+    Entries are sorted by the stringified key before ``map_from_entries``
+    so the emitted object is deterministic. With ``group_col`` each group
+    emits its own map (the chunk-bounded form: payload per row stays
+    bounded at 100 TB because the grouping, not the corpus, sets its
+    size); without it, one global map (small-result exports only).
+    """
+    entry = F.struct(
+        F.col(key_col).cast("string").alias("k"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("v"),
+    )
+    agg = F.to_json(F.map_from_entries(F.sort_array(F.collect_list(entry)))).alias("payload")
+    if group_col is not None:
+        return df.groupBy(group_col).agg(agg)
+    return df.groupBy().agg(agg)
+
+
 def foreach_chunk_post(envelopes: DataFrame, transport: Callable[[str], None]) -> None:
     """POST each chunk envelope via the pluggable transport
     (redcap-etl.py:270-282). The transport runs on executors; it must be
