@@ -334,6 +334,55 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_banded_near_dup_pairs(emb, threshold=0.4, n_planes=8, bands=4, dim=64)
 
 
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH pairs AS (
+      SELECT id1, id2 FROM ({_near_dup_lsh_oracle_sql(threshold=0.4, n_planes=8, bands=4, dim=64)}) lshp
+    ),
+    sym AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+      )
+      SELECT * FROM r
+    ),
+    comps AS (
+      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component, count(*) AS n_members, min(node) AS keep_id,
+           sum(d.n_chars) AS total_chars
+    FROM comps JOIN documents d ON comps.node = d.doc_id
+    GROUP BY component
+    """,
+    doc="Semantic dedup capstone: embedding LSH-banded near-dup pairs → "
+    "connected components (transitive duplicate groups) → per-cluster "
+    "summary joined back to the documents table (members, kept "
+    "representative = min id, total chars). The full 100 TB shape: "
+    "banded candidate generation, exact verify, iterative min-label "
+    "propagation, then one broadcast-friendly join to doc metadata.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.graph import connected_components
+
+    cat = Catalog(spark, sf_dir)
+    emb, docs = cat["embeddings"], cat["documents"]
+    pairs = lsh_banded_near_dup_pairs(emb, threshold=0.4, n_planes=8, bands=4, dim=64)
+    comps = connected_components(pairs, src="id1", dst="id2")
+    members = comps.join(docs, comps.node == docs.doc_id)
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("keep_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: the second scale path the LLM-pipeline surface
 # calls for, complementing hyperplane LSH. A coarse quantizer (k-means)

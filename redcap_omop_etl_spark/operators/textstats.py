@@ -486,11 +486,14 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF top-3 terms per document: explode → per-(doc,term) counts "
     "→ per-term document frequencies → score → per-doc ranking window. "
-    "Shuffles: the two count aggs, the term join (co-partitioned at "
-    "scale), and the doc window — all on bounded keys. The corpus size N "
-    "is a driver-side scalar count folded in as a literal (one cheap "
-    "count job) so the plan carries no 1-row cross join; scores are "
-    "rounded BEFORE ranking so tie order is identical cross-engine.",
+    "Document frequency is a count() window over the term partition "
+    "instead of a groupBy+self-join: the (doc,term) table is shuffled on "
+    "term exactly once (the join formulation shuffles it twice — once for "
+    "the dfreq agg, once to co-partition for the join). Shuffles total: "
+    "tf agg, term window, doc window — all on bounded keys. The corpus "
+    "size N is a driver-side scalar count folded in as a literal (one "
+    "cheap count job) so the plan carries no 1-row cross join; scores "
+    "are rounded BEFORE ranking so tie order is identical cross-engine.",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -499,8 +502,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    # tf has one row per (doc, term), so rows-per-term-partition == df
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term"))).select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("score"),
