@@ -94,6 +94,22 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type, e.value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+    doc="Streaming §2.9: stream-static broadcast enrichment join — "
+    "stateless per micro-batch, the stream side never shuffles.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import stream_static_enrich as enrich
+
+    cat = Catalog(spark, sf_dir)
+    return enrich(cat["events"], cat["nation"])
+
+
+@register(
     "stream_interval_join",
     """
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

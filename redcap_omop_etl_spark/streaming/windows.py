@@ -175,6 +175,31 @@ def interval_join_views_purchases(
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event picks up its dimension row
+    via a broadcast hash join (``user_id % 25`` → nation key in the test
+    corpus — the synthetic stand-in for any profile/dimension lookup).
+
+    Stream-static inner joins are stateless in Structured Streaming — no
+    watermark, no state store; every micro-batch joins against the
+    (re-broadcast) static side. At 100 TB/day this is the right shape for
+    slowly-changing dimensions: the stream never shuffles, only the
+    bounded dim ships. The batch form is the identical plan, so the
+    DuckDB oracle covers it and the stream test pins stream ≡ batch.
+    """
+    keyed = events.withColumn("__dimkey", (F.col("user_id") % 25).cast("int"))
+    return (
+        keyed.join(F.broadcast(dim), keyed["__dimkey"] == dim["n_nationkey"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_name").alias("nation"),
+            "event_type",
+            "value",
+        )
+    )
+
+
 def stream_to_chunked_sink(
     stream: DataFrame,
     transport,

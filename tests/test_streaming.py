@@ -82,6 +82,15 @@ class TestStreamEqualsBatch:
         assert _norm(stream) == _norm(batch)
         assert stream.count() > 0
 
+    def test_stream_static_enrich(self, spark, batch_events, stream_events):
+        dim = Catalog(spark, SF_SMOKE)["nation"]
+        batch = sw.stream_static_enrich(batch_events, dim)
+        stream = _run_stream_to_memory(
+            spark, sw.stream_static_enrich(stream_events, dim), "t_enrich", "append"
+        )
+        assert _norm(stream) == _norm(batch)
+        assert stream.count() > 0
+
     def test_stateful_running_total_batch_form(self, spark, batch_events):
         out = sw.stateful_running_total(batch_events)
         rows = out.filter(F.col("user_id") == 1).orderBy("event_id").collect()
