@@ -193,6 +193,75 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_expectations",
+    """
+    SELECT 'o_custkey_not_null' AS check_name,
+           (count(*) FILTER (WHERE o_custkey IS NULL))::BIGINT AS violations,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_nonneg',
+           count(*) FILTER (WHERE NOT coalesce(o_totalprice >= 0, FALSE)),
+           count(*) FILTER (WHERE NOT coalesce(o_totalprice >= 0, FALSE)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)),
+           count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           count(*) - count(DISTINCT o_orderkey),
+           count(*) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_fk_customer',
+           count(*),
+           count(*) = 0
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    doc="Declarative expectations suite (V1/V3 as a first-class audit): "
+    "null/range/domain row constraints AND key uniqueness all evaluate in "
+    "ONE conditional aggregation over a single scan (the long form is an "
+    "exploded struct array over the 1-row aggregate); referential "
+    "integrity is one anti-join count against the broadcast dimension. "
+    "The pipeline gate pattern at 100 TB: two jobs total, no "
+    "per-constraint passes.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c = cat["orders"], cat["customer"]
+    row_checks = {
+        "o_custkey_not_null": F.col("o_custkey").isNotNull(),
+        "o_totalprice_nonneg": F.col("o_totalprice") >= 0,
+        "o_orderstatus_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    aggs = [
+        F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in row_checks.items()
+    ]
+    aggs.append((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("o_orderkey_unique"))
+    one = o.agg(*aggs)
+    names = [*row_checks, "o_orderkey_unique"]
+    long_form = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("check_name"), F.col(n).alias("violations"))
+                    for n in names
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    fk = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("o_custkey_fk_customer").alias("check_name"), "violations")
+    )
+    return long_form.unionByName(fk).withColumn("passed", F.col("violations") == 0)
+
+
+@register(
     "agg_boolean_suite",
     """
     SELECT event_type,
