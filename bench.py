@@ -51,7 +51,12 @@ HEADLINE = [
     "similarity_cosine_topk",
     "stream_tumbling_window",
     "stream_session_window",
+    "stream_static_enrich",
     "sink_chunk_assignment",
+    "sink_json_map_export",
+    "embedding_near_dup",
+    "dq_expectations",
+    "graph_triangle_count",
 ]
 
 
