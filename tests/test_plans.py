@@ -82,6 +82,30 @@ def test_global_sort_is_range_partitioned(spark):
     assert "SinglePartition" not in plan
 
 
+def test_stream_static_enrich_broadcasts_dim(spark):
+    # stream-static enrichment must ship only the dim: broadcast hash
+    # join, never a shuffle of the (unbounded at scale) event side
+    plan = _plan(spark, "stream_static_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_banded_near_dup_candidates_are_equi_join(spark):
+    # LSH banding must plan the candidate join as an equi-join on
+    # (band, bucket) — hash-partitioned exchange, no nested loop — so
+    # candidates scale with collisions, not N^2
+    plan = _plan(spark, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_dq_expectations_two_scans_only(spark):
+    # the whole audit = one conditional-agg scan + one anti-join scan of
+    # orders (per-constraint passes would show up as extra scans)
+    plan = _plan(spark, "dq_expectations")
+    assert plan.count("Scan parquet") <= 3, plan  # 2x orders + 1x customer
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     # row-level runtime filtering: a selective dim filter on one side of a
     # shuffle join injects a bloom filter onto the fact scan, discarding
