@@ -61,25 +61,27 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # neighbor labels: for each edge a→b, b's current label flows to a
-        neighbor = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "label")
+        # neighbor labels: for each edge a→b, b's current label flows to a;
+        # min over neighbors, then least() with own label. Folding the
+        # changed flag into the same projection means convergence detection
+        # is a filter-count over the just-checkpointed partitions — no
+        # separate old-vs-new join job per round.
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nlabel"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nlabel").alias("nmin"))
         )
         new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
@@ -204,12 +206,14 @@ def pagerank(
     both = both.localCheckpoint()
     nodes = both.select(F.col("s").alias("node")).distinct()
     n = nodes.count()
+    # degree is static — fold it into the edge list ONCE so each iteration
+    # is a single rank⋈edges join + agg instead of rank⋈degrees⋈edges
     degrees = both.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = both.join(degrees, "s").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
         contribs = (
-            ranks.join(degrees, ranks.node == degrees.s)
-            .join(both, "s")
+            ranks.join(contrib_edges, ranks.node == contrib_edges.s)
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
