@@ -199,3 +199,48 @@ class TestWinnowGuarantee:
             assert a & b, f"no shared fingerprint for shared run {shared}"
 
         check()
+
+
+class TestConnectedComponentsProperty:
+    """Min-label propagation must agree with a sequential union-find on
+    arbitrary small graphs — chains, cliques, self-loops, disjoint parts."""
+
+    def test_matches_union_find(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from redcap_omop_etl_spark.operators.graph import connected_components
+
+        edge = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+        @settings(max_examples=8, deadline=None)
+        @given(edges=st.lists(edge, min_size=1, max_size=20))
+        def check(edges):
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            def union(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+            for a, b in edges:
+                union(a, b)
+            # canonical: min node id reachable
+            expected = {x: find(x) for x in parent}
+            # path compression can leave stale roots; normalize twice
+            expected = {x: find(x) for x in parent}
+
+            df = spark.createDataFrame(edges, "d1 long, d2 long")
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df).collect()
+            }
+            assert got == expected, (edges, got, expected)
+
+        check()
