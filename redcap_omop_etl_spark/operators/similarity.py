@@ -283,10 +283,46 @@ def similarity_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
+def _sig_sql_expr(n_planes: int, dim: int) -> str:
+    """DuckDB expression computing the hyperplane signature of array ``v``
+    with the same deterministic ``_plane_weight`` values Spark folds into
+    ``hyperplane_bits``."""
+    planes = []
+    for p in range(n_planes):
+        w = ", ".join(repr(_plane_weight(p, d)) for d in range(dim))
+        planes.append(f"(CASE WHEN list_dot_product(v, [{w}]) > 0 THEN {1 << p} ELSE 0 END)")
+    return "\n           + ".join(planes)
+
+
+def _ann_lsh_oracle_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of ``ann_lsh_topk``: signatures from literal plane
+    weights; the query signature and the Hamming≤1 multiprobe predicate
+    (``bit_count(xor(s, qs)) <= 1``) are computed in SQL, then candidates
+    rank by exact cosine — identical selection on both engines."""
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT id, v, {_sig_sql_expr(n_planes, dim)} AS s FROM e),
+    q AS (SELECT s AS qs, v AS qv FROM sig WHERE id = 0),
+    scored AS (
+      SELECT id AS vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM sig, q WHERE bit_count(xor(s, qs)) <= 1
+    )
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "similarity_ann_lsh",
-    None,  # approximate + engine-specific hashing; recall pinned by pytest
-    doc="ANN top-10 via deterministic random-hyperplane LSH with multiprobe.",
+    _ann_lsh_oracle_sql(k=10, n_planes=8, dim=64),
+    doc="ANN top-10 via deterministic random-hyperplane LSH with "
+    "multiprobe (Hamming≤1 bucket probe, exact rank on candidates). "
+    "Fully oracled: DuckDB recomputes signatures from the same literal "
+    "plane weights; recall vs brute force additionally pinned by pytest.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
@@ -300,11 +336,7 @@ def _near_dup_lsh_oracle_sql(threshold: float = 0.4, n_planes: int = 8, bands: i
     are the same deterministic ``_plane_weight`` values, inlined as
     literal arrays, so both engines compute the identical signature,
     banding, candidate set, and verified pairs."""
-    planes = []
-    for p in range(n_planes):
-        w = ", ".join(repr(_plane_weight(p, d)) for d in range(dim))
-        planes.append(f"(CASE WHEN list_dot_product(v, [{w}]) > 0 THEN {1 << p} ELSE 0 END)")
-    sig_expr = "\n           + ".join(planes)
+    sig_expr = _sig_sql_expr(n_planes, dim)
     bpb = n_planes // bands
     mask = (1 << bpb) - 1
     cos = (
