@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -93,8 +94,49 @@ class RestEavReader(DataSourceReader):
         yield from synthetic_transport(partition.ids, self.fields, self.events)
 
 
+class RestEavStreamReader(SimpleDataSourceStreamReader):
+    """Incremental extract as a Structured Streaming source.
+
+    The reference's chunked fetch loop (``redcap-etl.py:99-128``) runs
+    once and exits; here the same chunk cursor becomes a streaming
+    *offset* (``{"next_id": N}``), so each micro-batch fetches the next
+    ``ids_per_batch`` record IDs through the same transport, checkpoint
+    recovery replays exactly the offset range that was in flight
+    (``readBetweenOffsets``), and every downstream streaming operator
+    (windows, dedup, foreachBatch sinks) composes with it. ``total_ids``
+    bounds the synthetic corpus; a real deployment's transport would
+    page until the server cursor is exhausted.
+    """
+
+    def __init__(self, options: dict):
+        self.ids_per_batch = int(options.get("ids_per_batch", 10))
+        self.total_ids = int(options.get("total_ids", 50))
+        fields = options.get("fields")
+        self.fields = fields.split(",") if fields else None
+        events = options.get("events")
+        self.events = events.split(",") if events else None
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def _ids(self, start: int, end: int) -> list[str]:
+        return [f"R{i:04d}" for i in range(start, end)]
+
+    def read(self, start: dict):
+        s = int(start["next_id"])
+        e = min(s + self.ids_per_batch, self.total_ids)
+        rows = list(synthetic_transport(self._ids(s, e), self.fields, self.events))
+        return iter(rows), {"next_id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        ids = self._ids(int(start["next_id"]), int(end["next_id"]))
+        return iter(synthetic_transport(ids, self.fields, self.events))
+
+
 class RestEavDataSource(DataSource):
-    """``spark.read.format("rest_eav").option("ids", "R1,R2,...")``."""
+    """``spark.read.format("rest_eav").option("ids", "R1,R2,...")`` for
+    batch; ``spark.readStream.format("rest_eav")`` for the incremental
+    cursor stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -105,6 +147,9 @@ class RestEavDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return RestEavReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> RestEavStreamReader:
+        return RestEavStreamReader(self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "RestEavWriter":
         return RestEavWriter(schema, self.options)

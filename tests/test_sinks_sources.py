@@ -121,6 +121,41 @@ class TestRestSource:
         b = sorted(map(tuple, spark.read.format("rest_eav").options(**opts).load().collect()))
         assert a == b
 
+    def test_streaming_cursor_reads_all_batches(self, spark, tmp_path):
+        # the incremental-extract stream: offset cursor walks the ID space
+        # in ids_per_batch steps; all 25 synthetic records arrive across
+        # micro-batches, exactly once (offset ranges never overlap)
+        import time
+
+        rest_source.register(spark)
+        stream = (
+            spark.readStream.format("rest_eav")
+            .option("total_ids", 25)
+            .option("ids_per_batch", 10)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_eav_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            expected = 25 * 2 * 4  # ids x events x fields
+            deadline = time.time() + 120
+            n = 0
+            while time.time() < deadline:
+                n = spark.sql("SELECT count(*) AS n FROM t_eav_stream").head()["n"]
+                if n >= expected:
+                    break
+                time.sleep(1)
+            assert n == expected, n
+            ids = spark.sql("SELECT count(DISTINCT record_id) AS i FROM t_eav_stream").head()["i"]
+            assert ids == 25
+        finally:
+            q.stop()
+
 
 class TestRestSourceWriter:
     def test_write_chunked_envelopes_with_manifest(self, spark, tmp_path):
