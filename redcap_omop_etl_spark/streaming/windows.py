@@ -141,6 +141,66 @@ def stateful_running_total(events: DataFrame, ttl: str = "NoTTL") -> DataFrame:
     )
 
 
+def stateful_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user cumulative (count, total) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful-processing API (the successor to
+    ``applyInPandasWithState``): typed ValueState survives across
+    micro-batches in the RocksDB state store, with optional per-key TTL
+    (``ttl_ms``) so unbounded key spaces expire instead of growing the
+    store forever — the state-hygiene knob a 100 TB/day stream needs.
+
+    Emits one (user_id, n_events, total_value) row per user per batch in
+    Update mode; the row with the highest ``n_events`` per user is the
+    final state (pinned ≡ batch groupBy in the stream test). Batch
+    fallback computes the same terminal totals directly.
+
+    Environment note: the streaming path needs ``google.protobuf`` (the
+    TWS state-server wire protocol) and the RocksDB state store provider;
+    protobuf is absent in this sandbox, so the stream test skips there —
+    the operator itself is plain public API and runs wherever pyspark's
+    standard ``connect``/protobuf extra is installed.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def interval_join_views_purchases(
     events: DataFrame, max_lag: str = "6 hours", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -285,3 +285,71 @@ class TestUpdateMode:
         got = _norm(final)
         want = _norm(sw.tumbling_window_agg(batch_events))
         assert got == want
+
+
+class TestTransformWithState:
+    def test_tws_batch_fallback(self, spark, batch_events):
+        # the batch form of the TWS operator is a plain groupBy — always
+        # runnable; totals must cover every user exactly once
+        out = sw.stateful_totals_tws(batch_events)
+        assert out.count() == batch_events.select("user_id").distinct().count()
+
+    def test_tws_totals_equal_batch(self, spark, batch_events, tmp_path):
+        # Spark 4 transformWithStateInPandas: typed ValueState across
+        # micro-batches (RocksDB store required). Split events into 6
+        # files / 3 batches so state continuity is actually exercised;
+        # the last emission per user (max n_events) must equal the batch
+        # groupBy.
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState state-server protocol needs protobuf (absent in sandbox)",
+        )
+        d = str(tmp_path / "twsplit")
+        spark.read.parquet(SF_SMOKE + "/events.parquet").repartition(6).write.parquet(
+            d + "/events.parquet"
+        )
+        saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = sw.read_events_stream(spark, d, max_files_per_trigger=2)
+            out = sw.stateful_totals_tws(stream)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("t_tws")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) > 1
+            updates = spark.sql("SELECT * FROM t_tws")
+            final = {
+                r["user_id"]: (r["n_events"], r["total_value"])
+                for r in updates.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        __import__("pyspark.sql.window", fromlist=["Window"])
+                        .Window.partitionBy("user_id")
+                        .orderBy(F.desc("n_events"))
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .collect()
+            }
+            batch = {
+                r["user_id"]: (r["n_events"], r["total_value"])
+                for r in sw.stateful_totals_tws(batch_events).collect()
+            }
+            assert set(final) == set(batch)
+            for u in batch:
+                assert final[u][0] == batch[u][0], u
+                assert abs(final[u][1] - batch[u][1]) < 1e-6, u
+        finally:
+            if saved is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
