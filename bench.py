@@ -71,8 +71,16 @@ def main() -> None:
     qs = workload.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + parquet footers once (excluded from per-query timing).
-    qs["q1_pricing_summary"](spark, sf_dir).count()
+    # Warm pass: execute every headline query once first so the timed pass
+    # measures steady-state execution (scan + shuffle + agg) rather than
+    # first-call JIT/codegen compilation — the component that vanishes on
+    # any long-lived cluster. Failures here are ignored; the timed pass
+    # reports them per-query.
+    for name in names:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
 
     # Fault-isolated: one failing query reports as "err", never kills the
     # whole bench (a crashed bench is a zero signal; a per-query err is a
