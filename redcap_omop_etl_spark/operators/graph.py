@@ -152,12 +152,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN edges e2 ON e1.v = e2.u
       JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
     """,
-    doc="Triangle enumeration on the co-purchase graph: oriented edges "
-    "(u < v) make each triangle appear exactly once as two wedge joins "
-    "plus a closing equi-join — the standard distributed formulation "
-    "(no vertex ever sees more than its neighborhood); edge support ≥ 2 "
-    "bounds the graph. Complements the iterative connected-components "
-    "operator as the second graph-analytics primitive.",
+    doc="Triangle enumeration on the co-purchase graph with DEGREE-ORDERED "
+    "orientation (compact-forward): every edge points from its lower-"
+    "(degree, id) endpoint, so wedges enumerate from each triangle's "
+    "lowest-degree vertex and per-vertex wedge work is bounded by "
+    "out-degree² ≤ O(E) total (id-ordered orientation lets one low-id "
+    "hub generate degree² wedges — the quadratic hot spot at scale). "
+    "Output is the sorted triple, identical to the id-oriented oracle; "
+    "edge support ≥ 2 bounds the graph. Complements the iterative "
+    "connected-components operator as the second graph-analytics "
+    "primitive.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
@@ -174,13 +178,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    return (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    inc = edges.select(F.col("u").alias("x")).unionByName(edges.select(F.col("v").alias("x")))
+    deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    directed = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    # wedges around each source; closing edge is looked up in normalized
+    # (u < v) form — p < q already by the wedge ordering
+    w = (
+        directed.alias("x")
+        .join(directed.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.d") < F.col("y.d")))
+        .select(F.col("x.s").alias("s"), F.col("x.d").alias("p"), F.col("y.d").alias("q"))
+    )
+    tri = w.join(edges, (F.col("p") == F.col("u")) & (F.col("q") == F.col("v")))
+    lo = F.least("s", "p", "q")
+    hi = F.greatest("s", "p", "q")
+    return tri.select(
+        lo.alias("a"),
+        (F.col("s") + F.col("p") + F.col("q") - lo - hi).alias("b"),
+        hi.alias("c"),
     )
 
 
