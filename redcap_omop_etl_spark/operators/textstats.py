@@ -639,3 +639,78 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges corpus-wide — the tokenizer-
+    training outer loop (``bpe_pair_counts`` is one inner iteration).
+
+    Distributed shape: symbol sequences live on the DEDUPLICATED word-
+    frequency table (vocab-sized, not corpus-sized — the standard BPE
+    trick), so each round is one explode+groupBy shuffle over the vocab
+    plus a 1-row argmax collect; the winning merge applies as a single
+    left-to-right ``aggregate`` fold over each symbol array (greedy,
+    matching the classic algorithm), ``localCheckpoint`` keeps the plan
+    O(1) deep across rounds. Ties break by pair string, so the merge
+    table is deterministic and pytest pins it against a pure-Python BPE
+    on the same corpus. Returns (rank, left, right, merged, frequency).
+    """
+    words = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select("cnt", F.split("w", "").alias("sym")).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        bigram = F.zip_with(
+            F.col("sym"),
+            F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        pairs = seqs.select("cnt", F.explode(bigram).alias("p")).filter(F.col("p").contains(" "))
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["p"].split(" ")
+        n = int(best[0]["n"])
+        merged = a + b
+        merges.append((rank, a, b, merged, n))
+        # greedy left-to-right merge of adjacent (a, b) in every sequence;
+        # try_element_at returns null on the empty accumulator (ANSI-safe)
+        seqs = seqs.withColumn(
+            "sym",
+            F.aggregate(
+                F.col("sym"),
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (t == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ),
+        ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, frequency long"
+    )
+
+
+@register(
+    "bpe_learn_merges",
+    None,  # iterative argmax loop — rows-only in the gate; pytest pins the
+    # merge table exactly against a pure-Python BPE on the same corpus
+    doc="BPE tokenizer training: learn the top-5 merges corpus-wide. Each "
+    "round = one vocab-sized explode+groupBy shuffle + 1-row argmax; the "
+    "merge applies as a greedy left-to-right fold over symbol arrays; "
+    "localCheckpoint bounds plan depth. Deterministic tie-break on the "
+    "pair string.",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn(Catalog(spark, sf_dir)["documents"], n_merges=5)

@@ -304,3 +304,48 @@ class TestRedaction:
         assert got[1] == "contact [EMAIL] or [PHONE] now"
         assert got[2] == "ssn-free but dial [PHONE]"
         assert got[3] == "no pii here"
+
+
+class TestBpeLearn:
+    """The distributed merge loop must reproduce classic BPE exactly:
+    greedy left-to-right merge application, argmax by (frequency, pair)."""
+
+    @staticmethod
+    def _python_bpe(word_counts, n_merges):
+        seqs = {w: list(w) for w in word_counts}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for w, cnt in word_counts.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + cnt
+            if not counts:
+                break
+            (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            merges.append((rank, a, b, a + b, n))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if out and out[-1] == a and s[i] == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s[i])
+                    i += 1
+                seqs[w] = out
+        return merges
+
+    def test_matches_python_reference(self, spark, docs):
+        from redcap_omop_etl_spark.operators.textstats import bpe_learn, ws_tokens
+
+        got = [tuple(r) for r in bpe_learn(docs, n_merges=5).collect()]
+        wc = {
+            r["w"]: r["cnt"]
+            for r in docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        want = self._python_bpe(wc, 5)
+        assert got == want
