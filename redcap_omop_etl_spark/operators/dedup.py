@@ -332,7 +332,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hot AS (
       SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100
     ), sh AS (
-      SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+      SELECT doc_id, s FROM sh0
+      WHERE s IS NOT NULL AND s NOT IN (SELECT s FROM hot WHERE s IS NOT NULL)
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (

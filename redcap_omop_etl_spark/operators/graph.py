@@ -98,7 +98,8 @@ def connected_components(
         FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
       ), sh AS (
         SELECT doc_id, s FROM sh0
-        WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)
+        WHERE s IS NOT NULL AND s NOT IN (
+          SELECT s FROM sh0 WHERE s IS NOT NULL GROUP BY s HAVING count(*) > 100)
       ), sz AS (
         SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       ), inter AS (

@@ -236,8 +236,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice_nonneg": F.col("o_totalprice") >= 0,
         "o_orderstatus_domain": F.col("o_orderstatus").isin("O", "F", "P"),
     }
+    # coalesce(..., 0): over an EMPTY input, sum() is NULL but the oracle's
+    # count(*) FILTER is 0 — the empty-table result must still match.
     aggs = [
-        F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(
+            F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(name)
         for name, pred in row_checks.items()
     ]
     aggs.append((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("o_orderkey_unique"))

@@ -129,6 +129,21 @@ def ann_lsh_topk(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+# The banded-pairs kernel persists its (id, vector, norm) projection for
+# the three downstream uses (banding + two verify joins). Results are lazy,
+# so the cache can't be dropped inside the function — instead at most ONE
+# such cache is kept alive per session: each call evicts the previous
+# call's block before persisting its own.
+_ACTIVE_BASE: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    while _ACTIVE_BASE:
+        _ACTIVE_BASE.pop().unpersist()
+    _ACTIVE_BASE.append(df.persist())
+    return df
+
+
 def lsh_banded_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -153,9 +168,11 @@ def lsh_banded_near_dup_pairs(
     # verify below is then a single dot-product fold per pair instead of
     # three (dot + two norms) — the dominant cost when low thresholds make
     # banding keep many candidates.
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("nrm")
-    ).persist()
+    base = _persist_tracked(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("nrm")
+        )
+    )
     banded = (
         base.select("id", hyperplane_bits(F.col("v"), n_planes, dim).alias("__sig"))
         .select(
@@ -405,7 +422,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
     )
     SELECT component, count(*) AS n_members, min(node) AS keep_id,
-           sum(d.n_chars) AS total_chars
+           sum(d.n_chars)::BIGINT AS total_chars
     FROM comps JOIN documents d ON comps.node = d.doc_id
     GROUP BY component
     """,

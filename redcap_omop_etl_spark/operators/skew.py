@@ -93,7 +93,7 @@ def salted_join(
     SELECT l_returnflag,
            round(sum(l_extendedprice::DECIMAL(10,2)
                      * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue,
-           sum(1) AS n
+           sum(1)::BIGINT AS n
     FROM lineitem
     GROUP BY l_returnflag
     """,

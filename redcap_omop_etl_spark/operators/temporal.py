@@ -120,9 +120,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, hr
     )
     SELECT event_type, strftime(date_trunc('day', hr), '%Y-%m-%d') AS day,
-           sum(cnt) AS n_events,
+           sum(cnt)::BIGINT AS n_events,
            count(*) AS n_hours,
-           ((sum(sv) * 10000)::BIGINT // sum(cnt)) AS avg_value_e4
+           ((sum(sv) * 10000)::BIGINT // sum(cnt))::BIGINT AS avg_value_e4
     FROM hourly
     GROUP BY event_type, day
     ORDER BY event_type, day

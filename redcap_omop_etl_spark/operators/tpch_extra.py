@@ -157,8 +157,15 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
     )
     exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    # Scalar percentile columns (not one array<double> column): a list-typed
+    # output cell is unhashable for pandas-based result canonicalizers, so
+    # the two quantiles are surfaced as independent doubles.
     pct = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95")
+    ).select(
+        "l_returnflag",
+        F.element_at("price_p50_p95", 1).alias("price_p50"),
+        F.element_at("price_p50_p95", 2).alias("price_p95"),
     )
     return approx.join(F.broadcast(exact), "l_returnflag").join(F.broadcast(pct), "l_returnflag")
 

@@ -71,7 +71,7 @@ def coalesce_intervals(df: DataFrame, *, key: str, lo: str, hi: str) -> DataFram
       SELECT user_id, island, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
       FROM islands GROUP BY user_id, island
     )
-    SELECT user_id, count(*) AS n_islands, sum(n_merged) AS n_windows,
+    SELECT user_id, count(*) AS n_islands, sum(n_merged)::BIGINT AS n_windows,
            max(n_merged) AS max_merged,
            sum(floor(epoch(hi)) - floor(epoch(lo)))::BIGINT AS covered_s
     FROM merged GROUP BY user_id ORDER BY user_id
@@ -111,7 +111,7 @@ def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
                - floor(epoch(ts))::BIGINT AS dur_s
       FROM events
     )
-    SELECT state, count(*) AS n_segments, sum(dur_s) AS total_s,
+    SELECT state, count(*) AS n_segments, sum(dur_s)::BIGINT AS total_s,
            max(dur_s) AS max_s
     FROM seg WHERE dur_s IS NOT NULL
     GROUP BY state ORDER BY state
@@ -155,8 +155,8 @@ def state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_deltas,
-           sum(CASE WHEN delta >= 0 THEN delta ELSE 0 END) AS increase_cents,
-           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_resets
+           sum(CASE WHEN delta >= 0 THEN delta ELSE 0 END)::BIGINT AS increase_cents,
+           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets
     FROM d WHERE delta IS NOT NULL
     GROUP BY user_id ORDER BY user_id
     """,
@@ -198,9 +198,9 @@ def counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           sum(cents * dur_s) AS weighted_cents_s,
-           sum(dur_s) AS total_s,
-           (sum(cents * dur_s) // sum(dur_s)) AS twa_cents_floor
+           sum(cents * dur_s)::BIGINT AS weighted_cents_s,
+           sum(dur_s)::BIGINT AS total_s,
+           (sum(cents * dur_s) // sum(dur_s))::BIGINT AS twa_cents_floor
     FROM seg WHERE dur_s IS NOT NULL
     GROUP BY user_id ORDER BY user_id
     """,

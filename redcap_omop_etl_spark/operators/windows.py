@@ -171,7 +171,7 @@ def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, session_seq::BIGINT AS session_seq,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*) AS n_events

@@ -11,6 +11,18 @@ Conventions for hash-stable cross-engine results:
 - Timestamps returned to the driver are formatted to strings on both sides
   (Spark session TZ is pinned UTC; DuckDB is UTC-naive).
 - Every computed column is aliased identically on both sides.
+- NO uncast integer aggregates in an oracle's OUTPUT columns: DuckDB
+  ``sum()`` over any integer type returns HUGEINT, which pandas
+  materializes as float64 while Spark's bigint stays int64 — the driver's
+  dtype-faithful value hash then fails on ``2.0 != 2`` even when values
+  match. Every integer ``sum()``/derived-integer output column must be
+  ``::BIGINT`` on the DuckDB side (``count(*)`` is already BIGINT).
+  Windowed sums INSIDE a CTE are fine; only the SELECTed output matters.
+- NO array/map/struct top-level output columns on any registered query
+  (oracled or rows-only): a list-typed cell crashes the driver's pandas
+  canonicalizer ("unhashable type: list"). Flatten to scalars
+  (``element_at``) or serialize (``to_json``/``concat_ws``).
+  Both conventions are enforced by ``tests/test_workload_conventions.py``.
 
 Registration is decentralized: operator modules call ``register`` at import
 time; ``__spark_entry__.py`` just re-exports the two dicts.
@@ -45,17 +57,68 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Queries surfaced first to the driver's (bounded) per-round correctness
-# gate: the five that round 1 flagged red (all one TIMESTAMP_NTZ root
-# cause, fixed at the source boundary) lead so the fix is driver-visible,
-# followed by registration order, which fronts the modules round 1 never
-# reached (see _ensure_loaded).
+# Queries surfaced first to the driver's (bounded, first ~50) per-round
+# correctness gate. Round-3 rotation: the 39 queries never driver-checked
+# in rounds 1–2 (sampling, similarity, tsanalytics, reference_workload,
+# temporal, skew, stream, multimodal, textstats, udafs, udtfs) lead, then
+# the two round-2 reds (both oracle-interface defects, fixed this round:
+# sessionize_gap HUGEINT→BIGINT cast; agg_approx array→scalar
+# percentiles), then spot-checks over earlier-verified modules including
+# the two oracles that gained NULL-guards this round.
 _PRIORITY = [
+    # -- never driver-checked (39) --
+    "sampling_split_counts",
+    "agg_histogram",
+    "join_null_safe",
+    "agg_sketch_reaggregation",
+    "dq_profile_orders",
+    "dq_expectations",
+    "agg_boolean_suite",
+    "try_arithmetic_suite",
+    "corpus_mixture",
+    "sequence_packing",
+    "corpus_pipeline_full",
+    "similarity_cosine_topk",
+    "similarity_topk_per_label",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_near_dup",
+    "dedup_semantic_clusters",
+    "array_hof_suite",
+    "rollup_cascade",
+    "window_moving_median",
+    "join_interval_overlap",
+    "interval_coalesce",
+    "state_durations",
+    "counter_deltas",
+    "time_weighted_avg",
+    "agg_salted_twophase",
+    "join_salted_skew",
+    "skew_key_stats",
+    "phi_filter_keep",
+    "phi_filter_errors",
+    "sink_chunk_assignment",
+    "sink_json_map_export",
+    "stream_watermark_dedup",
+    "stream_static_enrich",
+    "multimodal_frame_sample",
+    "multimodal_chunk_audio",
+    "bpe_learn_merges",
+    "udaf_geo_mean",
+    "udtf_eav_emit",
+    # -- round-2 reds, fixed this round (2) --
+    "sessionize_gap",
+    "agg_approx",
+    # -- spot-checks (9) --
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "date_anchor_shift",
-    "window_range_frame",
-    "session_paths",
-    "event_disorder_stats",
-    "stream_interval_join",
+    "eav_pivot_roundtrip",
+    "q1_pricing_summary",
+    "window_topk_per_group",
+    "stream_session_window",
+    "dedup_exact",
+    "graph_pagerank",
 ]
 
 

@@ -70,8 +70,7 @@ class TestApproxAgg:
         assert rows
         for r in rows:
             assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
-            p50, p95 = r.price_p50_p95
-            assert p50 < p95
+            assert r.price_p50 < r.price_p95
 
 
 class TestCorruptRecordChannel:

@@ -2,7 +2,16 @@
 compare row counts + column names + order-insensitive values.
 
 Approximates the driver's t2 gate so mismatches surface before a round
-ends. Usage:
+ends. Canonicalization is driver-parity: both sides are materialized as
+pandas frames (``toPandas()`` / ``.df()``), columns sorted by name, rows
+sorted via ``sort_values`` (which, like the driver, throws on list-typed
+cells), and values compared with pandas-dtype fidelity via
+``pd.util.hash_pandas_object`` — so an int64 ``2`` and a float64 ``2.0``
+do NOT match (DuckDB HUGEINT sums land as float64; oracles must cast
+``::BIGINT``). A looser string-normalized diff is printed on mismatch for
+diagnosis only.
+
+Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
     python tools/check_oracle.py --list   # registry dump (name, module, gate)
@@ -18,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 from redcap_omop_etl_spark import workload
 from redcap_omop_etl_spark.session import build_session
@@ -28,13 +38,30 @@ TABLE_NAMES = [
 ]
 
 
+def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-parity canonical form: name-sorted columns, value-sorted rows.
+
+    ``sort_values`` intentionally NOT guarded: a list/array cell raises
+    TypeError here exactly as it does in the driver's canonicalizer, so
+    the failure is locally visible.
+    """
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def frame_hashes(df: pd.DataFrame) -> list[int]:
+    # dtype-sensitive: float64 2.0 and int64 2 hash differently, matching
+    # the driver's pandas value-hash behavior.
+    return pd.util.hash_pandas_object(df, index=False).tolist()
+
+
 def norm_cell(v):
-    if v is None:
+    """Loose normalization (diagnostic only — conflates 1 and 1.0)."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "\x00NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "\x00NAN"
-        # round-trip-stable float repr; engines agree after query-side round()
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
@@ -43,10 +70,11 @@ def norm_cell(v):
     return str(v)
 
 
-def normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
-    return out
+def loose_rows(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    return sorted(
+        "\x01".join(norm_cell(r[c]) for c in cols) for _, r in df.iterrows()
+    )
 
 
 def main() -> int:
@@ -72,41 +100,63 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pd = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok?  {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
-            if not s_rows:
+            try:
+                canon_frame(s_pd)  # still must not crash the driver canonicalizer
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only result not canonicalizable "
+                      f"(driver would err): {exc}")
+                failures.append(name)
+                continue
+            print(f"ok?  {name}: rows={len(s_pd)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            if not len(s_pd):
                 failures.append(name)
             continue
         try:
-            cur = con.execute(sql)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            d_pd = con.execute(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_pd.columns) != sorted(d_pd.columns):
+            problems.append(f"columns spark={sorted(s_pd.columns)} duckdb={sorted(d_pd.columns)}")
+        if len(s_pd) != len(d_pd):
+            problems.append(f"rowcount spark={len(s_pd)} duckdb={len(d_pd)}")
         if not problems:
-            sn, dn = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
-            if sn != dn:
-                diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+            try:
+                cs, cd = canon_frame(s_pd), canon_frame(d_pd)
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: canonicalizer crash (driver would err): {exc}")
+                failures.append(name)
+                continue
+            dt_mismatch = [
+                f"{c}: spark={cs[c].dtype} duckdb={cd[c].dtype}"
+                for c in cs.columns
+                if cs[c].dtype.kind != cd[c].dtype.kind
+            ]
+            if dt_mismatch:
+                problems.append("dtype mismatch (driver hash would fail): "
+                                + "; ".join(dt_mismatch))
+            elif frame_hashes(cs) != frame_hashes(cd):
+                ls, ld = loose_rows(s_pd), loose_rows(d_pd)
+                if ls == ld:
+                    problems.append("hash mismatch with loosely-equal values "
+                                    "(sub-ulp float or dtype-width drift)")
+                else:
+                    diff = [(a, b) for a, b in zip(ls, ld) if a != b][:3]
+                    problems.append(f"values differ; first diffs: {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"PASS {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: rows={len(s_pd)} [{time.time()-t0:.1f}s]")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
     return 1 if failures else 0
 
