@@ -702,10 +702,68 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     )
 
 
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    r"""Generate a DuckDB oracle for ``bpe_learn``: n_merges unrolled
+    rounds of (pair-count → argmax → greedy merge).
+
+    Sequences are encoded as bracketed-token strings — each symbol as
+    ``\x02sym\x03`` — so applying merge (a, b) is one ``replace`` of
+    ``\x02a\x03\x02b\x03`` with ``\x02ab\x03``: every token match
+    consumes its own brackets, making ``replace``'s left-to-right
+    non-overlapping scan EXACTLY the classic greedy BPE application (and
+    the token-boundary brackets prevent prefix false-matches like
+    pattern ``(a,b)`` inside ``(a,bc)``). Ties break on the ``'a b'``
+    pair string, mirroring the Spark side's deterministic ordering.
+    """
+    lo, hi = "chr(2)", "chr(3)"
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) >= 2 GROUP BY w
+    ),
+    w1 AS (
+      SELECT cnt,
+             {lo} || array_to_string(string_split(w, ''), {hi} || {lo}) || {hi} AS r
+      FROM words
+    )""".format(lo=lo, hi=hi)
+    ]
+    for i in range(1, n_merges + 1):
+        a = f"(SELECT a FROM best{i})"
+        b = f"(SELECT b FROM best{i})"
+        parts.append(f"""
+    tok{i} AS (
+      SELECT cnt, string_split(trim(r, {lo} || {hi}), {hi} || {lo}) AS l FROM w{i}
+    ),
+    p{i} AS (
+      SELECT l[u.i] AS a, l[u.i + 1] AS b, sum(cnt) AS n
+      FROM tok{i}, LATERAL unnest(range(1, len(l))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT a, b, n FROM p{i} ORDER BY n DESC, a || ' ' || b LIMIT 1
+    ),
+    w{i + 1} AS (
+      SELECT cnt,
+             replace(r,
+                     {lo} || {a} || {hi} || {lo} || {b} || {hi},
+                     {lo} || {a} || {b} || {hi}) AS r
+      FROM w{i}
+    )""")
+        # w{n+1} is generated but unused on the last round — harmless.
+    selects = [
+        f'SELECT {i} AS rank, a AS "left", b AS "right", a || b AS merged, '
+        f"n::BIGINT AS frequency FROM best{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
 @register(
     "bpe_learn_merges",
-    None,  # iterative argmax loop — rows-only in the gate; pytest pins the
-    # merge table exactly against a pure-Python BPE on the same corpus
+    _bpe_oracle_sql(5),
     doc="BPE tokenizer training: learn the top-5 merges corpus-wide. Each "
     "round = one vocab-sized explode+groupBy shuffle + 1-row argmax; the "
     "merge applies as a greedy left-to-right fold over symbol arrays; "
