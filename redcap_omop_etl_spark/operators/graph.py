@@ -137,6 +137,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-2 co-purchase edge list (u < v), materialized once.
+
+    The w >= 2 filter prunes ~99.7% of co-purchase pairs, so the edge
+    projection is tiny — but downstream consumers (degree calc,
+    orientation, closing-edge lookup, PageRank propagation) reference it
+    under differing partitionings that defeat exchange reuse, so without
+    materialization the expensive pair-generation join recomputes per
+    branch. ``localCheckpoint`` pins the small result instead.
+    """
+    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+
+
 @register(
     "graph_triangle_count",
     """
@@ -165,20 +192,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     inc = edges.select(F.col("u").alias("x")).unionByName(edges.select(F.col("v").alias("x")))
     deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(
@@ -304,18 +318,4 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iters: int = 10) -> str:
     "recurrence, so the oracle unrolls the same 10 steps in DuckDB.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    return pagerank(edges)
+    return pagerank(_copurchase_edges(spark, sf_dir))
