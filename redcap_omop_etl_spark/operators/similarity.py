@@ -547,11 +547,92 @@ def ivf_topk(
     return topk.withColumn("rank", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))))
 
 
+def _ann_ivf_oracle_sql(
+    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+) -> str:
+    """DuckDB mirror of ``ivf_build`` + ``ivf_topk``: the k-means loop is
+    fully deterministic (lowest-id init, argmin tie-break on cluster id,
+    fixed iteration count, no RNG), so the oracle unrolls the same
+    ``n_iters`` assign/update rounds over long-form (id, dim, val)
+    tables, picks the same ``n_probes`` cells nearest the query, and
+    ranks candidates by the same rounded exact cosine."""
+    cl = "cl0"
+    rounds = []
+    for i in range(1, n_iters + 1):
+        rounds.append(f"""
+    d{i} AS (
+      SELECT el.id, {cl}.cluster, sum((el.val - {cl}.cval) ^ 2) AS d
+      FROM el JOIN {cl} ON el.dim = {cl}.dim
+      GROUP BY el.id, {cl}.cluster
+    ),
+    a{i} AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    cl{i} AS (
+      SELECT a{i}.cluster, el.dim, avg(el.val) AS cval
+      FROM a{i} JOIN el ON a{i}.id = el.id
+      GROUP BY a{i}.cluster, el.dim
+    )""")
+        cl = f"cl{i}"
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+      SELECT id, u.i AS dim, v[u.i] AS val
+      FROM e, LATERAL unnest(range(1, len(v) + 1)) u(i)
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) AS cluster, id
+      FROM (SELECT id FROM e ORDER BY id LIMIT {n_clusters})
+    ),
+    cl0 AS (
+      SELECT c0.cluster, el.dim, el.val AS cval
+      FROM c0 JOIN el ON c0.id = el.id
+    ),{",".join(rounds)},
+    afinal AS (
+      SELECT id, cluster FROM (
+        SELECT el.id, {cl}.cluster,
+               row_number() OVER (
+                 PARTITION BY el.id
+                 ORDER BY sum((el.val - {cl}.cval) ^ 2), {cl}.cluster) AS rn
+        FROM el JOIN {cl} ON el.dim = {cl}.dim
+        GROUP BY el.id, {cl}.cluster) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT {cl}.cluster
+      FROM {cl} JOIN el q ON q.id = 0 AND q.dim = {cl}.dim
+      GROUP BY {cl}.cluster
+      ORDER BY sum(({cl}.cval - q.val) ^ 2), {cl}.cluster
+      LIMIT {n_probes}
+    ),
+    qv AS (SELECT v FROM e WHERE id = 0),
+    scored AS (
+      SELECT e.id AS vec_id,
+             round(list_dot_product(e.v, qv.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+      FROM e JOIN afinal ON e.id = afinal.id, qv
+      WHERE afinal.cluster IN (SELECT cluster FROM probes)
+    )
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "similarity_ann_ivf",
-    None,  # approximate by design; recall vs brute force pinned by pytest
+    _ann_ivf_oracle_sql(n_clusters=16, n_iters=2, k=10, n_probes=4),
     doc="ANN top-10 via IVF: deterministic distributed k-means cells, "
-    "4-probe search (the second scale path next to hyperplane LSH).",
+    "4-probe search (the second scale path next to hyperplane LSH). "
+    "Fully oracled: the fixed-point-free k-means recurrence (lowest-id "
+    "init, argmin tie-break on cluster, fixed 2 iterations) is unrolled "
+    "in DuckDB over long-form (id, dim, val) tables; recall vs brute "
+    "force additionally pinned by pytest.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
