@@ -57,6 +57,18 @@ HEADLINE = [
     "embedding_near_dup",
     "dq_expectations",
     "graph_triangle_count",
+    # round-3 additions: temporal/tsanalytics rollups, skew-salted agg,
+    # graph iteration, ANN search — one per remaining operator family.
+    "rollup_cascade",
+    "interval_coalesce",
+    "time_weighted_avg",
+    "counter_deltas",
+    "agg_salted_twophase",
+    "graph_pagerank",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "sequence_packing",
+    "corpus_mixture",
 ]
 
 
