@@ -90,13 +90,18 @@ def test_stream_static_enrich_broadcasts_dim(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_banded_near_dup_candidates_are_equi_join(spark):
-    # LSH banding must plan the candidate join as an equi-join on
-    # (band, bucket) — hash-partitioned exchange, no nested loop — so
-    # candidates scale with collisions, not N^2
+def test_banded_near_dup_is_single_shuffle_bucket_gemm(spark):
+    # LSH banding must NOT plan candidate-pair generation as a join at
+    # all: the verify is one hash exchange on (band, bucket) feeding a
+    # grouped-map (blocked GEMM per bucket), so the shuffled volume is
+    # n x bands vector rows — never pair-scale, never a nested loop.
     plan = _plan(spark, "embedding_near_dup")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly one pre-GEMM exchange (the band/bucket repartition); the
+    # post-GEMM distinct adds its own small-output exchange
+    pre, _, _ = plan.partition("FlatMapGroupsInPandas")
+    assert pre.count("Exchange hashpartitioning") == 1
 
 
 def test_dq_expectations_two_scans_only(spark):
