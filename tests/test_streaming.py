@@ -98,7 +98,46 @@ class TestStreamEqualsBatch:
         assert vals == sorted(vals) or all(
             vals[i] >= 0 for i in range(len(vals))
         )  # totals accumulate (values are positive in fixture)
-        assert len(rows) > 0
+
+    def test_stateful_running_total_state_survives_batches(
+        self, spark, batch_events, tmp_path
+    ):
+        # applyInPandasWithState: GroupState must carry each user's total
+        # ACROSS micro-batches. Split events into 6 files / 6 triggers;
+        # per-event intermediate totals depend on arrival order, but with
+        # all-positive values the MAX emission per user is its final
+        # accumulated state, which must equal the batch sum — and every
+        # event must emit exactly one row.
+        d = str(tmp_path / "statesplit")
+        spark.read.parquet(SF_SMOKE + "/events.parquet").repartition(6).write.parquet(
+            d + "/events.parquet"
+        )
+        stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+        q = (
+            sw.stateful_running_total(stream)
+            .writeStream.format("memory")
+            .queryName("t_state_rt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) > 1  # state actually crossed batches
+        got = (
+            spark.sql("SELECT * FROM t_state_rt")
+            .groupBy("user_id")
+            .agg(F.max("running_total").alias("final"), F.count(F.lit(1)).alias("n"))
+        )
+        want = batch_events.groupBy("user_id").agg(
+            F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        joined = got.join(want, "user_id").collect()
+        assert len(joined) == want.count()
+        for r in joined:
+            assert abs(r.final - r.total) <= 0.02, r
+        counts = {(r.user_id, r.n) for r in got.collect()}
+        want_counts = {(r.user_id, r.n) for r in want.collect()}
+        assert counts == want_counts
 
 
 class TestForeachBatchSink:
