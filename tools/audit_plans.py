@@ -1,0 +1,141 @@
+"""Registry-wide physical-plan audit: walk every registered workload
+query and flag scale anti-patterns in its executed plan.
+
+Flags:
+- ``cartesian``      CartesianProduct — O(n*m) row explosion, never acceptable.
+- ``bnlj``           BroadcastNestedLoopJoin — acceptable ONLY when the
+                     broadcast side is provably tiny (scalar subquery,
+                     bounded dim); each use must be allowlisted.
+- ``row-udf``        BatchEvalPython — row-at-a-time Python in the hot
+                     path (Arrow/pandas paths show as ArrowEvalPython /
+                     FlatMapGroupsInPandas and are NOT flagged).
+- ``global-window``  a Window with no partition spec — all rows through
+                     one task; acceptable only over bounded (dim-sized /
+                     LIMIT-k) intermediates, allowlisted per query.
+
+Usage: python tools/audit_plans.py [sf_dir]
+Exit 1 if any un-allowlisted flag fires. ``tests/test_plan_audit.py``
+runs the same audit in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Each allowlisted (query, flag) carries its justification — the audit is
+# the documentation.
+ALLOWED: dict[tuple[str, str], str] = {
+    ("q11_important_suppliers", "bnlj"): "scalar threshold subquery: 1-row broadcast",
+    ("q22_idle_customers", "bnlj"): "scalar avg-balance subquery: 1-row broadcast",
+    ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
+    "band dimension (a handful of rows); the theta-join form IS the operator",
+    ("similarity_ann_ivf", "bnlj"): "vectors x broadcast centroid table "
+    "(n_clusters=16 rows) — the IVF assignment join by construction",
+    ("udtf_eav_emit", "row-udf"): "Python UDTF lateral-emit API surface "
+    "(SURVEY 2.10) — the UDTF protocol is row-wise by definition",
+    ("similarity_cosine_topk", "global-window"): "rank over the LIMIT-k "
+    "survivors (k=10 rows)",
+    ("similarity_ann_lsh", "global-window"): "rank over the LIMIT-k survivors",
+    ("similarity_ann_ivf", "global-window"): "centroid-init row_number over "
+    "LIMIT n_clusters (16) + rank over LIMIT-k survivors",
+    ("rfm_segmentation", "global-window"): "ntile quartiles are global by "
+    "definition; input is the per-customer aggregate (dim-sized next to the "
+    "orders fact it summarizes)",
+    ("sql_api_revenue_rank", "global-window"): "rank over per-nation revenue "
+    "(25 rows)",
+    ("revenue_share_window", "global-window"): "percent-of-total over the "
+    "per-flag aggregate (3 rows)",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("bnlj")
+    if "BatchEvalPython" in plan:
+        flags.append("row-udf")
+    if _has_global_window(plan):
+        flags.append("global-window")
+    return flags
+
+
+def _group_bodies(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan line (bracket-balanced)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _has_global_window(plan: str) -> bool:
+    for raw in plan.splitlines():
+        line = raw.strip()
+        while line[:1] in "+-: *":
+            line = line[1:].lstrip()
+        # match physical Window operators: "Window [..." or "(12) Window"
+        if line.startswith("Window "):
+            body = line[len("Window "):]
+        elif line.startswith("WindowGroupLimit"):
+            continue
+        else:
+            continue
+        # Full form: Window [exprs], [partitionSpec], [orderSpec].
+        # An unordered-but-partitioned window prints 2 groups with the
+        # partition spec second; a GLOBAL ordered window also prints 2
+        # groups but the second is the order spec (ASC/DESC markers).
+        groups = _group_bodies(body)
+        if len(groups) < 2:
+            return True
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            return True
+    return False
+
+
+def main() -> int:
+    from redcap_omop_etl_spark import workload
+    from redcap_omop_etl_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session("audit_plans")
+    failures = []
+    for name, fn in workload.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR  {name}: {type(exc).__name__}: {exc}")
+            failures.append((name, "build-error"))
+            continue
+        flags = audit_plan(name, plan)
+        bad = [f for f in flags if (name, f) not in ALLOWED]
+        ok = [f for f in flags if (name, f) in ALLOWED]
+        if bad:
+            print(f"FAIL {name}: {bad}")
+            failures.extend((name, f) for f in bad)
+        elif ok:
+            print(f"ok   {name}: allowlisted {ok}")
+    print(f"\n{len(failures)} un-allowlisted flags")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
