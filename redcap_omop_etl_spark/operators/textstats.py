@@ -210,6 +210,33 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+           count(*) FILTER (WHERE props->>'$.k' IS NULL) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured processing via Spark 4 VARIANT (the successor to "
+    "string-path JSON): ``parse_json`` builds the binary variant once, "
+    "``try_variant_get`` extracts a typed path (NULL on missing/shape "
+    "mismatch instead of throwing), then a plain aggregate — the modern "
+    "open-format pattern for ragged JSON at scale (variant decode is "
+    "columnar, not per-row string re-parsing). Oracle uses DuckDB's JSON "
+    "path operators on the same column.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing"),
+    )
+
+
+@register(
     "string_suite",
     """
     SELECT doc_id,

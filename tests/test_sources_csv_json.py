@@ -73,6 +73,30 @@ class TestApproxAgg:
             assert r.price_p50 < r.price_p95
 
 
+class TestVariantType:
+    def test_variant_typed_extract_and_miss_semantics(self, spark):
+        # Spark 4 VARIANT: parse once, typed path extraction; a missing
+        # path or shape mismatch yields NULL (try_), never an exception
+        df = spark.createDataFrame(
+            [('{"k": 7, "tags": ["a", "b"]}',), ('{"other": 1}',), ("not json",)],
+            "props string",
+        ).select(
+            F.try_variant_get(F.try_parse_json("props"), "$.k", "long").alias("k"),
+            F.try_variant_get(F.try_parse_json("props"), "$.tags[1]", "string").alias("t1"),
+        )
+        rows = df.collect()
+        assert [r.k for r in rows] == [7, None, None]
+        assert [r.t1 for r in rows] == ["b", None, None]
+
+    def test_schema_of_variant_reports_object_shape(self, spark):
+        got = (
+            spark.createDataFrame([('{"k": 1}',)], "props string")
+            .select(F.schema_of_variant(F.parse_json("props")).alias("s"))
+            .head()["s"]
+        )
+        assert "OBJECT" in got and "k" in got
+
+
 class TestCorruptRecordChannel:
     def test_permissive_json_splits_clean_and_errors(self, spark, tmp_path):
         from redcap_omop_etl_spark.functions.errors import read_json_with_errors
