@@ -69,6 +69,11 @@ HEADLINE = [
     "similarity_ann_ivf",
     "sequence_packing",
     "corpus_mixture",
+    # round-3 late additions: fully-oracled simhash, corpus-global
+    # boilerplate marking, Gopher repetition stats.
+    "dedup_simhash",
+    "text_boilerplate_ngrams",
+    "text_repetition_stats",
 ]
 
 

@@ -14,12 +14,19 @@ path:
 - **MinHash + LSH** (scale path): k hash functions over shingle hashes →
   signature → bands → bucket-join candidates → exact-Jaccard verify.
   Candidate generation is linear in documents × bands; the verify join
-  touches only bucket collisions. Hash = xxhash64 (Spark-deterministic),
-  so this query is rows-only for the DuckDB oracle; its recall/precision
-  against the exact operator is pinned by pytest.
-- **SimHash**: 64-bit signed-projection fingerprint from token hashes;
+  touches only bucket collisions.
+- **SimHash**: 60-bit signed-projection fingerprint from token hashes;
   near-dups = fingerprints within Hamming distance d, blocked by
   band-exactness (pigeonhole) to avoid the quadratic compare.
+
+Hash discipline: both sketches run on ``portable_hash60`` — the first 60
+bits of md5, identical in Spark (``conv(substring(md5(x),1,15),16,10)``)
+and DuckDB (``('0x'||substring(md5(x),1,15))::BIGINT``) — so BOTH
+probabilistic dedup queries are fully DuckDB-oracled end-to-end (bands,
+buckets, verify). md5 costs more per shingle than xxhash64 but stays
+JVM-side whole-stage-codegen; swapping ``portable_hash60`` for
+``F.xxhash64`` is a one-line throughput upgrade when cross-engine
+reproducibility isn't needed.
 """
 
 from __future__ import annotations
@@ -34,6 +41,17 @@ from redcap_omop_etl_spark.workload import register
 # Mersenne-31 prime for the (a*h + b) mod p minhash family. 31-bit hash
 # space keeps a*h < 2^62 — no signed-long overflow under ANSI arithmetic.
 _MERSENNE_P = (1 << 31) - 1
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash reproducible bit-for-bit in Spark and DuckDB.
+
+    First 15 hex chars of md5 as a non-negative bigint (< 2^60). DuckDB
+    equivalent: ``('0x' || substring(md5(x), 1, 15))::BIGINT``. This is
+    what lets MinHash-LSH and SimHash be hash-checked against a DuckDB
+    oracle end-to-end instead of rows-only.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -123,9 +141,9 @@ def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     the 64 signature expressions).
     """
     sh = shingles(F.col(text_col), n)
-    # pmod keeps the reduced hash non-negative without abs() (abs(MIN_LONG)
-    # overflows under ANSI arithmetic).
-    hashed = F.array_distinct(F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))))
+    # portable_hash60 is non-negative (< 2^60), so plain % p is already a
+    # pmod — and the whole reduction replays exactly in the DuckDB oracle.
+    hashed = F.array_distinct(F.transform(sh, lambda s: portable_hash60(s) % _MERSENNE_P))
     return fan_out(df).select(F.col(id_col).alias("doc"), hashed.alias("hashes"))
 
 
@@ -190,11 +208,14 @@ def minhash_lsh_pairs(
             F.explode(
                 F.array(
                     *[
+                        # Bucket key = the band's raw signature slice (a
+                        # short "_"-joined string) so the banding replays
+                        # verbatim in the DuckDB oracle; a fixed-width
+                        # rehash (xxhash64) of it is an optional shuffle-
+                        # width optimization, not a semantic change.
                         F.struct(
                             F.lit(bi).alias("band"),
-                            F.xxhash64(F.concat_ws("_", *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])).alias(
-                                "bucket"
-                            ),
+                            F.concat_ws("_", *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]).alias("bucket"),
                         )
                         for bi in range(bands)
                     ]
@@ -230,21 +251,23 @@ def minhash_lsh_pairs(
     return verified.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
+_SIMHASH_BITS = 60
+
+
 def simhash64(text: Column, n_grams: int = 1) -> Column:
-    """64-bit SimHash of the token stream: per-bit signed votes weighted by
-    token hashes, sign → bit. Pure higher-order-function arithmetic."""
+    """60-bit SimHash of the token stream: per-bit signed votes from
+    ``portable_hash60`` token hashes, sign → bit. Pure higher-order-function
+    arithmetic, and — because the hash is md5-derived — bit-for-bit
+    reproducible in the DuckDB oracle. (60 bits, not 64: the portable hash
+    is 15 hex chars so the top nibble stays clear of the sign bit.)"""
     toks = ws_tokens(normalized_text(text)) if n_grams == 1 else shingles(text, n_grams)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: portable_hash60(t))
 
-    def bit_mask(b: int) -> int:
-        # bit 63 is the sign bit: 1<<63 overflows signed long, use min-long
-        return (1 << b) if b < 63 else -(1 << 63)
-
-    masks = [F.lit(bit_mask(b)).cast("long") for b in range(64)]
-    # Single fold updating all 64 per-bit vote counters at once (HOF
+    masks = [F.lit(1 << b).cast("long") for b in range(_SIMHASH_BITS)]
+    # Single fold updating all 60 per-bit vote counters at once (HOF
     # lambdas are interpreted — pass count, not per-element math, is the
     # cost driver; see _minhash_sig).
-    init = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+    init = F.array(*[F.lit(0).cast("long") for _ in range(_SIMHASH_BITS)])
 
     def step(acc: Column, h: Column) -> Column:
         votes = F.array(*[F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1) for m in masks])
@@ -264,14 +287,16 @@ def simhash64(text: Column, n_grams: int = 1) -> Column:
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into
-    ``max_hamming + 1`` segments; any pair within distance d agrees on ≥1
-    segment, so candidates are an equi-join on (segment_idx, segment
-    value) — never a full cross-product. Distance is verified exactly via
-    popcount on the XOR.
+    Pigeonhole blocking: split the 60-bit fingerprint into
+    ``max_hamming + 1`` segments; d differing bits can spoil at most d of
+    the d+1 segments (bits past ``nseg * seg_bits`` only make a segment
+    agree more often), so any pair within distance d agrees on ≥1 segment
+    and candidates are an equi-join on (segment_idx, segment value) —
+    never a full cross-product. Distance is verified exactly via popcount
+    on the XOR.
     """
     nseg = max_hamming + 1
-    seg_bits = 64 // nseg
+    seg_bits = _SIMHASH_BITS // nseg
     fp = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
     segs = fp.select(
         "doc",
@@ -298,7 +323,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
+        cand.withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
@@ -358,8 +383,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based — not reproducible in DuckDB; pinned by pytest vs exact
-    doc="MinHash-LSH near-dup (scale path): banding candidates + exact verify.",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+    ), hs AS (
+      SELECT DISTINCT doc_id AS doc,
+             ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM sh0 WHERE s IS NOT NULL
+    ), params AS (
+      SELECT r.i, 2 * r.i + 1 AS a, (104729 * (r.i + 1)) % 2147483647 AS b
+      FROM unnest(range(64)) r(i)
+    ), sigs AS (
+      SELECT doc, i, min((h * a + b) % 2147483647) AS sig
+      FROM hs CROSS JOIN params GROUP BY doc, i
+    ), banded AS (
+      SELECT doc, i // 4 AS band, string_agg(sig::VARCHAR, '_' ORDER BY i) AS bucket
+      FROM sigs GROUP BY doc, i // 4
+    ), cand AS (
+      SELECT DISTINCT x.doc AS d1, y.doc AS d2
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
+    ), sz AS (
+      SELECT doc, count(*) AS sz FROM hs GROUP BY doc
+    ), inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN hs a ON a.doc = c.d1
+      JOIN hs b ON b.doc = c.d2 AND a.h = b.h
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+    WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
+    """,
+    doc="MinHash-LSH near-dup (scale path): banding candidates + exact "
+    "verify, fully DuckDB-oracled — 64 (a·h+b) mod p permutations over "
+    "portable md5-derived 31-bit shingle hashes, 16 bands × 4 rows, "
+    "bucket self-join, exact-Jaccard verify on candidates only.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6)
@@ -367,8 +430,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based — pinned by pytest
-    doc="SimHash near-dup with pigeonhole blocking (Hamming ≤ 3).",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), th AS (
+      SELECT doc, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN unnest(range(60)) r(b)
+      GROUP BY doc, r.b
+    ), fp AS (
+      SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+      FROM votes GROUP BY doc
+    ), segs AS (
+      SELECT doc, fp, r.seg, (fp >> (r.seg * 15)) & 32767 AS val
+      FROM fp CROSS JOIN unnest(range(4)) r(seg)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS d1, y.doc AS d2, x.fp AS fp1, y.fp AS fp2
+      FROM segs x JOIN segs y
+        ON x.seg = y.seg AND x.val = y.val AND x.doc < y.doc
+    )
+    SELECT d1, d2, bit_count(xor(fp1, fp2))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+    """,
+    doc="SimHash near-dup with pigeonhole blocking (Hamming ≤ 3), fully "
+    "DuckDB-oracled: 60-bit signed-vote fingerprint over portable "
+    "md5-derived token hashes, 4 × 15-bit segment blocking, exact "
+    "popcount verify.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(Catalog(spark, sf_dir)["documents"], max_hamming=3)

@@ -291,6 +291,37 @@ def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argminmax_bitops",
+    """
+    SELECT o_orderpriority,
+           strftime(min_by(o_orderdate, o_orderkey), '%Y-%m-%d') AS first_keyed_date,
+           strftime(max_by(o_orderdate, o_orderkey), '%Y-%m-%d') AS last_keyed_date,
+           bit_and(o_orderkey % 1024 + 1024) AS key_and,
+           bit_or(o_custkey % 4096)    AS cust_or,
+           bit_xor(o_custkey)          AS cust_xor,
+           count(*)::BIGINT            AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Argmin/argmax (min_by/max_by on the unique order key, so ties are "
+    "impossible and the result is engine-deterministic) plus the bitwise "
+    "aggregate family (bit_and/bit_or/bit_xor — commutative, so map-side "
+    "partials merge exactly like sums). One hash-agg shuffle on the "
+    "5-value priority key.",
+)
+def agg_argminmax_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.date_format(F.min_by("o_orderdate", "o_orderkey"), "yyyy-MM-dd").alias("first_keyed_date"),
+        F.date_format(F.max_by("o_orderdate", "o_orderkey"), "yyyy-MM-dd").alias("last_keyed_date"),
+        F.bit_and(F.col("o_orderkey") % 1024 + 1024).alias("key_and"),
+        F.bit_or(F.col("o_custkey") % 4096).alias("cust_or"),
+        F.bit_xor("o_custkey").alias("cust_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "try_arithmetic_suite",
     """
     SELECT o_orderkey,

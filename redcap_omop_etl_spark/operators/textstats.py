@@ -799,3 +799,136 @@ def _bpe_oracle_sql(n_merges: int = 5) -> str:
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(Catalog(spark, sf_dir)["documents"], n_merges=5)
+
+
+# --------------------------------------------------------------------------
+# Corpus-level repetition / boilerplate analysis (Gopher + RefinedWeb style)
+# --------------------------------------------------------------------------
+def grams_with_repeats(toks: Column, n: int) -> Column:
+    """Complete word n-grams WITH repeats (array<string>), for frequency
+    statistics — unlike ``dedup.shingles`` this neither dedups nor keeps a
+    partial gram for short docs: a doc with < n tokens yields an empty
+    array. Same single-pass ``zip_with`` construction (pass count is the
+    cost driver for interpreted HOF lambdas)."""
+    sz = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), g2 AS (
+      SELECT doc_id, w[u.i] || ' ' || w[u.i+1] AS g
+      FROM t, unnest(range(1, greatest(len(w), 2))) u(i)
+      WHERE w[u.i+1] IS NOT NULL
+    ), c2 AS (
+      SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+    ), s2 AS (
+      SELECT doc_id, max(c)::BIGINT AS mx, sum(c)::BIGINT AS tot FROM c2 GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS g
+      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+      WHERE w[u.i+2] IS NOT NULL
+    ), c3 AS (
+      SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+    ), s3 AS (
+      SELECT doc_id, sum(c - 1)::BIGINT AS dup, sum(c)::BIGINT AS tot FROM c3 GROUP BY 1
+    )
+    SELECT s2.doc_id,
+           round(s2.mx * 1.0 / s2.tot, 6) AS top2gram_share,
+           round(s3.dup * 1.0 / s3.tot, 6) AS dup3gram_frac,
+           CASE WHEN s2.mx * 1.0 / s2.tot <= 0.2 AND s3.dup * 1.0 / s3.tot <= 0.3
+                THEN 1 ELSE 0 END AS rep_keep
+    FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+    """,
+    doc="Gopher-style repetition filter: per-document share of the most "
+    "frequent 2-gram and fraction of duplicated 3-gram occurrences, plus "
+    "the keep gate (<=0.2 / <=0.3). Plan: two explode->groupBy chains "
+    "(map-side combinable, keyed on (doc, gram) so cardinality is bounded "
+    "by corpus token count) joined on doc_id. No Python, no windows.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+
+    def per_doc(n: int, agg_cols):
+        return (
+            d.select("doc_id", F.explode(grams_with_repeats(toks, n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(*agg_cols)
+        )
+
+    s2 = per_doc(2, [F.max("c").alias("mx"), F.sum("c").alias("tot2")])
+    s3 = per_doc(3, [F.sum(F.col("c") - 1).alias("dup"), F.sum("c").alias("tot3")])
+    top_share = F.col("mx") / F.col("tot2")
+    dup_frac = F.col("dup") / F.col("tot3")
+    return (
+        s2.join(s3, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_share, 6).alias("top2gram_share"),
+            F.round(dup_frac, 6).alias("dup3gram_frac"),
+            F.when((top_share <= 0.2) & (dup_frac <= 0.3), 1).otherwise(0).alias("rep_keep"),
+        )
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), occ AS (
+      SELECT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS g
+      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+      WHERE w[u.i+2] IS NOT NULL
+    ), dfreq AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g
+    ), hot AS (
+      SELECT g FROM dfreq WHERE df >= 5
+    )
+    SELECT o.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hot,
+           round(sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hot_frac,
+           CASE WHEN sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) <= 0.3
+                THEN 1 ELSE 0 END AS bp_keep
+    FROM occ o LEFT JOIN hot h ON o.g = h.g
+    GROUP BY o.doc_id
+    """,
+    doc="Corpus-global boilerplate detection (RefinedWeb/CCNet line-dedup "
+    "shape, adapted to unsegmented text): 3-grams appearing in >=5 distinct "
+    "documents form the corpus-wide hot list; each document is scored by "
+    "the fraction of its gram occurrences that are boilerplate, with a "
+    "keep gate at 30%. Plan: explode -> distinct-doc df -> hot heavy-"
+    "hitter list (size bounded by total_occurrences/df_min, broadcast) -> "
+    "broadcast left join mark -> per-doc re-agg. At 100 TB the hot list is "
+    "exactly the thing you'd pin in memory; everything else is one "
+    "map-side-combinable shuffle per stage.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g"))
+    dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
+    marked = occ.join(F.broadcast(hot), "g", "left")
+    n_hot = F.sum(F.coalesce(F.col("is_hot"), F.lit(0)))
+    n_grams = F.count(F.lit(1))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            n_grams.alias("n_grams"),
+            n_hot.alias("n_hot"),
+            F.round(n_hot / n_grams, 6).alias("hot_frac"),
+            F.when(n_hot / n_grams <= 0.3, 1).otherwise(0).alias("bp_keep"),
+        )
+    )

@@ -109,16 +109,19 @@ _PRIORITY = [
     # -- round-2 reds, fixed this round (2) --
     "sessionize_gap",
     "agg_approx",
-    # -- spot-checks (9) --
+    # -- newly oracled / net-new this round (5): minhash+simhash moved to
+    # the portable md5 hash so their full LSH pipelines hash-check against
+    # DuckDB; repetition/boilerplate/argminmax are new operators --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_repetition_stats",
+    "text_boilerplate_ngrams",
+    "agg_argminmax_bitops",
+    # -- spot-checks (4) --
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "date_anchor_shift",
-    "eav_pivot_roundtrip",
     "q1_pricing_summary",
-    "window_topk_per_group",
     "stream_session_window",
-    "dedup_exact",
-    "graph_pagerank",
 ]
 
 
