@@ -254,34 +254,34 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 60
 
 
-def simhash64(text: Column, n_grams: int = 1) -> Column:
-    """60-bit SimHash of the token stream: per-bit signed votes from
-    ``portable_hash60`` token hashes, sign → bit. Pure higher-order-function
-    arithmetic, and — because the hash is md5-derived — bit-for-bit
-    reproducible in the DuckDB oracle. (60 bits, not 64: the portable hash
-    is 15 hex chars so the top nibble stays clear of the sign bit.)"""
-    toks = ws_tokens(normalized_text(text)) if n_grams == 1 else shingles(text, n_grams)
-    hashes = F.transform(toks, lambda t: portable_hash60(t))
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, fp): 60-bit SimHash per document — per-bit signed votes from
+    ``portable_hash60`` token hashes, sign → bit; md5-derived, so it
+    replays bit-for-bit in the DuckDB oracle.
 
-    masks = [F.lit(1 << b).cast("long") for b in range(_SIMHASH_BITS)]
-    # Single fold updating all 60 per-bit vote counters at once (HOF
-    # lambdas are interpreted — pass count, not per-element math, is the
-    # cost driver; see _minhash_sig).
-    init = F.array(*[F.lit(0).cast("long") for _ in range(_SIMHASH_BITS)])
-
-    def step(acc: Column, h: Column) -> Column:
-        votes = F.array(*[F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1) for m in masks])
-        return F.zip_with(acc, votes, lambda x, y: x + y)
-
-    bit_votes = F.aggregate(hashes, init, step)
-    # Reference bit_votes exactly once (interpreted expressions get no
-    # common-subexpression elimination): zip votes with masks, fold to the
-    # fingerprint.
-    return F.aggregate(
-        F.zip_with(bit_votes, F.array(*masks), lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    Shape: explode tokens → ONE hash per row → groupBy(doc) with 60
+    codegen'd conditional sums (map-side combinable: the shuffle carries
+    one 60-long partial per doc per mapper, not tokens). This beats the
+    per-row higher-order-function fold ~4× at sf0.1: HOF lambdas evaluate
+    interpreted per element, while the 60 ``sum(CASE…)`` aggregates stay
+    inside whole-stage codegen. (60 bits, not 64: the portable hash is 15
+    hex chars so the top nibble stays clear of the sign bit.)
+    """
+    tok = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(ws_tokens(normalized_text(F.col(text_col)))).alias("t"),
     )
+    hashed = tok.select("doc", portable_hash60(F.col("t")).alias("h"))
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc").agg(*votes)
+    fp = None
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc", fp.alias("fp"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -297,7 +297,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     """
     nseg = max_hamming + 1
     seg_bits = _SIMHASH_BITS // nseg
-    fp = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    # Pin the fingerprint table: the segment self-join references it on
+    # both sides and the doc-keyed agg exchange is NOT reused across alias
+    # branches, so without this the tokenize→hash→60-sum pipeline runs
+    # twice. One long per document — negligible storage at any scale.
+    fp = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
     segs = fp.select(
         "doc",
         "fp",

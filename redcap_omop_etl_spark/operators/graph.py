@@ -226,15 +226,24 @@ def pagerank(
     n_iters: int = 10,
     src_col: str = "u",
     dst_col: str = "v",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Damped PageRank over an undirected edge list (each edge walks both
-    ways). Per iteration: contributions = rank/degree shipped along edges
-    (one shuffle on the destination), then the damped update — the same
-    bounded-lineage discipline as ``connected_components``
-    (``localCheckpoint`` per round keeps the plan from growing
-    exponentially across iterations). Deterministic: no RNG, fixed
-    iteration count; rows-only in the driver gate, exactness pinned by
-    pytest against a dense NumPy solve of the same matrix.
+    ways). Per iteration: ranks join the static degree-annotated edge
+    list, contributions ship to destinations, and the damped update is
+    FUSED into the destination aggregate — one shuffle per round, with
+    ``localCheckpoint`` bounding lineage (same discipline as
+    ``connected_components``). The dangling-node left-join is omitted on
+    purpose: the symmetrized edge list gives every node in-degree ≥ 1,
+    so the destination aggregate already covers the full node set.
+
+    ``broadcast_ranks=True`` (default) broadcasts the rank table into the
+    edge join, so the big, static edge list is never reshuffled — the
+    GraphX/Pregel-style plan: ranks are O(nodes) (a long + a double per
+    node; ~1 GB per 60M nodes) while edges are 10-100× that. For graphs
+    whose rank table exceeds executor memory, set False to fall back to
+    a partitioned shuffle join. Deterministic: no RNG, fixed iteration
+    count; exactness pinned by pytest against a dense NumPy solve.
     """
     both = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionByName(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
@@ -248,18 +257,12 @@ def pagerank(
     contrib_edges = both.join(degrees, "s").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
-        contribs = (
-            ranks.join(contrib_edges, ranks.node == contrib_edges.s)
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        ranks = (
+            r.join(contrib_edges, ranks.node == contrib_edges.s)
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit((1.0 - damping) / n) + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
-            )
+            .agg((F.lit((1.0 - damping) / n) + damping * F.sum("c")).alias("rank"))
             # eager=False: lineage is still truncated once the next
             # iteration's join materializes this frame, but the loop no
             # longer pays a blocking job per round (~20% wall at sf0.1).

@@ -917,7 +917,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
     toks = ws_tokens(F.col("text"))
-    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g"))
+    # Cached: both the df-count branch and the mark join scan the exploded
+    # gram table; without the cache the tokenize→gram explode runs twice
+    # (same discipline as dedup._shingle_table). At 100 TB you'd persist
+    # this to MEMORY_AND_DISK or compute the hot list from a hash-bucket
+    # sample instead.
+    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).cache()
     dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
     marked = occ.join(F.broadcast(hot), "g", "left")
