@@ -1,0 +1,129 @@
+"""Tests for the corpus-analysis operators added in round 3: the
+portable cross-engine hash, Gopher repetition stats, corpus-global
+boilerplate marking, and the explode+agg SimHash fingerprint."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators import dedup, textstats
+
+
+class TestPortableHash:
+    def test_matches_duckdb_bit_for_bit(self, spark):
+        """The entire oracle story for minhash/simhash rests on this
+        equality, so pin it directly on awkward inputs."""
+        vals = ["", "a", "hello world", "tok250", "ünïcøde ✓", "a b c", "0", " "]
+        sdf = spark.createDataFrame([(v,) for v in vals], "s string").select(
+            "s", dedup.portable_hash60(F.col("s")).alias("h")
+        )
+        got = {r.s: r.h for r in sdf.collect()}
+        con = duckdb.connect()
+        for v in vals:
+            (expect,) = con.execute(
+                "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [v]
+            ).fetchone()
+            assert got[v] == expect, v
+            assert 0 <= got[v] < (1 << 60)
+
+
+class TestGramsWithRepeats:
+    @pytest.mark.parametrize(
+        "text,n,expect",
+        [
+            ("a b c d", 2, ["a b", "b c", "c d"]),
+            ("a b c d", 3, ["a b c", "b c d"]),
+            ("a a a", 2, ["a a", "a a"]),  # repeats preserved
+            ("a b", 3, []),  # short doc -> empty, no partial gram
+            ("a", 1, ["a"]),
+        ],
+    )
+    def test_gram_generation(self, spark, text, n, expect):
+        row = (
+            spark.range(1)
+            .select(textstats.grams_with_repeats(F.split(F.lit(text), " "), n).alias("g"))
+            .first()
+        )
+        assert row.g == expect
+
+
+class TestRepetitionStats:
+    def test_repetitive_doc_flagged(self, spark):
+        rows = [
+            (1, "spam ham " * 30),  # one 2-gram dominates
+            (2, " ".join(f"w{i}" for i in range(60))),  # all distinct
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # registered query reads from disk; exercise the same expressions
+        # via a local clone of its plan
+        toks = textstats.ws_tokens(F.col("text"))
+        out = {}
+        for n, agg in ((2, [F.max("c").alias("mx"), F.sum("c").alias("tot")]),):
+            stats = (
+                df.select("doc_id", F.explode(textstats.grams_with_repeats(toks, n)).alias("g"))
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id")
+                .agg(*agg)
+                .collect()
+            )
+            out = {r.doc_id: r.mx / r.tot for r in stats}
+        assert out[1] > 0.4  # "ham spam"/"spam ham" dominate
+        assert out[2] < 0.05
+
+    def test_registered_query_runs_and_gates(self, spark, sf_dir):
+        res = textstats.text_repetition_stats(spark, sf_dir).collect()
+        assert res
+        for r in res:
+            assert 0.0 <= r.top2gram_share <= 1.0
+            assert 0.0 <= r.dup3gram_frac <= 1.0
+            assert r.rep_keep in (0, 1)
+
+
+class TestBoilerplate:
+    def test_hot_grams_marked(self, spark):
+        # 6 docs share an identical 3-gram run ("common boiler plate");
+        # df_min=5 marks it hot, the unique docs stay clean
+        shared = "common boiler plate "
+        rows = [(i, shared + f"unique{i} filler{i} words{i}") for i in range(6)]
+        rows.append((99, "totally distinct content here nothing shared"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = textstats.ws_tokens(F.col("text"))
+        occ = df.select("doc_id", F.explode(textstats.grams_with_repeats(toks, 3)).alias("g"))
+        dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        hot = {r.g for r in dfreq.filter(F.col("df") >= 5).collect()}
+        assert "common boiler plate" in hot
+        assert not any("unique" in g or "distinct" in g for g in hot)
+
+    def test_registered_query_fraction_bounds(self, spark, sf_dir):
+        res = textstats.text_boilerplate_ngrams(spark, sf_dir).collect()
+        assert res
+        for r in res:
+            assert 0 <= r.n_hot <= r.n_grams
+            assert abs(r.hot_frac - round(r.n_hot / r.n_grams, 6)) < 1e-9
+
+
+class TestSimhashFingerprints:
+    def test_matches_pure_python(self, spark):
+        """Explode+agg fingerprint == the definition computed in Python
+        over the same portable hashes."""
+        rows = [(1, "the quick brown fox"), (2, "pack my box with five dozen jugs")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r.fp for r in dedup.simhash_fingerprints(df).collect()}
+
+        import hashlib
+
+        def ph60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for doc_id, text in rows:
+            toks = text.lower().split()
+            votes = [0] * 60
+            for t in toks:
+                h = ph60(t)
+                for b in range(60):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            fp = sum(1 << b for b in range(60) if votes[b] > 0)
+            assert got[doc_id] == fp
