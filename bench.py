@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_boilerplate_ngrams",
     "text_repetition_stats",
+    "text_unigram_logprob",
 ]
 
 

@@ -520,3 +520,42 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.count_distinct("bin_id").alias("n_bins"),
     )
+
+
+@register(
+    "corpus_source_caps",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE rk <= 10)::BIGINT AS n_kept,
+           count(*) FILTER (WHERE rk > 10)::BIGINT AS n_dropped,
+           sum(n_chars) FILTER (WHERE rk <= 10)::BIGINT AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="Per-source document quota (training-mixture enforcement): rank "
+    "each source's documents by a deterministic priority (length desc, "
+    "doc_id tie-break), cap at K=10, and report the kept/dropped audit "
+    "per source in the same pass. One shuffle on source for the window, "
+    "re-used by the aggregate (same key, no second exchange). The filter "
+    "variant (return the kept rows) is the same plan minus the agg.",
+)
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    kept = F.col("rk") <= 10
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+    )

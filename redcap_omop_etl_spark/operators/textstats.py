@@ -937,3 +937,47 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_hot / n_grams <= 0.3, 1).otherwise(0).alias("bp_keep"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT count(*) AS n FROM toks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(ln(c.c) - ln((SELECT n FROM tot))), 6) AS avg_logprob
+    FROM toks JOIN cnt c ON toks.t = c.t
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring (the CCNet/KenLM quality-filter "
+    "shape with the LM trained on the corpus itself): global token "
+    "counts -> per-token log-probability -> per-document mean log-prob. "
+    "Documents far below the corpus mean are gibberish/outliers. Plan: "
+    "one explode, one vocab-sized count shuffle, the vocabulary joined "
+    "back broadcast (vocab ≪ corpus by Heaps' law), one per-doc agg; the "
+    "corpus-total is a 1-row broadcast scalar. Swapping in an external "
+    "pretrained LM table changes the data, not the plan.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("t"))
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # corpus total = sum over the (small) vocabulary table — saves a third
+    # full corpus explode vs counting toks directly
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(cnt), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log("c") - F.log("n")), 6).alias("avg_logprob"),
+        )
+    )

@@ -117,11 +117,11 @@ _PRIORITY = [
     "text_repetition_stats",
     "text_boilerplate_ngrams",
     "agg_argminmax_bitops",
-    # -- spot-checks (4) --
+    "text_unigram_logprob",
+    "corpus_source_caps",
+    # -- spot-checks (2; exactly 50 names above for the driver's bounded gate) --
     "dedup_ngram_jaccard",
     "date_anchor_shift",
-    "q1_pricing_summary",
-    "stream_session_window",
 ]
 
 
