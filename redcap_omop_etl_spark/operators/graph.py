@@ -202,7 +202,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
-    )
+        # Pinned: both sides of the wedge self-join reference this frame,
+        # and the degree-annotation joins would otherwise recompute per
+        # alias branch (same discipline as _copurchase_edges). Two longs
+        # per edge.
+    ).localCheckpoint(eager=False)
     # wedges around each source; closing edge is looked up in normalized
     # (u < v) form — p < q already by the wedge ordering
     w = (

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED: dict[tuple[str, str], str] = {
     ("q11_important_suppliers", "bnlj"): "scalar threshold subquery: 1-row broadcast",
     ("q22_idle_customers", "bnlj"): "scalar avg-balance subquery: 1-row broadcast",
+    ("text_unigram_logprob", "bnlj"): "corpus-total scalar: 1-row broadcast crossJoin",
     ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
     "band dimension (a handful of rows); the theta-join form IS the operator",
     ("similarity_ann_ivf", "bnlj"): "vectors x broadcast centroid table "
