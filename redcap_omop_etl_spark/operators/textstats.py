@@ -751,7 +751,7 @@ def _bpe_oracle_sql(n_merges: int = 5) -> str:
         FROM documents
       ) WHERE length(w) >= 2 GROUP BY w
     ),
-    w1 AS (
+    w1 AS MATERIALIZED (
       SELECT cnt,
              {lo} || array_to_string(string_split(w, ''), {hi} || {lo}) || {hi} AS r
       FROM words
@@ -761,18 +761,18 @@ def _bpe_oracle_sql(n_merges: int = 5) -> str:
         a = f"(SELECT a FROM best{i})"
         b = f"(SELECT b FROM best{i})"
         parts.append(f"""
-    tok{i} AS (
+    tok{i} AS MATERIALIZED (
       SELECT cnt, string_split(trim(r, {lo} || {hi}), {hi} || {lo}) AS l FROM w{i}
     ),
-    p{i} AS (
+    p{i} AS MATERIALIZED (
       SELECT l[u.i] AS a, l[u.i + 1] AS b, sum(cnt) AS n
       FROM tok{i}, LATERAL unnest(range(1, len(l))) AS u(i)
       GROUP BY 1, 2
     ),
-    best{i} AS (
+    best{i} AS MATERIALIZED (
       SELECT a, b, n FROM p{i} ORDER BY n DESC, a || ' ' || b LIMIT 1
     ),
-    w{i + 1} AS (
+    w{i + 1} AS MATERIALIZED (
       SELECT cnt,
              replace(r,
                      {lo} || {a} || {hi} || {lo} || {b} || {hi},
@@ -979,5 +979,130 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg(F.log("c") - F.log("n")), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 5) -> str:
+    r"""DuckDB oracle for ``bpe_encode_counts``: the ``_bpe_oracle_sql``
+    learning chain (unchanged) plus an encode chain — the FULL vocabulary
+    (including 1-char words, which learning's pair counting excludes)
+    run through the same bracketed-token ``replace`` for each learned
+    merge in rank order, then token counts joined back per document."""
+    lo, hi = "chr(2)", "chr(3)"
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) >= 2 GROUP BY w
+    ),
+    w1 AS MATERIALIZED (
+      SELECT cnt,
+             {lo} || array_to_string(string_split(w, ''), {hi} || {lo}) || {hi} AS r
+      FROM words
+    )""".format(lo=lo, hi=hi)
+    ]
+    for i in range(1, n_merges + 1):
+        a = f"(SELECT a FROM best{i})"
+        b = f"(SELECT b FROM best{i})"
+        parts.append(f"""
+    tok{i} AS MATERIALIZED (
+      SELECT cnt, string_split(trim(r, {lo} || {hi}), {hi} || {lo}) AS l FROM w{i}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT l[u.i] AS a, l[u.i + 1] AS b, sum(cnt) AS n
+      FROM tok{i}, LATERAL unnest(range(1, len(l))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (
+      SELECT a, b, n FROM p{i} ORDER BY n DESC, a || ' ' || b LIMIT 1
+    ),
+    w{i + 1} AS MATERIALIZED (
+      SELECT cnt,
+             replace(r,
+                     {lo} || {a} || {hi} || {lo} || {b} || {hi},
+                     {lo} || {a} || {b} || {hi}) AS r
+      FROM w{i}
+    )""")
+    parts.append(f"""
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    enc0 AS MATERIALIZED (
+      SELECT w, {lo} || array_to_string(string_split(w, ''), {hi} || {lo}) || {hi} AS r
+      FROM vocab
+    )""")
+    for i in range(1, n_merges + 1):
+        a = f"(SELECT a FROM best{i})"
+        b = f"(SELECT b FROM best{i})"
+        parts.append(f"""
+    enc{i} AS MATERIALIZED (
+      SELECT w, replace(r,
+                        {lo} || {a} || {hi} || {lo} || {b} || {hi},
+                        {lo} || {a} || {b} || {hi}) AS r
+      FROM enc{i - 1}
+    )""")
+    parts.append(f"""
+    encn AS MATERIALIZED (
+      SELECT w, len(string_split(trim(r, {lo} || {hi}), {hi} || {lo})) AS n_sym
+      FROM enc{n_merges}
+    ),
+    docw AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    )""")
+    final = """
+    SELECT doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(n_sym)::BIGINT AS n_bpe_tokens
+    FROM docw JOIN encn ON docw.w = encn.w
+    GROUP BY doc_id
+    """
+    return ",".join(parts) + final
+
+
+def _greedy_merge(sym: Column, a: str, b: str, merged: str) -> Column:
+    """One greedy left-to-right BPE merge over a symbol array (identical
+    fold to ``bpe_learn``'s application step)."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+@register(
+    "bpe_encode_counts",
+    _bpe_encode_oracle_sql(5),
+    doc="BPE tokenizer APPLICATION (the other half of bpe_learn_merges): "
+    "learn the top-5 merges, then encode the corpus and report per-"
+    "document word and BPE-token counts — the token-budget accounting "
+    "every pretraining pipeline runs before packing. Scale shape: merges "
+    "apply over the DEDUPLICATED vocabulary (vocab-sized HOF work, not "
+    "corpus-sized), then the (word → token-count) table joins back "
+    "broadcast onto the exploded token stream; per-doc sums combine "
+    "map-side. The merge table itself is a bounded n_merges-row collect.",
+)
+def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    merges = bpe_learn(d, n_merges=5).collect()  # bounded: 5 rows
+    vocab = d.select(F.explode(ws_tokens(F.col("text"))).alias("w")).distinct()
+    sym = F.split("w", "")
+    for m in merges:
+        sym = _greedy_merge(sym, m.left, m.right, m.merged)
+    enc = vocab.select("w", F.size(sym).alias("n_sym"))
+    tokd = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
+    return (
+        tokd.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )

@@ -119,9 +119,9 @@ _PRIORITY = [
     "agg_argminmax_bitops",
     "text_unigram_logprob",
     "corpus_source_caps",
-    # -- spot-checks (2; exactly 50 names above for the driver's bounded gate) --
+    "bpe_encode_counts",
+    # -- spot-check (1; exactly 50 names above for the driver's bounded gate) --
     "dedup_ngram_jaccard",
-    "date_anchor_shift",
 ]
 
 
