@@ -120,8 +120,10 @@ _PRIORITY = [
     "text_unigram_logprob",
     "corpus_source_caps",
     "bpe_encode_counts",
-    # -- spot-check (1; exactly 50 names above for the driver's bounded gate) --
-    "dedup_ngram_jaccard",
+    "pandas_ewma_per_user",
+    "pandas_penny_allocation",
+    # (51 names; the driver's bounded gate covers the first ~50 — every
+    # other registered query was driver-checked in rounds 1-2)
 ]
 
 
@@ -177,6 +179,7 @@ def _ensure_loaded() -> None:
         graph,
         multimodal,
         textstats,
+        pandas_ops,
     )
     from redcap_omop_etl_spark.functions import udafs, udtfs  # noqa: F401
 

@@ -127,3 +127,50 @@ class TestSimhashFingerprints:
                     votes[b] += 1 if (h >> b) & 1 else -1
             fp = sum(1 << b for b in range(60) if votes[b] > 0)
             assert got[doc_id] == fp
+
+
+class TestPandasOps:
+    def test_cogrouped_allocation_equals_declarative(self, spark, sf_dir):
+        from redcap_omop_etl_spark.operators import pandas_ops
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        c = Catalog(spark, sf_dir)
+        decl = pandas_ops.penny_allocation(c["orders"], c["lineitem"])
+        cog = pandas_ops.penny_allocation_cogrouped(c["orders"], c["lineitem"])
+        key = lambda df: {(r.l_orderkey, r.l_linenumber): r.alloc_cents for r in df.collect()}
+        assert key(decl) == key(cog)
+
+    def test_allocation_sum_preserving(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from redcap_omop_etl_spark.operators import pandas_ops
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        c = Catalog(spark, sf_dir)
+        alloc = pandas_ops.penny_allocation(c["orders"], c["lineitem"])
+        per_order = alloc.groupBy("l_orderkey").agg(F.sum("alloc_cents").alias("cents"))
+        joined = per_order.join(
+            c["orders"].select("o_orderkey", "o_totalprice"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        bad = joined.filter(
+            F.col("cents") != F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).count()
+        assert bad == 0
+
+    def test_ewma_recursion_manual(self, spark):
+        import datetime
+
+        from redcap_omop_etl_spark.operators import pandas_ops
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 7, float(v))
+            for i, v in enumerate([10.0, 20.0, 10.0, 0.0])
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+        got = {r.seq: r.ewma for r in pandas_ops.ewma_per_user(df).collect()}
+        y = [10.0]
+        for v in [20.0, 10.0, 0.0]:
+            y.append(y[-1] * 0.7 + v * 0.3)
+        assert got == {i + 1: round(v, 6) for i, v in enumerate(y)}
