@@ -508,3 +508,57 @@ def fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 3)
     )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH batch AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE source IN ('src16', 'src17', 'src18', 'src19')
+    ), hist AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE source NOT IN ('src16', 'src17', 'src18', 'src19')
+    ), keyed AS (
+      SELECT b.doc_id, b.fp,
+             min(b.doc_id) OVER (PARTITION BY b.fp) AS first_id,
+             h.fp IS NOT NULL AS in_hist
+      FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    )
+    SELECT doc_id, fp,
+           CASE WHEN in_hist THEN 'dup_of_history'
+                WHEN doc_id <> first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM keyed
+    """,
+    doc="Incremental dedup — the daily-update production shape: a new "
+    "batch (sources src16-19) checked against the historical fingerprint "
+    "index (every other source) AND against itself. Verdict per batch "
+    "document: dup_of_history (fingerprint already indexed; history wins "
+    "over intra-batch rank), dup_in_batch (a lower-id batch doc owns the "
+    "fingerprint), or new. Plan: historical index is distinct fingerprints "
+    "only (the thing you'd persist between runs, bucketed by fp so the "
+    "daily anti-join is shuffle-free); one left join + one fp-partitioned "
+    "window, both on the same key so the exchange is shared.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    batch_sources = ["src16", "src17", "src18", "src19"]
+    d = Catalog(spark, sf_dir)["documents"]
+    fp = fingerprint_md5(F.col("text")).alias("fp")
+    batch = d.filter(F.col("source").isin(batch_sources)).select("doc_id", fp)
+    hist = d.filter(~F.col("source").isin(batch_sources)).select(fp).distinct()
+    keyed = (
+        batch.join(hist.withColumn("in_hist", F.lit(True)), "fp", "left")
+        .withColumn("first_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    )
+    return keyed.select(
+        "doc_id",
+        "fp",
+        F.when(F.col("in_hist"), "dup_of_history")
+        .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+    )

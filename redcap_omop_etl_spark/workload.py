@@ -122,6 +122,7 @@ _PRIORITY = [
     "bpe_encode_counts",
     "pandas_ewma_per_user",
     "pandas_penny_allocation",
+    "dedup_incremental",
     # (51 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]

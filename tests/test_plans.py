@@ -26,6 +26,7 @@ _NESTED_LOOP_OK = {
     "q22_idle_customers",  # scalar AVG(acctbal) threshold (1 row)
     "join_range_bands",  # 3-row literal band dim, range predicate
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
+    "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
 }
 
 
