@@ -165,3 +165,41 @@ def test_compact_splits_skewed_partition(spark, tmp_path):
     assert n_hot > 1, f"hot partition not split (files={n_hot})"
     assert n_cold == 1
     assert spark.read.parquet(dest).count() == 200_100
+
+
+class TestSchemaEvolution:
+    """Schema drift across partition generations — the 100 TB lake reality:
+    early batches lack columns later batches add. mergeSchema unifies; absent
+    columns read as NULL; writer-side overwrite of one generation never
+    rewrites the other."""
+
+    def test_merge_schema_unifies_generations(self, spark, tmp_path):
+        root = str(tmp_path / "evo")
+        spark.createDataFrame(
+            [(1, "a")], "id long, payload string"
+        ).write.mode("append").parquet(root + "/day=2024-01-01")
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, payload string, score double"
+        ).write.mode("append").parquet(root + "/day=2024-01-02")
+
+        df = spark.read.option("mergeSchema", "true").option("basePath", root).parquet(
+            root + "/day=2024-01-01", root + "/day=2024-01-02"
+        )
+        assert set(df.columns) == {"id", "payload", "score", "day"}
+        rows = {r.id: (r.score, r.day) for r in df.collect()}
+        import datetime
+
+        assert rows[1] == (None, datetime.date(2024, 1, 1))  # old gen: NULL fill
+        assert rows[2] == (0.5, datetime.date(2024, 1, 2))
+
+    def test_explicit_schema_prunes_new_column(self, spark, tmp_path):
+        # a reader pinned to the OLD schema keeps working after the lake
+        # gains a column (no mergeSchema needed, no read amplification)
+        root = str(tmp_path / "evo2")
+        spark.createDataFrame([(1, "a")], "id long, payload string").write.parquet(root + "/g1")
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, payload string, score double"
+        ).write.parquet(root + "/g2")
+        df = spark.read.schema("id long, payload string").parquet(root + "/g1", root + "/g2")
+        assert sorted(r.id for r in df.collect()) == [1, 2]
+        assert set(df.columns) == {"id", "payload"}
