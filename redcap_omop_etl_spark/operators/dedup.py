@@ -324,12 +324,17 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
             (F.col("x.seg") == F.col("y.seg")) & (F.col("x.val") == F.col("y.val")) & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"), F.col("x.fp").alias("fp1"), F.col("y.fp").alias("fp2"))
-        .distinct()
     )
+    # popcount BEFORE the dedup shuffle: the xor+bit_count verify is a few
+    # codegen'd instructions per candidate, so filtering first means the
+    # distinct only shuffles surviving near-pairs (a pair within distance d
+    # can collide in up to d+1 segments — duplicates are re-verified
+    # cheaply rather than deduplicated expensively).
     return (
         cand.withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+        .distinct()
     )
 
 
