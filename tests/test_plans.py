@@ -144,3 +144,40 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_v2(spark):
+    """Footer-statistics aggregates: under the v2 parquet source,
+    COUNT/MIN/MAX without filters push into the scan (PushedAggregation)
+    and answer from row-group metadata — at 100 TB a corpus-wide count
+    reads footers, not data. The engine default stays on v1 (broadest
+    compatibility); this pins that the v2 fast path works when enabled.
+    A TIMESTAMP_NTZ min/max blocks pushdown of the whole group, which is
+    why the pinned set is count + numeric min/max only."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedAggregation: \[[^\]]*\]", plan)
+        assert m and "COUNT(*)" in m.group(0) and "MIN(l_extendedprice)" in m.group(0), plan[:800]
+        row = agg.collect()[0]
+        # values must agree with the v1 (data-scanning) path
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+        base = spark.read.parquet(SF_SMOKE + "/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        ).collect()[0]
+        assert (row.n, row.lo, row.hi) == (base.n, base.lo, base.hi)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
