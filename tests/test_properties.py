@@ -244,3 +244,38 @@ class TestConnectedComponentsProperty:
             assert got == expected, (edges, got, expected)
 
         check()
+
+
+class TestPennyAllocationProperties:
+    """The allocation formula (cumulative floor(x·100+0.5) differences) —
+    pure-Python mirror of the kernel in operators/pandas_ops.py — must be
+    sum-preserving and non-negative for ANY positive total and positive
+    integer quantities. Checked here without a Spark job so hypothesis
+    can afford hundreds of examples; the Spark/DuckDB agreement is pinned
+    separately by the oracle and TestPandasOps."""
+
+    @given(
+        total=st.floats(min_value=0.01, max_value=1e7, allow_nan=False, allow_infinity=False),
+        qs=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=12),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_sum_preserving_and_nonnegative(self, total, qs):
+        import math
+
+        qcum = 0.0
+        qtot = float(sum(qs))
+        prev = 0.0
+        allocs = []
+        for q in qs:
+            qcum += q
+            c = math.floor(total * (qcum / qtot) * 100 + 0.5)
+            allocs.append(int(c - prev))
+            prev = c
+        assert sum(allocs) == math.floor(total * 100 + 0.5)
+        assert all(a >= 0 for a in allocs)
+        # monotone shares: a line with more quantity never gets fewer
+        # cents than floor/ceil rounding can explain (within 1 cent of
+        # the exact proportional share)
+        for q, a in zip(qs, allocs):
+            exact = total * (q / qtot) * 100
+            assert abs(a - exact) <= 1.0 + 1e-9
