@@ -75,6 +75,7 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "text_repetition_stats",
     "text_unigram_logprob",
+    "corpus_quality_funnel",
 ]
 
 

@@ -1106,3 +1106,64 @@ def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+def _funnel_oracle_sql() -> str:
+    """Compose the funnel oracle from the four gate oracles verbatim
+    (pulled from the registry at registration time, so a gate-oracle edit
+    can never drift out of sync with the funnel)."""
+    from redcap_omop_etl_spark.workload import REGISTRY
+
+    q = REGISTRY["text_quality_score"].oracle
+    r = REGISTRY["text_repetition_stats"].oracle
+    b = REGISTRY["text_boilerplate_ngrams"].oracle
+    lm = REGISTRY["text_unigram_logprob"].oracle
+    return f"""
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(q.quality_keep)::BIGINT AS n_quality,
+           sum(q.quality_keep * r.rep_keep)::BIGINT AS n_quality_rep,
+           sum(q.quality_keep * r.rep_keep * b.bp_keep)::BIGINT AS n_quality_rep_bp,
+           sum(q.quality_keep * r.rep_keep * b.bp_keep
+               * CASE WHEN lm.avg_logprob >= -3.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass_all
+    FROM documents d
+    JOIN ({q}) q ON d.doc_id = q.doc_id
+    JOIN ({r}) r ON d.doc_id = r.doc_id
+    JOIN ({b}) b ON d.doc_id = b.doc_id
+    JOIN ({lm}) lm ON d.doc_id = lm.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "corpus_quality_funnel",
+    _funnel_oracle_sql(),
+    doc="Composed quality funnel (capstone): per source, how many "
+    "documents survive each successive gate — heuristic quality "
+    "(length/punct/digit), Gopher repetition, corpus-global boilerplate, "
+    "unigram-LM score (>= -3.5 on the 6dp-rounded mean log-prob; both "
+    "engines compare the same rounded value, so the flag can never flip "
+    "on a last-ulp difference). Built by REUSING the four registered gate "
+    "queries and joining their per-doc flags on doc_id — the oracle is "
+    "string-composed from the same four registry oracles, so they cannot "
+    "drift. The funnel counts are what a corpus curator actually reads "
+    "before choosing thresholds at 100 TB.",
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"].select("doc_id", "source")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_keep")
+    r = text_repetition_stats(spark, sf_dir).select("doc_id", "rep_keep")
+    b = text_boilerplate_ngrams(spark, sf_dir).select("doc_id", "bp_keep")
+    lm = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.when(F.col("avg_logprob") >= -3.5, 1).otherwise(0).alias("lm_keep")
+    )
+    flags = d.join(q, "doc_id").join(r, "doc_id").join(b, "doc_id").join(lm, "doc_id")
+    keep_qr = F.col("quality_keep") * F.col("rep_keep")
+    keep_qrb = keep_qr * F.col("bp_keep")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("quality_keep").alias("n_quality"),
+        F.sum(keep_qr).alias("n_quality_rep"),
+        F.sum(keep_qrb).alias("n_quality_rep_bp"),
+        F.sum(keep_qrb * F.col("lm_keep")).alias("n_pass_all"),
+    )

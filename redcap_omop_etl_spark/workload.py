@@ -123,6 +123,7 @@ _PRIORITY = [
     "pandas_ewma_per_user",
     "pandas_penny_allocation",
     "dedup_incremental",
+    "corpus_quality_funnel",
     # (51 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
