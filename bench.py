@@ -76,6 +76,8 @@ HEADLINE = [
     "text_repetition_stats",
     "text_unigram_logprob",
     "corpus_quality_funnel",
+    "pandas_penny_allocation",
+    "dedup_incremental",
 ]
 
 

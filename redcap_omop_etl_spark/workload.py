@@ -124,6 +124,7 @@ _PRIORITY = [
     "pandas_penny_allocation",
     "dedup_incremental",
     "corpus_quality_funnel",
+    "embedding_quantize_error",
     # (51 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
