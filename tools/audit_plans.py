@@ -31,6 +31,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q11_important_suppliers", "bnlj"): "scalar threshold subquery: 1-row broadcast",
     ("q22_idle_customers", "bnlj"): "scalar avg-balance subquery: 1-row broadcast",
     ("text_unigram_logprob", "bnlj"): "corpus-total scalar: 1-row broadcast crossJoin",
+    ("corpus_quality_funnel", "bnlj"): "inherits the unigram-LM 1-row scalar crossJoin",
     ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
     "band dimension (a handful of rows); the theta-join form IS the operator",
     ("similarity_ann_ivf", "bnlj"): "vectors x broadcast centroid table "
