@@ -854,6 +854,12 @@ def grams_with_repeats(toks: Column, n: int) -> Column:
     "by corpus token count) joined on doc_id. No Python, no windows.",
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two explode→groupBy chains (one per gram order) joined on doc_id.
+    # A fused single-chain variant (tag grams with n, one shuffle) was
+    # measured SLOWER at sf0.1 (1.6 s vs 1.0 s): the per-gram struct
+    # wrapping is interpreted HOF work that costs more than the second
+    # (page-cached) scan saves. At true 100 TB, where the scan dominates,
+    # fuse — the tagged-union form is in git history (commit before this).
     d = Catalog(spark, sf_dir)["documents"]
     toks = ws_tokens(F.col("text"))
 
