@@ -34,8 +34,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("corpus_quality_funnel", "bnlj"): "inherits the unigram-LM 1-row scalar crossJoin",
     ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
     "band dimension (a handful of rows); the theta-join form IS the operator",
-    ("similarity_ann_ivf", "bnlj"): "vectors x broadcast centroid table "
-    "(n_clusters=16 rows) — the IVF assignment join by construction",
+    # NOTE: similarity_ann_ivf's assignment crossJoin (vectors x broadcast
+    # 16-row centroid table) no longer surfaces as a BNLJ in the registered
+    # query's plan: ivf_build materializes assignments/centroids behind
+    # localCheckpoint (session-scoped index memo), so the probe-time plan
+    # starts from the checkpointed RDD. The build-time BNLJ is still the
+    # intended shape; it just isn't part of the audited query plan anymore.
     ("udtf_eav_emit", "row-udf"): "Python UDTF lateral-emit API surface "
     "(SURVEY 2.10) — the UDTF protocol is row-wise by definition",
     ("similarity_cosine_topk", "global-window"): "rank over the LIMIT-k "
