@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_quality_funnel",
     "pandas_penny_allocation",
     "dedup_incremental",
+    "text_chunk_windows",
 ]
 
 

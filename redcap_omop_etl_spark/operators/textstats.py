@@ -1173,3 +1173,47 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(keep_qrb).alias("n_quality_rep_bp"),
         F.sum(keep_qrb * F.col("lm_keep")).alias("n_pass_all"),
     )
+
+
+@register(
+    "text_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           (start // 48)::BIGINT AS chunk_id,
+           len(w[start + 1 : start + 64])::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_hash
+    FROM s
+    """,
+    doc="Overlapping token-window chunking (RAG / context-window prep): "
+    "each document becomes ceil(n_tokens/48) chunks of up to 64 tokens "
+    "with a 16-token overlap (stride 48). The chunk grid is generated "
+    "JVM-side as sequence() + posexplode + slice — one scan, no shuffle, "
+    "no Python; output rows scale with corpus token count / stride, and "
+    "each chunk carries a content hash so downstream chunk-level dedup "
+    "and embedding jobs key on a 32-byte fingerprint instead of text.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    chunk, stride = 64, 48
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = toks.select(
+        "doc_id", "w", F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("w"), F.col("start") + 1, chunk)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )

@@ -174,3 +174,34 @@ class TestPandasOps:
         for v in [20.0, 10.0, 0.0]:
             y.append(y[-1] * 0.7 + v * 0.3)
         assert got == {i + 1: round(v, 6) for i, v in enumerate(y)}
+
+
+class TestChunkWindows:
+    """Pin the overlapping token-window chunking semantics: stride-48
+    windows of up to 64 tokens, full coverage, 16-token overlap."""
+
+    def test_chunk_grid_and_lengths(self, spark):
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        df.write.mode("overwrite").parquet("/tmp/chunk_test/documents.parquet")
+        from redcap_omop_etl_spark.operators.textstats import text_chunk_windows
+
+        rows = sorted(
+            text_chunk_windows(spark, "/tmp/chunk_test").collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # starts 0, 48, 96 -> lengths 64, 52, 4
+        assert [(r.chunk_id, r.n_chunk_tokens) for r in rows] == [(0, 64), (1, 52), (2, 4)]
+        # chunk hash is content-addressed: chunk 0 hashes tokens [0, 64)
+        import hashlib
+
+        expect = hashlib.md5(" ".join(f"t{i}" for i in range(64)).encode()).hexdigest()
+        assert rows[0].chunk_hash == expect
+
+    def test_single_token_doc(self, spark):
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        df.write.mode("overwrite").parquet("/tmp/chunk_test1/documents.parquet")
+        from redcap_omop_etl_spark.operators.textstats import text_chunk_windows
+
+        rows = text_chunk_windows(spark, "/tmp/chunk_test1").collect()
+        assert len(rows) == 1 and rows[0].n_chunk_tokens == 1
