@@ -79,6 +79,7 @@ HEADLINE = [
     "pandas_penny_allocation",
     "dedup_incremental",
     "text_chunk_windows",
+    "dedup_chunk_level",
 ]
 
 

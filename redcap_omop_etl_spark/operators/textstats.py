@@ -1217,3 +1217,79 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
     )
+
+
+@register(
+    "dedup_chunk_level",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS start
+      FROM t
+    ), c AS (
+      SELECT source, md5(array_to_string(w[start + 1 : start + 64], ' ')) AS h
+      FROM s
+    ), g1 AS (
+      SELECT h, source, count(*) AS c FROM c GROUP BY h, source
+    ), g2 AS (
+      SELECT h, source, c, sum(c) OVER (PARTITION BY h) AS tot FROM g1
+    )
+    SELECT source,
+           sum(c)::BIGINT AS n_chunks,
+           sum(CASE WHEN tot > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_chunks,
+           floor(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) * 1000000.0
+                 / sum(c) + 0.5)::BIGINT AS dup_ppm
+    FROM g2
+    GROUP BY source
+    """,
+    doc="Chunk-granularity duplication profile per source: reuses the "
+    "stride-48/len-64 chunk grid, counts per (chunk_hash, source) first "
+    "(map-side partial agg collapses the corpus to near-unique hashes "
+    "BEFORE any wide exchange), then a window over the reduced relation "
+    "marks hashes occurring >1 time corpus-wide. Two shuffles total, both "
+    "over the pre-aggregated hash table — never a self-join of raw "
+    "chunks. The per-source dup fraction (ppm, floor-form rounding) is "
+    "the RefinedWeb/Gopher-style signal for boilerplate-heavy sources.",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir)["documents"]
+    chunk, stride = 64, 48
+    toks = d.select("doc_id", "source", ws_tokens(F.col("text")).alias("w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = toks.select("source", "w", F.explode(starts).alias("start"))
+    chunks = exploded.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.col("w"), F.col("start") + 1, chunk), " ")
+        ).alias("h"),
+    )
+    # One hash(h) exchange serves BOTH the (h, source) aggregate (hash(h)
+    # clusters every (h, source) group) and the per-h window — the default
+    # plan would shuffle twice: once on (h, source), again on h. Map-side
+    # partial agg is no loss here: chunk hashes are near-unique, so
+    # pre-shuffle combining wouldn't reduce the exchange anyway.
+    g1 = chunks.repartition("h").groupBy("h", "source").agg(
+        F.count("*").alias("c")
+    )
+    g2 = g1.withColumn("tot", F.sum("c").over(W.partitionBy("h")))
+    dup_c = F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0))
+    return (
+        g2.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chunks"),
+            F.sum(dup_c).cast("bigint").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.floor(
+                F.col("n_dup_chunks") * 1000000.0 / F.col("n_chunks") + 0.5
+            ).cast("bigint"),
+        )
+    )

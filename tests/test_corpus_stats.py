@@ -205,3 +205,19 @@ class TestChunkWindows:
 
         rows = text_chunk_windows(spark, "/tmp/chunk_test1").collect()
         assert len(rows) == 1 and rows[0].n_chunk_tokens == 1
+
+    def test_chunk_level_dedup_counts(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "alpha beta gamma delta", "A"),  # exact chunk twin of doc 1
+            (3, "epsilon zeta eta theta", "B"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        df.write.mode("overwrite").parquet("/tmp/chunk_test2/documents.parquet")
+        from redcap_omop_etl_spark.operators.textstats import dedup_chunk_level
+
+        got = {
+            r.source: (r.n_chunks, r.n_dup_chunks, r.dup_ppm)
+            for r in dedup_chunk_level(spark, "/tmp/chunk_test2").collect()
+        }
+        assert got == {"A": (2, 2, 1000000), "B": (1, 0, 0)}

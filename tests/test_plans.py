@@ -182,3 +182,16 @@ def test_parquet_aggregate_pushdown_v2(spark):
         assert (row.n, row.lo, row.hi) == (base.n, base.lo, base.hi)
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_chunk_windows_zero_shuffle(spark):
+    # chunk grid is generate+slice in one codegen span over one scan
+    plan = _plan(spark, "text_chunk_windows")
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_chunk_level_dedup_two_exchanges(spark):
+    # one hash(h) exchange feeds BOTH the (h, source) agg and the per-h
+    # window; the only other exchange is the final tiny per-source agg
+    plan = _plan(spark, "dedup_chunk_level")
+    assert plan.count("Exchange") == 2, plan
