@@ -1,0 +1,135 @@
+"""Scale-stress harness: replicate the sf0.1 tables m-fold with key
+offsets and time a cross-family query subset at each multiplier.
+
+The replication shape is "facts grow, dims stay" — the production growth
+pattern: lineitem/orders get fresh order keys per replica, events get
+fresh users, documents/embeddings fresh ids, while customer / supplier /
+part / nation / region are written through unchanged. That keeps dim
+joins broadcastable (as they are at any scale) and makes fact-side cost
+the only thing that grows, so the measured slope is the compute scaling
+that survives a 1000-executor scale-up — separated from the fixed
+per-query scheduling floor that dominates at the bundled SFs.
+
+Pair-generating near-dup queries (minhash / simhash / embedding near-dup
+/ clusters) are deliberately EXCLUDED: replication makes every document
+m-1 exact twins, which inflates their candidate sets superlinearly in a
+way no real corpus does — their scale story is the banded-candidate
+bound, pinned by tests, not this harness.
+
+Replicas are cached under .scale_cache/ (gitignored) as real parquet so
+scans exercise pushdown exactly like the registered inputs.
+
+Usage: python tools/bench_scale.py [m ...]   (default: 1 4 16)
+Prints ONE JSON line: {"metric": "scale_stress", "multipliers": [...],
+"queries": {name: {m: sec}}, "slope16": {name: t(16)/t(1)}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.session import build_session
+
+BASE = "/root/testdata/sf0.1"
+CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_cache"
+)
+OFFSET = 10_000_000  # > every key in any sf0.1 table
+
+# table -> columns offset per replica (facts); absent -> copied verbatim
+FACT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    # scan + agg / multi-join relational
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    # event windows / sessionization
+    "window_running_agg",
+    "sessionize_gap",
+    "cohort_retention",
+    # document pipeline
+    "dedup_exact",
+    "text_chunk_windows",
+    "dedup_chunk_level",
+    "text_tfidf_top_terms",
+    "corpus_quality_funnel",
+    # embeddings + graph
+    "similarity_cosine_topk",
+    "graph_pagerank",
+]
+
+
+def materialize(spark, m: int) -> str:
+    if m == 1:
+        return BASE
+    out = os.path.join(CACHE, f"m{m}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(m).withColumnRenamed("id", "_rep")
+    for t in DIM_TABLES:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    for t, keys in FACT_KEYS.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet").crossJoin(F.broadcast(reps))
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("_rep") * F.lit(OFFSET))
+        df.drop("_rep").write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    open(done, "w").close()
+    return out
+
+
+def main() -> None:
+    ms = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = build_session("bench_scale")
+    qs = workload.queries()
+    dirs = {m: materialize(spark, m) for m in ms}
+    results: dict[str, dict[int, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for m in ms:
+            qs[name](spark, dirs[m]).count()  # warm: codegen + file index
+            trials = []
+            for _ in range(2):  # min-of-2: damps JVM/GC state variance
+                t0 = time.time()
+                qs[name](spark, dirs[m]).count()
+                trials.append(time.time() - t0)
+            results[name][m] = round(min(trials), 3)
+    hi = max(ms)
+    slope = {
+        n: round(r[hi] / max(r[min(ms)], 1e-9), 2) for n, r in results.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_stress",
+                "multipliers": ms,
+                "base_sf": 0.1,
+                "queries": results,
+                f"slope{hi}": slope,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
