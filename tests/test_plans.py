@@ -195,3 +195,10 @@ def test_chunk_level_dedup_two_exchanges(spark):
     # window; the only other exchange is the final tiny per-source agg
     plan = _plan(spark, "dedup_chunk_level")
     assert plan.count("Exchange") == 2, plan
+
+
+def test_q21_single_lineitem_scan(spark):
+    # window formulation: the fact is scanned once (the agg-and-rejoin
+    # form scans it twice and rejoins a fact-sized aggregate)
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
