@@ -346,6 +346,112 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_listagg_ordered",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           string_agg(DISTINCT extract(year FROM o_orderdate)::VARCHAR,
+                      '|' ORDER BY extract(year FROM o_orderdate)::VARCHAR) AS years,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered-set string aggregation (ANSI SQL:2016 LISTAGG ... WITHIN "
+    "GROUP): distinct values concatenated in a declared total order, so "
+    "the result is engine-deterministic regardless of partial-merge "
+    "order. DISTINCT bounds the state to the value domain (3 statuses, "
+    "7 years), not the row count — safe at any fact-table scale. One "
+    "hash-agg shuffle on the 5-value priority key.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    # Spark 4.1's ListAgg rewrite chokes on a computed DISTINCT+ORDER BY
+    # expression (internal withNewChildrenInternal assertion) — pre-project
+    # the computed column so the aggregate sees a plain attribute.
+    pre = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("string").alias("order_year"),
+    )
+    # Two DISTINCT ListAggs in one aggregate hit a second Spark 4.1 bug
+    # (RewriteDistinctAggregates casts ListAgg's SortOrder child to
+    # AttributeReference) — the second ordered distinct concat uses the
+    # equivalent sort_array(collect_set()) formulation instead, which is
+    # also the portable pre-SQL:2016 spelling.
+    return pre.groupBy("o_orderpriority").agg(
+        F.expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)").alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("order_year")), "|").alias("years"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "sampling_stratified_quota",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             extract(year FROM o_orderdate) AS order_year,
+             o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority, extract(year FROM o_orderdate)
+               ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey
+             ) AS rn,
+             count(*) OVER (
+               PARTITION BY o_orderpriority, extract(year FROM o_orderdate)
+             ) AS n_g
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           cast(order_year AS int) AS order_year,
+           max(n_g)::BIGINT AS n_total,
+           count(*)::BIGINT AS n_sampled,
+           round(sum(o_totalprice::DECIMAL(10,2))::DOUBLE, 2) AS sample_price
+    FROM ranked
+    WHERE rn <= ceil(n_g * 0.02)
+    GROUP BY o_orderpriority, order_year
+    """,
+    doc="Exact-quota stratified sampling: every (priority, year) stratum "
+    "contributes ceil(2%) of its rows, chosen as the lowest-md5-hash "
+    "keys — deterministic across runs, layouts, and engines (no RNG; "
+    "the oracle computes the identical hash order). One shuffle on the "
+    "stratum key feeds both windows (rank + stratum size) and the final "
+    "aggregate reuses the same partitioning. For rate-based sampling "
+    "with no window at all, see sampling_split_counts / "
+    "sample_fraction_by.",
+)
+def sampling_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = Catalog(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    strata = Window.partitionBy("o_orderpriority", "order_year")
+    ranked = o.select(
+        "o_orderpriority",
+        "order_year",
+        "o_totalprice",
+        F.row_number()
+        .over(strata.orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(strata).alias("n_g"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.ceil(F.col("n_g") * 0.02))
+        .groupBy("o_orderpriority", "order_year")
+        .agg(
+            F.max("n_g").alias("n_total"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double"), 2).alias(
+                "sample_price"
+            ),
+        )
+    )
+
+
 def sample_fraction_by(key: Column, group: Column, fractions: dict[str, float], default: float = 0.0) -> Column:
     """Deterministic per-group sampling predicate (``sampleBy`` analog):
     keep a row iff its md5 bucket (0-99) falls under its group's
