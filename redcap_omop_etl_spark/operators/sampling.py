@@ -452,6 +452,48 @@ def sampling_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sampling_weighted_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             pow((cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) + 1)
+                   / 4294967296.0,
+                 1.0 / greatest(n_chars, 1)) AS k
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           cast(floor(k * 1e9 + 0.5) AS bigint) AS key_e9
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 500
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES): "
+    "each row draws u in (0,1] from a content hash (md5 -> 32-bit "
+    "fraction, no RNG — reproducible on any engine/layout) and races "
+    "with key u^(1/w), w = n_chars; the top-k keys ARE a weighted "
+    "sample without replacement. One pass, no shuffle of the corpus: "
+    "top-k is per-partition heaps + a k-row driver merge "
+    "(TakeOrderedAndProject), so it holds at any corpus size. The "
+    "standard primitive for quality-weighted corpus subsampling.",
+)
+def sampling_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    u = (hash_bucket(F.col("doc_id"), 4294967296) + 1) / F.lit(4294967296.0)
+    k = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(500)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor(F.col("k") * 1e9 + F.lit(0.5)).cast("bigint").alias("key_e9"),
+        )
+    )
+
+
 def sample_fraction_by(key: Column, group: Column, fractions: dict[str, float], default: float = 0.0) -> Column:
     """Deterministic per-group sampling predicate (``sampleBy`` analog):
     keep a row iff its md5 bucket (0-99) falls under its group's
