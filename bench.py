@@ -80,6 +80,11 @@ HEADLINE = [
     "dedup_incremental",
     "text_chunk_windows",
     "dedup_chunk_level",
+    # round-3 final additions: PPJoin prefix-filtered similarity join,
+    # per-source KL divergence, weighted sampling without replacement.
+    "dedup_prefix_jaccard",
+    "corpus_source_divergence",
+    "sampling_weighted_topk",
 ]
 
 

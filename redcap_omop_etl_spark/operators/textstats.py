@@ -989,6 +989,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ), st AS MATERIALIZED (
+      SELECT source, t, count(*) AS c FROM toks GROUP BY source, t
+    ), s_tot AS MATERIALIZED (
+      SELECT source, sum(c)::BIGINT AS ns FROM st GROUP BY source
+    ), ct AS MATERIALIZED (
+      SELECT t, sum(c)::BIGINT AS ctot FROM st GROUP BY t
+    ), n AS (
+      SELECT sum(ns)::BIGINT AS n FROM s_tot
+    )
+    SELECT st.source,
+           max(ns)::BIGINT AS n_tokens,
+           round(-sum((c::DOUBLE / ns) * ln(c::DOUBLE / ns)), 6) AS entropy_nats,
+           round(sum((c::DOUBLE / ns)
+                     * (ln(c::DOUBLE / ns) - ln(ctot::DOUBLE / (SELECT n FROM n)))), 6)
+             AS kl_vs_corpus
+    FROM st JOIN s_tot USING (source) JOIN ct USING (t)
+    GROUP BY st.source
+    """,
+    doc="Per-source unigram distribution diagnostics: Shannon entropy and "
+    "KL(source || corpus) — the drift/contrast measure behind corpus "
+    "mixing decisions (a source whose KL spikes is out-of-distribution "
+    "or contaminated). One corpus explode feeds a (source, token) count; "
+    "the corpus distribution is a vocab-sized RE-aggregation of that "
+    "table (no second pass), joined back broadcast by Heaps' law; the "
+    "grand total is a 1-row broadcast scalar. Every source token occurs "
+    "in the corpus by construction, so KL is always finite.",
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = d.select("source", F.explode(ws_tokens(F.col("text"))).alias("t"))
+    st = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    ct = st.groupBy("t").agg(F.sum("c").cast("long").alias("ctot"))
+    n = s_tot.agg(F.sum("ns").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("ctot").cast("double") / F.col("n")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(ct), "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.sum(p * (F.log(p) - F.log(q))), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
 def _bpe_encode_oracle_sql(n_merges: int = 5) -> str:
     r"""DuckDB oracle for ``bpe_encode_counts``: the ``_bpe_oracle_sql``
     learning chain (unchanged) plus an encode chain — the FULL vocabulary

@@ -229,3 +229,78 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(0.6745 * (e.value - m.med) / nullif(d.mad, 0), 4) AS mz
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE abs(0.6745 * (e.value - m.med) / nullif(d.mad, 0)) > 3.0
+    """,
+    doc="Robust outlier flagging by modified z-score (median absolute "
+    "deviation): unlike anomaly_zscore's mean/stddev, the median/MAD "
+    "estimators don't let the outliers inflate their own yardstick. Two "
+    "dim-sized median aggs broadcast back to the stream — the fact side "
+    "never shuffles; nullif guards degenerate zero-MAD groups on both "
+    "engines.",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    mz = 0.6745 * (F.col("value") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(mz) > 3.0)
+        .select("event_id", "event_type", F.round(mz, 4).alias("mz"))
+    )
+
+
+@register(
+    "ts_autocorr",
+    """
+    WITH lagged AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           count(prev)::BIGINT AS n_pairs,
+           round(corr(value, prev), 6) AS lag1_corr
+    FROM lagged
+    GROUP BY user_id
+    HAVING count(prev) >= 30
+    """,
+    doc="Per-series lag-1 autocorrelation: one shuffle on user_id feeds "
+    "both the lag window and the per-user corr aggregate (same "
+    "partitioning, no second exchange). corr's two-moment state merges "
+    "commutatively map-side. The mean-reversion / trend-persistence "
+    "screen for metric streams; the n_pairs floor keeps tiny series from "
+    "reporting noise correlations.",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select("user_id", "value", F.lag("value").over(order).alias("prev"))
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("prev").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("lag1_corr"),
+        )
+        .filter(F.col("n_pairs") >= 30)
+    )

@@ -48,6 +48,25 @@ class TestMinhash:
         assert not any(4 in p for p in pairs)
 
 
+class TestPrefixJaccard:
+    def test_exact_recall_vs_uncapped_quadratic(self, docs):
+        # PPJoin prefix filtering is a lossless candidate pruning: the pair
+        # set must EQUAL the uncapped all-pairs variant's (not just overlap,
+        # like the df_cap'd or sketch-based operators).
+        exact = _pair_set(dedup.ngram_jaccard_pairs(docs, threshold=0.6))
+        prefix = _pair_set(dedup.prefix_jaccard_pairs(docs, threshold=0.6))
+        assert prefix == exact
+
+    def test_prefix_length_formula(self):
+        # p = sz - ceil(t*sz) + 1 is a strict subset of the posting list
+        # for any sz >= 2 at t >= 0.5, and never empty
+        import math
+
+        for sz in (2, 10, 57, 1000):
+            p = sz - math.ceil(sz * 0.6) + 1
+            assert 1 <= p < sz
+
+
 class TestSimhash:
     def test_synthetic_duplicates_found(self, spark):
         # long, diverse token stream: a one-token edit moves few bit votes,

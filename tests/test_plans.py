@@ -28,6 +28,7 @@ _NESTED_LOOP_OK = {
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
+    "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join
 }
 
 

@@ -80,6 +80,15 @@ SHOWCASE: dict[str, str] = {
     "exchange serves BOTH the (h, source) aggregate and the per-h "
     "window (hash(h) clusters each), then only the tiny per-source agg "
     "reshuffles — two exchanges, no raw-chunk self-join.",
+    "dedup_prefix_jaccard": "PPJoin prefix filter: the candidate "
+    "self-join keys only on each document's RAREST "
+    "|d|-ceil(t|d|)+1 shingles (global df ascending) — exact recall "
+    "with bucket sizes bounded where hot-shingle blocking explodes; "
+    "the verify join touches candidates only.",
+    "corpus_source_divergence": "Entropy + KL(source‖corpus) from ONE "
+    "corpus explode: the corpus distribution is a vocab-sized "
+    "re-aggregation of the (source, token) counts (no second pass), "
+    "broadcast back; grand total is a 1-row broadcast scalar.",
 }
 
 
