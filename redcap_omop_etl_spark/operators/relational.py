@@ -476,6 +476,32 @@ def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API_REVENUE_RANK)
 
 
+_SQL_API_LATERAL_TOPN = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) t
+"""
+
+
+@register(
+    "sql_api_lateral_topn",
+    _SQL_API_LATERAL_TOPN,
+    doc="Correlated LATERAL subquery (SQL:1999 lateral derived table) with "
+    "a per-row ORDER BY ... LIMIT — the top-n-per-key idiom in its SQL "
+    "spelling, one string executed verbatim by BOTH engines. Catalyst "
+    "decorrelates it to the same rank-window plan as the DataFrame "
+    "formulation (window_topk_per_group), so the lateral form costs one "
+    "shuffle on the correlation key, never a per-outer-row re-execution.",
+)
+def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    return spark.sql(_SQL_API_LATERAL_TOPN)
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
 ) -> DataFrame:

@@ -125,7 +125,16 @@ _PRIORITY = [
     "dedup_incremental",
     "corpus_quality_funnel",
     "embedding_quantize_error",
-    # (51 names; the driver's bounded gate covers the first ~50 — every
+    # -- session additions beyond the ~50-slot gate: checked if the
+    # driver's bound allows, otherwise front-of-queue for round 4 --
+    "dedup_prefix_jaccard",
+    "corpus_source_divergence",
+    "anomaly_mad",
+    "ts_autocorr",
+    "sampling_weighted_topk",
+    "sampling_stratified_quota",
+    "agg_listagg_ordered",
+    # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
 

@@ -64,12 +64,17 @@ QUERIES = [
     "window_running_agg",
     "sessionize_gap",
     "cohort_retention",
+    # event analytics
+    "anomaly_mad",
+    "ts_autocorr",
     # document pipeline
     "dedup_exact",
     "text_chunk_windows",
     "dedup_chunk_level",
     "text_tfidf_top_terms",
     "corpus_quality_funnel",
+    "corpus_source_divergence",
+    "sampling_weighted_topk",
     # embeddings + graph
     "similarity_cosine_topk",
     "graph_pagerank",
