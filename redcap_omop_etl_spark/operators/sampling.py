@@ -544,6 +544,70 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mixture",
+    """
+    WITH stats AS (
+      SELECT source, sum(n_chars)::BIGINT AS chars_s FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, chars_s, cast(floor(sqrt(chars_s) * 1000) AS bigint) AS w_s
+      FROM stats
+    ), tot AS (
+      SELECT sum(chars_s)::BIGINT AS total, sum(w_s)::BIGINT AS wsum FROM w
+    ), rates AS (
+      SELECT source, chars_s,
+             cast(floor(least(1.0, 0.3 * total * w_s / wsum / chars_s) * 10000 + 0.5)
+                  AS bigint) AS cut
+      FROM w, tot
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_kept,
+           sum(d.n_chars)::BIGINT AS chars_kept,
+           max(r.cut)::BIGINT AS rate_e4
+    FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE cast(('0x' || substring(md5(cast(d.doc_id AS varchar)), 1, 8)) AS bigint) % 10000
+          < r.cut
+    GROUP BY d.source
+    """,
+    doc="Temperature-scaled mixture sampling (alpha=0.5, the multilingual "
+    "rebalancing allocation): per-source keep RATES are computed FROM the "
+    "data — weight w_s ~ chars_s^alpha, budget 30% of the corpus, rate = "
+    "min(1, budget*w_s / (wsum*chars_s)) — then applied as a "
+    "deterministic md5-bucket filter. Weights are floor(sqrt*1000) "
+    "INTEGERS so the cross-engine arithmetic has identical operands "
+    "(integer sums are order-independent; double ops on equal operands "
+    "are IEEE-identical) — no accumulation-order drift at any source "
+    "count. Plan: dim-sized stats agg, 1-row scalar broadcast, rate "
+    "table broadcast back; the corpus never shuffles before the final "
+    "rollup.",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    stats = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars_s"))
+    w = stats.withColumn("w_s", F.floor(F.sqrt(F.col("chars_s")) * 1000).cast("long"))
+    tot = w.agg(
+        F.sum("chars_s").cast("long").alias("total"), F.sum("w_s").cast("long").alias("wsum")
+    )
+    rate = F.least(
+        F.lit(1.0), 0.3 * F.col("total") * F.col("w_s") / F.col("wsum") / F.col("chars_s")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select("source", F.floor(rate * 10000 + F.lit(0.5)).cast("long").alias("cut"))
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), 10000) < F.col("cut"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.max("cut").alias("rate_e4"),
+        )
+    )
+
+
+@register(
     "sequence_packing",
     """
     WITH toks AS (

@@ -692,3 +692,33 @@ def event_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_lateness_us"),
     )
+
+
+@register(
+    "window_sliding_distinct",
+    """
+    WITH w AS (
+      SELECT ((floor(epoch(ts))::BIGINT // 900) - u.j) * 900 AS wstart_s, user_id
+      FROM events, unnest(range(0, 4)) u(j)
+    )
+    SELECT wstart_s, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w GROUP BY wstart_s
+    """,
+    doc="Sliding-window COUNT DISTINCT (1 h windows, 15 min slide): each "
+    "event enumerates the 4 window starts that cover it (sequence + "
+    "explode — pure column arithmetic, batch analog of the streaming "
+    "sliding window), then the distinct count runs as TWO cascaded hash "
+    "aggregates — (window, user) dedup first, then per-window counts — "
+    "so the shuffle carries one row per distinct pair, never a "
+    "collect_set, and both aggregates partial-combine map-side. The "
+    "count-distinct shape that survives hot windows at 100 TB.",
+)
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    grid = F.floor(F.unix_timestamp("ts") / 900)
+    pairs = (
+        e.select(grid.alias("g"), "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+        .select(((F.col("g") - F.col("j")) * 900).alias("wstart_s"), "user_id")
+        .distinct()
+    )
+    return pairs.groupBy("wstart_s").agg(F.count(F.lit(1)).alias("n_users"))

@@ -134,6 +134,9 @@ _PRIORITY = [
     "sampling_weighted_topk",
     "sampling_stratified_quota",
     "agg_listagg_ordered",
+    "sql_api_lateral_topn",
+    "window_sliding_distinct",
+    "corpus_temperature_mixture",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]

@@ -29,6 +29,7 @@ _NESTED_LOOP_OK = {
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
     "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join
+    "corpus_temperature_mixture",  # total/wsum scalar: 1-row broadcast cross join
 }
 
 

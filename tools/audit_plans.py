@@ -33,6 +33,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("text_unigram_logprob", "bnlj"): "corpus-total scalar: 1-row broadcast crossJoin",
     ("corpus_quality_funnel", "bnlj"): "inherits the unigram-LM 1-row scalar crossJoin",
     ("corpus_source_divergence", "bnlj"): "corpus-total scalar: 1-row broadcast crossJoin",
+    ("corpus_temperature_mixture", "bnlj"): "total/wsum scalar: 1-row broadcast crossJoin "
+    "against the dim-sized source-stats table",
     ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
     "band dimension (a handful of rows); the theta-join form IS the operator",
     # NOTE: similarity_ann_ivf's assignment crossJoin (vectors x broadcast
