@@ -722,3 +722,46 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("wstart_s").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "event_pattern_regex",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(seq)::BIGINT AS seq_len,
+           len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_view_to_purchase,
+           len(regexp_extract_all(seq, 'e{2,}'))::BIGINT AS n_error_bursts
+    FROM seqs
+    """,
+    doc="Sequence-pattern matching over per-user event streams "
+    "(MATCH_RECOGNIZE-lite): each user's ordered event-type initials "
+    "collapse to ONE string via ordered string aggregation, then "
+    "regex engines do the pattern work — view→purchase conversions "
+    "(vc*p) and error bursts (e{2,}) counted as non-overlapping "
+    "left-to-right matches, identical semantics in Java regex and RE2. "
+    "One shuffle on user_id; per-user state is the initials string, "
+    "bounded by events-per-user (cap or sessionize first when a key "
+    "can exceed memory).",
+)
+def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    seqs = e.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1), '') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("vc*p"), 0))
+        .cast("bigint")
+        .alias("n_view_to_purchase"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("e{2,}"), 0))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )

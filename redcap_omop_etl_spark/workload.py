@@ -137,6 +137,7 @@ _PRIORITY = [
     "sql_api_lateral_topn",
     "window_sliding_distinct",
     "corpus_temperature_mixture",
+    "event_pattern_regex",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
