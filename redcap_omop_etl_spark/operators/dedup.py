@@ -674,3 +674,61 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("status"),
     )
+
+
+@register(
+    "corpus_cross_contamination",
+    r"""
+    WITH t0 AS (
+      SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT source, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+      FROM t0, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+      WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL
+    ), tot AS MATERIALIZED (
+      SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*)::BIGINT AS shared_shingles,
+           ta.n_sh::BIGINT AS n_a,
+           cast(floor(count(*) * 1000000.0 / ta.n_sh + 0.5) AS bigint)
+             AS containment_ppm_a
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    GROUP BY a.source, b.source, ta.n_sh
+    """,
+    doc="Cross-source contamination matrix: for every source pair, how "
+    "many distinct 3-gram shingles they share and what fraction of the "
+    "first source's shingle set that covers — the dataset-provenance "
+    "audit run before mixing corpora (complement of "
+    "decontaminate_overlap, which is doc-level vs one benchmark). The "
+    "shingle table is deduplicated to (source, shingle) FIRST, so the "
+    "self-join buckets are bounded by the SOURCE count (~20), never "
+    "the document count; per-source totals are a dim-sized broadcast.",
+)
+def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    sh = (
+        fan_out(d)
+        .select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return shared.join(
+        F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))),
+        "src_a",
+    ).select(
+        "src_a",
+        "src_b",
+        "shared_shingles",
+        "n_a",
+        F.floor(F.col("shared_shingles") * 1000000.0 / F.col("n_a") + F.lit(0.5))
+        .cast("bigint")
+        .alias("containment_ppm_a"),
+    )

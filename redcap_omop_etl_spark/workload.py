@@ -138,6 +138,7 @@ _PRIORITY = [
     "window_sliding_distinct",
     "corpus_temperature_mixture",
     "event_pattern_regex",
+    "corpus_cross_contamination",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
