@@ -85,6 +85,12 @@ HEADLINE = [
     "dedup_prefix_jaccard",
     "corpus_source_divergence",
     "sampling_weighted_topk",
+    "corpus_temperature_mixture",
+    "corpus_cross_contamination",
+    "window_sliding_distinct",
+    "event_pattern_regex",
+    "anomaly_mad",
+    "ts_autocorr",
 ]
 
 

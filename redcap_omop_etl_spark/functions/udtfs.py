@@ -99,3 +99,110 @@ def udtf_eav_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fields"),
     )
     return eav_emit_lateral(src)
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_seq bigint, session_start string, "
+    "session_end string, n_events bigint"
+)
+
+
+def make_sessionize_udtf(gap_minutes: int = 30):
+    """Build a TABLE-argument UDTF that sessionizes an ordered event
+    partition imperatively — the Spark 4 polymorphic-TVF surface
+    (``FROM f(TABLE(t) PARTITION BY k ORDER BY (...))``).
+
+    Spark instantiates the class once PER PARTITION and feeds rows in the
+    declared order, so the state is one open session (O(1) per key —
+    bounded regardless of events-per-user, unlike collect-based
+    formulations); ``terminate`` flushes the final session. Same
+    semantics as the declarative gap-islands plan (``windows.sessionize``)
+    — the test gate pins them equal — but expressed as the escape hatch
+    for session logic too imperative for lag+cumsum (e.g. dynamic gaps,
+    lookahead caps). Class defined inside the factory so cloudpickle
+    ships it by value; stdlib imports stay inside methods (workers don't
+    inherit the driver's cwd/sys.path).
+    """
+    from pyspark.sql.functions import udtf
+
+    gap_s = gap_minutes * 60
+
+    @udtf(returnType=SESSION_SCHEMA)
+    class SessionizeTvf:
+        def __init__(self):
+            self.user = None
+            self.seq = 0
+            self.start = None
+            self.end = None
+            self.n = 0
+
+        def _emit(self):
+            fmt = "%Y-%m-%d %H:%M:%S"
+            return (self.user, self.seq, self.start.strftime(fmt), self.end.strftime(fmt), self.n)
+
+        def eval(self, row):
+            import calendar
+
+            ts = row["ts"]
+            if self.n == 0:
+                self.user, self.seq, self.start, self.end, self.n = row["user_id"], 1, ts, ts, 1
+                return
+            # unix-second truncation mirrors the declarative plan's
+            # unix_timestamp()/epoch(date_trunc('second', ...)) arithmetic
+            gap = calendar.timegm(ts.utctimetuple()) - calendar.timegm(self.end.utctimetuple())
+            if gap > gap_s:
+                out = self._emit()
+                self.seq += 1
+                self.start, self.end, self.n = ts, ts, 1
+                yield out
+            else:
+                self.end = ts
+                self.n += 1
+
+        def terminate(self):
+            if self.n:
+                yield self._emit()
+
+    return SessionizeTvf
+
+
+@register(
+    "udtf_sessionize_tvf",
+    # oracle: identical to sessionize_gap's — the TVF is an alternative
+    # PHYSICAL formulation of the same logical operator
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(date_trunc('second', ts))
+                          - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq::BIGINT AS session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    doc="Custom stateful operator as a Spark 4 TABLE-argument UDTF "
+    "(polymorphic TVF, SURVEY §2.10): per-partition imperative "
+    "sessionization with O(1) state per key, fed ordered rows by "
+    "PARTITION BY user_id ORDER BY (ts, event_id). Oracled against the "
+    "SAME SQL as sessionize_gap — two physical strategies, one logical "
+    "operator. The declarative gap-islands plan stays the fast path; "
+    "this is the escape hatch shape for logic lag+cumsum can't express.",
+)
+def udtf_sessionize_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    spark.udtf.register("sessionize_tvf", make_sessionize_udtf(30))
+    return spark.sql(
+        "SELECT * FROM sessionize_tvf(TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

@@ -139,6 +139,7 @@ _PRIORITY = [
     "corpus_temperature_mixture",
     "event_pattern_regex",
     "corpus_cross_contamination",
+    "udtf_sessionize_tvf",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]

@@ -45,6 +45,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     # intended shape; it just isn't part of the audited query plan anymore.
     ("udtf_eav_emit", "row-udf"): "Python UDTF lateral-emit API surface "
     "(SURVEY 2.10) — the UDTF protocol is row-wise by definition",
+    ("udtf_sessionize_tvf", "row-udf"): "TABLE-argument UDTF (polymorphic "
+    "TVF) API surface — row-wise by definition; the declarative "
+    "sessionize_gap plan is the fast path for the same logical operator",
     ("similarity_cosine_topk", "global-window"): "rank over the LIMIT-k "
     "survivors (k=10 rows)",
     ("similarity_ann_lsh", "global-window"): "rank over the LIMIT-k survivors",
