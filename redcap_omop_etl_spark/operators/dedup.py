@@ -157,10 +157,14 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    # cache: the shingle table feeds the df count, the ranked window, AND
+    # both sides of the verify join — without pinning, the interpreted
+    # tokenize→shingle HOF chain re-runs three times (same discipline as
+    # ngram_jaccard_pairs / simhash)
     toks = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("t"),
-    )
+    ).cache()
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = Window.partitionBy("doc")
     ranked = (
@@ -170,10 +174,20 @@ def prefix_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-    ).select("doc", "t")
+    ).select("doc", "t", "sz")
+    # length filter (canonical PPJoin companion to the prefix filter):
+    # Jaccard >= t forces t*|a| <= |b| <= |a|/t, so size-mismatched
+    # collisions die before the verify join. Result-preserving — the
+    # oracle doesn't need to mirror it.
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.t") == F.col("b.t")) & (F.col("a.doc") < F.col("b.doc")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(threshold))
+            & (F.col("a.sz") >= F.col("b.sz") * F.lit(threshold)),
+        )
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
     )
