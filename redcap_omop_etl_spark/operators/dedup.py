@@ -722,10 +722,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
+    # cache: the deduped (source, shingle) table feeds per-source totals
+    # AND both sides of the pair join — pin it so the tokenize→shingle
+    # chain and the dedup shuffle run once
     sh = (
         fan_out(d)
         .select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
         .distinct()
+        .cache()
     )
     tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
