@@ -126,3 +126,34 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.streaming.windows import interval_join_views_purchases
 
     return interval_join_views_purchases(Catalog(spark, sf_dir)["events"])
+
+
+@register(
+    "stream_interval_join_outer",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_seconds,
+           p.event_id IS NOT NULL AS converted
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    doc="Streaming §2.9: LEFT OUTER stream-stream interval join — views "
+    "with no purchase in the 6h window emit once with NULL purchase "
+    "columns (in stream mode, only after the watermark clears the "
+    "view's window end; the batch form emits all of them, which is what "
+    "the oracle checks). The conversion-funnel null channel that an "
+    "inner join silently drops.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from redcap_omop_etl_spark.streaming.windows import interval_join_views_purchases
+
+    out = interval_join_views_purchases(Catalog(spark, sf_dir)["events"], how="left_outer")
+    return out.withColumn("converted", F.col("purchase_id").isNotNull())

@@ -202,7 +202,10 @@ def stateful_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFra
 
 
 def interval_join_views_purchases(
-    events: DataFrame, max_lag: str = "6 hours", watermark: str = "2 hours"
+    events: DataFrame,
+    max_lag: str = "6 hours",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each view paired with the same user's
     purchases within ``max_lag`` after it.
@@ -212,6 +215,13 @@ def interval_join_views_purchases(
     lag window (the append-mode stream-stream join contract). The batch
     form is the identical plan minus watermarks — a range-predicate
     equi-join on user_id that shuffles each side once.
+
+    ``how="left_outer"`` adds the unmatched-view channel: a view with no
+    purchase inside the lag window emits once with NULL purchase columns
+    — in streaming, only after the watermark passes the view's window
+    end (Spark's outer stream-stream join contract), so trailing views
+    whose window the final watermark never clears stay unemitted until
+    more data arrives; the batch form emits them all.
     """
     views = events.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
@@ -227,7 +237,7 @@ def interval_join_views_purchases(
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {max_lag}"))
     )
-    return views.join(purchases, cond).select(
+    return views.join(purchases, cond, how=how).select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",

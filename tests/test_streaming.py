@@ -82,6 +82,25 @@ class TestStreamEqualsBatch:
         assert _norm(stream) == _norm(batch)
         assert stream.count() > 0
 
+    def test_interval_join_left_outer(self, spark, batch_events, stream_events):
+        # Outer stream-stream join: matched rows must equal the batch
+        # matched set exactly; NULL (unmatched-view) rows emit only once
+        # the watermark clears a view's window end, so the stream's null
+        # set is a SUBSET of the batch's — trailing views stay pending.
+        batch = sw.interval_join_views_purchases(batch_events, how="left_outer")
+        stream = _run_stream_to_memory(
+            spark,
+            sw.interval_join_views_purchases(stream_events, how="left_outer"),
+            "t_ivjoin_outer",
+            "append",
+        )
+        b_matched = _norm(batch.filter(F.col("purchase_id").isNotNull()))
+        s_matched = _norm(stream.filter(F.col("purchase_id").isNotNull()))
+        assert s_matched == b_matched
+        b_nulls = set(_norm(batch.filter(F.col("purchase_id").isNull())))
+        s_nulls = set(_norm(stream.filter(F.col("purchase_id").isNull())))
+        assert s_nulls <= b_nulls
+
     def test_stream_static_enrich(self, spark, batch_events, stream_events):
         dim = Catalog(spark, SF_SMOKE)["nation"]
         batch = sw.stream_static_enrich(batch_events, dim)
