@@ -304,3 +304,43 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 30)
     )
+
+
+@register(
+    "ts_decay_features",
+    """
+    WITH ref AS (
+      SELECT user_id,
+             floor(epoch(max(ts)))::BIGINT AS t_ref
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(e.value * exp(-(r.t_ref - floor(epoch(e.ts))) / 86400.0)), 4)
+             AS decay_sum_1d,
+           round(sum(e.value * exp(-(r.t_ref - floor(epoch(e.ts))) / 604800.0)), 4)
+             AS decay_sum_7d
+    FROM events e JOIN ref r USING (user_id)
+    GROUP BY e.user_id
+    """,
+    doc="Exponential time-decay feature aggregation (the feature-store "
+    "recency-weighted sum): each user's events weighted by "
+    "exp(-age/halfwidth) against that user's LAST event, at 1-day and "
+    "7-day decay constants. Per-user reference times are a dim-sized agg "
+    "broadcast back; one shuffle on user_id; exp() runs on identical "
+    "integer-second operands in both engines so the only cross-engine "
+    "drift is double summation order, absorbed by the 4dp round.",
+)
+def ts_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    ref = e.groupBy("user_id").agg(F.max(F.unix_timestamp("ts")).alias("t_ref"))
+    age_s = F.col("t_ref") - F.unix_timestamp("ts")
+    return (
+        e.join(F.broadcast(ref), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-age_s / 86400.0)), 4).alias("decay_sum_1d"),
+            F.round(F.sum(F.col("value") * F.exp(-age_s / 604800.0)), 4).alias("decay_sum_7d"),
+        )
+    )

@@ -141,6 +141,7 @@ _PRIORITY = [
     "corpus_cross_contamination",
     "udtf_sessionize_tvf",
     "stream_interval_join_outer",
+    "ts_decay_features",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
