@@ -771,3 +771,77 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
         F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
     )
+
+
+@register(
+    "dq_distribution_drift",
+    """
+    WITH counts AS MATERIALIZED (
+      SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY source, n_chars
+    ), vals AS MATERIALIZED (
+      SELECT DISTINCT v FROM counts
+    ), s_tot AS MATERIALIZED (
+      SELECT source, sum(c)::BIGINT AS n_s FROM counts GROUP BY source
+    ), grid AS (
+      SELECT s.source, vals.v, coalesce(c.c, 0) AS c
+      FROM s_tot s CROSS JOIN vals
+      LEFT JOIN counts c ON c.source = s.source AND c.v = vals.v
+    ), cum2 AS (
+      SELECT g.source, g.v,
+             sum(g.c) OVER (PARTITION BY g.source ORDER BY g.v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      FROM grid g
+    ), corpus AS (
+      SELECT v, sum(cum_s) AS cum_all FROM cum2 GROUP BY v
+    ), tot AS (
+      SELECT sum(n_s)::BIGINT AS n FROM s_tot
+    )
+    SELECT c2.source,
+           max(s.n_s)::BIGINT AS n_docs,
+           max(cast(floor(abs(c2.cum_s * 1.0 / s.n_s
+                              - co.cum_all * 1.0 / (SELECT n FROM tot)) * 1e6 + 0.5)
+                    AS bigint)) AS ks_e6
+    FROM cum2 c2
+    JOIN corpus co ON c2.v = co.v
+    JOIN s_tot s ON c2.source = s.source
+    GROUP BY c2.source
+    """,
+    doc="Distribution-drift audit: exact two-sample Kolmogorov-Smirnov "
+    "statistic of each source's n_chars distribution vs the pooled "
+    "corpus, evaluated on the full pooled value grid (so jumps at "
+    "values a source never emits still count). The grid is "
+    "(sources x distinct values) — bounded by the value DOMAIN, not row "
+    "count; per-source CDFs are windowed cumsums over that grid and the "
+    "corpus CDF is their sum (one pass, no second scan). All "
+    "divisions run on identical integer operands, so the statistic is "
+    "bit-stable cross-engine. Complements corpus_source_divergence "
+    "(token-level KL) with a length-distribution lens.",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir)["documents"]
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    vals = counts.select("v").distinct()
+    s_tot = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    grid = (
+        s_tot.crossJoin(F.broadcast(vals))
+        .join(counts, ["source", "v"], "left")
+        .select("source", "v", "n_s", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("cum_s", F.sum("c").over(w))
+    corpus = cum.groupBy("v").agg(F.sum("cum_s").alias("cum_all"))
+    n = s_tot.agg(F.sum("n_s").cast("long").alias("n"))
+    gap = F.abs(
+        F.col("cum_s") * F.lit(1.0) / F.col("n_s") - F.col("cum_all") * F.lit(1.0) / F.col("n")
+    )
+    return (
+        cum.join(F.broadcast(corpus), "v")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.max(F.floor(gap * 1e6 + F.lit(0.5)).cast("long")).alias("ks_e6"),
+        )
+    )

@@ -142,6 +142,7 @@ _PRIORITY = [
     "udtf_sessionize_tvf",
     "stream_interval_join_outer",
     "ts_decay_features",
+    "dq_distribution_drift",
     # (58 names; the driver's bounded gate covers the first ~50 — every
     # other registered query was driver-checked in rounds 1-2)
 ]
