@@ -30,6 +30,7 @@ _NESTED_LOOP_OK = {
     "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
     "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_temperature_mixture",  # total/wsum scalar: 1-row broadcast cross join
+    "dq_distribution_drift",  # bounded KS value grid + 1-row corpus-total scalar
 }
 
 

@@ -35,6 +35,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("corpus_source_divergence", "bnlj"): "corpus-total scalar: 1-row broadcast crossJoin",
     ("corpus_temperature_mixture", "bnlj"): "total/wsum scalar: 1-row broadcast crossJoin "
     "against the dim-sized source-stats table",
+    ("dq_distribution_drift", "bnlj"): "KS evaluation grid (sources x distinct values — "
+    "bounded by the value DOMAIN, not rows) + 1-row corpus-total scalar crossJoin",
     ("join_range_bands", "bnlj"): "non-equi band predicate against a broadcast "
     "band dimension (a handful of rows); the theta-join form IS the operator",
     # NOTE: similarity_ann_ivf's assignment crossJoin (vectors x broadcast
