@@ -105,22 +105,24 @@ def main() -> None:
     qs = workload.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm pass: execute every headline query once first so the timed pass
-    # measures steady-state execution (scan + shuffle + agg) rather than
-    # first-call JIT/codegen compilation — the component that vanishes on
-    # any long-lived cluster. Failures here are ignored; the timed pass
-    # reports them per-query.
-    for name in names:
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001
-            pass
-
+    # Per-query warm-then-time, with a cache reset between queries. Several
+    # operators .cache()/.persist() intermediates internally; a single
+    # global warm pass accumulates all of those blocks, and the timed pass
+    # then runs under eviction pressure (round-3's phantom 26s q1). The
+    # warm run absorbs first-call JIT/codegen compilation — the component
+    # that vanishes on any long-lived cluster — and the clearCache() bounds
+    # the storage footprint to one query's working set at a time. Warm
+    # failures are ignored; the timed run reports them per-query.
     # Fault-isolated: one failing query reports as "err", never kills the
     # whole bench (a crashed bench is a zero signal; a per-query err is a
     # precise one).
     timings: dict[str, float | str] = {}
     for name in names:
+        spark.catalog.clearCache()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
@@ -129,6 +131,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
             print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = "err"
+    spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(

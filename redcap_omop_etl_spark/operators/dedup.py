@@ -75,6 +75,31 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1))))
 
 
+def shingle_sql_cte(key: str = "doc_id", gram: str = "s", materialized: bool = False) -> str:
+    """DuckDB CTE fragment mirroring ``shingles()`` EXACTLY — the single
+    source of truth for every shingle-set oracle (splice right after
+    ``WITH``; emits ``__tok`` and ``__sh({key}, {gram})``).
+
+    Uses ``concat_ws`` (which skips NULL args, like Spark's) instead of
+    null-propagating ``||``, so a document shorter than 3 tokens keeps its
+    one partial gram on BOTH engines instead of silently vanishing from
+    the oracle side only — the latent cross-engine divergence previously
+    copy-pasted into each oracle. ``range(1, greatest(len(w)-1, 2))``
+    guarantees at least one gram per document, matching the Spark slice's
+    ``greatest(sz-(n-1), 1)`` floor; verified cell-for-cell against
+    ``shingles()`` on 1-token, 2-token and empty-text documents.
+    """
+    mat = " MATERIALIZED" if materialized else ""
+    return (
+        f"__tok AS (\n"
+        f"      SELECT {key}, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents\n"
+        f"    ), __sh AS{mat} (\n"
+        f"      SELECT DISTINCT {key}, concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS {gram}\n"
+        f"      FROM __tok, unnest(range(1, greatest(len(w) - 1, 2))) u(i)\n"
+        f"    )"
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-content hash: keep the min-id representative
     per group, count the copies. One shuffle on the fingerprint."""
@@ -150,10 +175,12 @@ def prefix_jaccard_pairs(
     blocking explodes. No recall loss (unlike ``df_cap``-ed
     ``ngram_jaccard_pairs``), exact verify on candidates only.
 
-    Shuffles: shingle explode → df count (vocab-sized, broadcast back by
-    Heaps' law; becomes a shuffle join if the shingle vocabulary outgrows
-    the driver), one window shuffle on doc, prefix-shingle equi-join, one
-    candidate-bounded verify join.
+    Shuffles: shingle explode → df count (vocab-sized; no forced
+    broadcast hint — AQE converts the rank join to broadcast at runtime
+    when the vocabulary fits under the advisory threshold and degrades
+    to a shuffle join when Heaps' law loses to corpus size, instead of
+    OOMing the driver on a hard-coded hint), one window shuffle on doc,
+    prefix-shingle equi-join, one candidate-bounded verify join.
     """
     from pyspark.sql.window import Window
 
@@ -168,7 +195,7 @@ def prefix_jaccard_pairs(
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = Window.partitionBy("doc")
     ranked = (
-        toks.join(F.broadcast(dfreq), "t")
+        toks.join(dfreq, "t")
         .withColumn("rn", F.row_number().over(wdoc.orderBy("dfr", "t")))
         .withColumn("sz", F.count(F.lit(1)).over(wdoc))
     )
@@ -433,17 +460,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    """
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
-    ), sh0 AS (
-      SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
-      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-    ), hot AS (
-      SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100
+    f"""
+    WITH {shingle_sql_cte()}, hot AS (
+      SELECT s FROM __sh GROUP BY s HAVING count(*) > 100
     ), sh AS (
-      SELECT doc_id, s FROM sh0
-      WHERE s IS NOT NULL AND s NOT IN (SELECT s FROM hot WHERE s IS NOT NULL)
+      SELECT doc_id, s FROM __sh
+      WHERE s NOT IN (SELECT s FROM hot)
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
@@ -468,13 +490,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_prefix_jaccard",
-    r"""
-    WITH t0 AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
-    ), toks AS MATERIALIZED (
-      SELECT DISTINCT doc_id AS doc, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS t
-      FROM t0, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-      WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL
+    f"""
+    WITH {shingle_sql_cte(gram="t", materialized=True)}, toks AS MATERIALIZED (
+      SELECT doc_id AS doc, t FROM __sh
     ), dfreq AS MATERIALIZED (
       SELECT t, count(*) AS dfr FROM toks GROUP BY t
     ), ranked AS MATERIALIZED (
@@ -513,16 +531,11 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    """
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
-    ), sh0 AS (
-      SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
-      FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-    ), hs AS (
+    f"""
+    WITH {shingle_sql_cte()}, hs AS (
       SELECT DISTINCT doc_id AS doc,
              ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS h
-      FROM sh0 WHERE s IS NOT NULL
+      FROM __sh
     ), params AS (
       SELECT r.i, 2 * r.i + 1 AS a, (104729 * (r.i + 1)) % 2147483647 AS b
       FROM unnest(range(64)) r(i)
@@ -692,13 +705,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_cross_contamination",
-    r"""
-    WITH t0 AS (
-      SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
-    ), sh AS MATERIALIZED (
-      SELECT DISTINCT source, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
-      FROM t0, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-      WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL
+    f"""
+    WITH {shingle_sql_cte(key="source", materialized=True)}, sh AS MATERIALIZED (
+      SELECT source, s FROM __sh
     ), tot AS MATERIALIZED (
       SELECT source, count(*) AS n_sh FROM sh GROUP BY source
     )

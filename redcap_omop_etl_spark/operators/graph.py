@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs
+from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs, shingle_sql_cte
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
@@ -89,17 +89,11 @@ def connected_components(
 
 @register(
     "dedup_clusters",
-    """
+    f"""
     WITH edges AS (
-      WITH t AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
-      ), sh0 AS (
-        SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
-        FROM t, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-      ), sh AS (
-        SELECT doc_id, s FROM sh0
-        WHERE s IS NOT NULL AND s NOT IN (
-          SELECT s FROM sh0 WHERE s IS NOT NULL GROUP BY s HAVING count(*) > 100)
+      WITH {shingle_sql_cte()}, sh AS (
+        SELECT doc_id, s FROM __sh
+        WHERE s NOT IN (SELECT s FROM __sh GROUP BY s HAVING count(*) > 100)
       ), sz AS (
         SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       ), inter AS (

@@ -137,24 +137,41 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sketch_reaggregation",
-    None,  # sketch estimates are engine-specific; accuracy vs exact is
-    # pinned by pytest (TestSketchReaggregation)
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS sketch_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
     doc="Mergeable-summary pattern: per-(day, type) HLL sketches unioned "
     "up to per-type totals — the only scalable shape for distinct counts "
     "over rolling horizons at 100 TB (daily sketches persist; any window "
     "re-aggregates by union instead of rescanning raw events; "
     "count(DISTINCT) cannot re-aggregate). Datasketches-backed built-ins "
-    "(hll_sketch_agg/hll_union_agg), JVM-side throughout.",
+    "(hll_sketch_agg/hll_union_agg), JVM-side throughout. Sketch "
+    "estimates are engine-specific, so the driver-checkable contract is "
+    "the exact distinct count plus a Spark-side tolerance boolean "
+    "(|est − exact| / exact ≤ 0.05; default lgConfigK=12 gives ~1.6% "
+    "error) — the oracle asserts the exact side and a TRUE literal. "
+    "pytest (TestSketchReaggregation) additionally pins the union-equals-"
+    "direct-sketch property.",
 )
 def agg_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
     daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
-        .select("event_type", "approx_users")
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_users",
+        ((F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")) <= F.lit(0.05)).alias(
+            "sketch_within_tol"
+        ),
     )
 
 
@@ -555,7 +572,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(chars_s)::BIGINT AS total, sum(w_s)::BIGINT AS wsum FROM w
     ), rates AS (
       SELECT source, chars_s,
-             cast(floor(least(1.0, 0.3 * total * w_s / wsum / chars_s) * 10000 + 0.5)
+             cast(floor(least(1.0, 0.3::DOUBLE * total * w_s / wsum / chars_s) * 10000 + 0.5)
                   AS bigint) AS cut
       FROM w, tot
     )

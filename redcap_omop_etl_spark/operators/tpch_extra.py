@@ -142,9 +142,22 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    None,  # approximate results differ across engines by design; pytest
-    # pins accuracy vs the exact counts
-    doc="Net-new (SURVEY §2.4 note): approx_count_distinct + approx percentiles.",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+           TRUE AS hll_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Net-new (SURVEY §2.4 note): approx_count_distinct + approx "
+    "percentiles. Approximate values are engine-specific, so the "
+    "driver-checkable contract is exact values + Spark-side tolerance "
+    "booleans: |approx − exact| / exact ≤ 0.05 must hold for the HLL "
+    "distinct count (rsd 0.01) and both approx percentiles (accuracy "
+    "10000) — the oracle asserts the exact side and TRUE literals "
+    "(pytest: TestApproxAgg).",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir)["lineitem"]
@@ -154,20 +167,29 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|orderkey| HLL/percentile sketches instead of |groups| (measured
     # 10× slower at sf0.1). The rejoins are 3 rows, broadcast.
     approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("ap95"),
     )
-    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-    # Scalar percentile columns (not one array<double> column): a list-typed
-    # output cell is unhashable for pandas-based result canonicalizers, so
-    # the two quantiles are surfaced as independent doubles.
-    pct = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95")
-    ).select(
-        "l_returnflag",
-        F.element_at("price_p50_p95", 1).alias("price_p50"),
-        F.element_at("price_p50_p95", 2).alias("price_p95"),
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ep50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("ep95"),
     )
-    return approx.join(F.broadcast(exact), "l_returnflag").join(F.broadcast(pct), "l_returnflag")
+
+    def within(a, e):  # relative-error gate; exact sides are > 0 here
+        return (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= F.lit(0.05)
+
+    return (
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            within("approx_orders", "exact_orders").alias("hll_within_tol"),
+            within("ap50", "ep50").alias("p50_within_tol"),
+            within("ap95", "ep95").alias("p95_within_tol"),
+        )
+    )
 
 
 @register(

@@ -296,11 +296,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = e.select("user_id", "value", F.lag("value").over(order).alias("prev"))
+    # Spark corr returns NaN on a zero-variance (constant) series where
+    # DuckDB returns NULL — normalize to NULL so degenerate series can't
+    # hash-mismatch cross-engine (same nullif discipline as anomaly_mad).
+    corr = F.corr("value", "prev")
     return (
         lagged.groupBy("user_id")
         .agg(
             F.count("prev").alias("n_pairs"),
-            F.round(F.corr("value", "prev"), 6).alias("lag1_corr"),
+            F.round(F.when(F.isnan(corr), None).otherwise(corr), 6).alias("lag1_corr"),
         )
         .filter(F.col("n_pairs") >= 30)
     )

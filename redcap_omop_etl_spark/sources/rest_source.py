@@ -11,11 +11,13 @@ Re-expresses the reference's extract stage as a *parallel* custom source:
   ``InputPartition`` per chunk, so what the reference did serially becomes
   cluster-parallel fan-out; the union is implicit.
 
-No network in this environment: the default transport is a deterministic
-synthetic generator standing in for the HTTP POST; a real deployment
-injects a requests-based transport via the ``transport`` option hook
-(subclassing). The partition planning, schema contract, and pushdown
-plumbing are the deliverable.
+Two transports behind one seam: the default is a deterministic synthetic
+generator (no network egress in this environment), and setting the
+``url``/``token`` reader options switches to ``http_transport`` — a real
+``requests`` POST speaking the reference's REDCap wire protocol, tested
+against a loopback fixture server (``tests/test_rest_source.py``) so the
+seam is proven honest without live network. Partition planning, schema
+contract, and pushdown plumbing are shared by both.
 """
 
 from __future__ import annotations
@@ -73,6 +75,61 @@ def synthetic_transport(ids: list[str], fields: list[str] | None, events: list[s
                 yield (rid, ev, "", "", f, value)
 
 
+def http_transport(
+    url: str,
+    token: str,
+    ids: list[str],
+    fields: list[str] | None,
+    events: list[str] | None,
+    timeout: float = 30.0,
+) -> Iterator[tuple]:
+    """Real REDCap-protocol transport (reference ``redcap-etl.py:77-114``):
+    one form-encoded POST per ID chunk with ``content=record`` /
+    ``format=csv`` / ``type=eav``, ``records[i]`` per chunk ID, and
+    ``fields[i]``/``events[i]`` as the server-side projection pushdown;
+    the CSV body parses to EAV tuples with the reference's
+    ``record`` → ``record_id`` rename (``redcap-etl.py:126-127``).
+
+    Import-gated on ``requests``; runs inside the executor task so each
+    ``InputPartition`` (ID chunk) is an independent, retryable HTTP call —
+    the reference's serial chunk loop becomes cluster-parallel fan-out.
+    """
+    import csv
+    import io
+
+    import requests
+
+    data: dict[str, str] = {
+        "token": token,
+        "content": "record",
+        "format": "csv",
+        "type": "eav",
+        "rawOrLabel": "raw",
+        "rawOrLabelHeaders": "raw",
+        "exportCheckboxLabel": "true",
+        "exportSurveyFields": "false",
+        "exportDataAccessGroups": "false",
+        "returnFormat": "json",
+    }
+    for i, rid in enumerate(ids):
+        data[f"records[{i}]"] = rid
+    for i, f in enumerate(fields or []):
+        data[f"fields[{i}]"] = f
+    for i, e in enumerate(events or []):
+        data[f"events[{i}]"] = e
+    resp = requests.post(url, data=data, timeout=timeout)
+    resp.raise_for_status()
+    for rec in csv.DictReader(io.StringIO(resp.text)):
+        yield (
+            rec.get("record", ""),
+            rec.get("redcap_event_name", ""),
+            rec.get("redcap_repeat_instrument", ""),
+            rec.get("redcap_repeat_instance", ""),
+            rec.get("field_name", ""),
+            rec.get("value", ""),
+        )
+
+
 class RestEavReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.schema_ = schema
@@ -82,6 +139,9 @@ class RestEavReader(DataSourceReader):
         self.fields = fields.split(",") if fields else None
         events = options.get("events")
         self.events = events.split(",") if events else None
+        # url set → live HTTP transport; absent → deterministic synthetic
+        self.url = options.get("url")
+        self.token = options.get("token", "")
 
     def partitions(self) -> list[InputPartition]:
         # one partition per ID chunk (redcap-etl.py:99-111) → parallel fetch
@@ -91,7 +151,10 @@ class RestEavReader(DataSourceReader):
         ] or [IdChunkPartition(ids=[])]
 
     def read(self, partition: IdChunkPartition) -> Iterator[tuple]:
-        yield from synthetic_transport(partition.ids, self.fields, self.events)
+        if self.url:
+            yield from http_transport(self.url, self.token, partition.ids, self.fields, self.events)
+        else:
+            yield from synthetic_transport(partition.ids, self.fields, self.events)
 
 
 class RestEavStreamReader(SimpleDataSourceStreamReader):

@@ -58,93 +58,91 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Queries surfaced first to the driver's (bounded, first ~50) per-round
-# correctness gate. Round-3 rotation: the 39 queries never driver-checked
-# in rounds 1–2 (sampling, similarity, tsanalytics, reference_workload,
-# temporal, skew, stream, multimodal, textstats, udafs, udtfs) lead, then
-# the two round-2 reds (both oracle-interface defects, fixed this round:
-# sessionize_gap HUGEINT→BIGINT cast; agg_approx array→scalar
-# percentiles), then spot-checks over earlier-verified modules including
-# the two oracles that gained NULL-guards this round.
+# correctness gate. Round-4 rotation: the 23 queries never driver-checked
+# in rounds 1-3 lead (they were added after the round-3 snapshot; all were
+# judge-verified green via tools/check_oracle.py but driver evidence is the
+# contract), then graph_pagerank (r1 was a no_oracle before it gained one)
+# and the two sketch queries (restructured this round from rows-only to
+# exact+tolerance-boolean output so they finally hash-check), then backfill
+# with the longest-unchecked greens (driver-checked in round 1, untouched
+# since).
 _PRIORITY = [
-    # -- never driver-checked (39) --
-    "sampling_split_counts",
-    "agg_histogram",
-    "join_null_safe",
-    "agg_sketch_reaggregation",
-    "dq_profile_orders",
-    "dq_expectations",
-    "agg_boolean_suite",
-    "try_arithmetic_suite",
-    "corpus_mixture",
-    "sequence_packing",
-    "corpus_pipeline_full",
-    "similarity_cosine_topk",
-    "similarity_topk_per_label",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "embedding_near_dup",
-    "dedup_semantic_clusters",
-    "array_hof_suite",
-    "rollup_cascade",
-    "window_moving_median",
-    "join_interval_overlap",
-    "interval_coalesce",
-    "state_durations",
-    "counter_deltas",
-    "time_weighted_avg",
-    "agg_salted_twophase",
-    "join_salted_skew",
-    "skew_key_stats",
-    "phi_filter_keep",
-    "phi_filter_errors",
-    "sink_chunk_assignment",
-    "sink_json_map_export",
-    "stream_watermark_dedup",
-    "stream_static_enrich",
-    "multimodal_frame_sample",
-    "multimodal_chunk_audio",
-    "bpe_learn_merges",
-    "udaf_geo_mean",
-    "udtf_eav_emit",
-    # -- round-2 reds, fixed this round (2) --
-    "sessionize_gap",
-    "agg_approx",
-    # -- newly oracled / net-new this round (5): minhash+simhash moved to
-    # the portable md5 hash so their full LSH pipelines hash-check against
-    # DuckDB; repetition/boilerplate/argminmax are new operators --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_repetition_stats",
-    "text_boilerplate_ngrams",
-    "agg_argminmax_bitops",
-    "text_unigram_logprob",
-    "corpus_source_caps",
-    "bpe_encode_counts",
-    "pandas_ewma_per_user",
-    "pandas_penny_allocation",
-    "dedup_incremental",
-    "corpus_quality_funnel",
-    "embedding_quantize_error",
-    # -- session additions beyond the ~50-slot gate: checked if the
-    # driver's bound allows, otherwise front-of-queue for round 4 --
+    # -- never driver-checked (23) --
+    "dedup_chunk_level",
     "dedup_prefix_jaccard",
+    "dedup_incremental",
+    "corpus_cross_contamination",
+    "corpus_quality_funnel",
     "corpus_source_divergence",
+    "corpus_temperature_mixture",
+    "text_chunk_windows",
+    "json_variant_extract",
+    "embedding_quantize_error",
     "anomaly_mad",
     "ts_autocorr",
+    "ts_decay_features",
+    "dq_distribution_drift",
     "sampling_weighted_topk",
     "sampling_stratified_quota",
     "agg_listagg_ordered",
     "sql_api_lateral_topn",
     "window_sliding_distinct",
-    "corpus_temperature_mixture",
     "event_pattern_regex",
-    "corpus_cross_contamination",
+    "pandas_penny_allocation",
     "udtf_sessionize_tvf",
     "stream_interval_join_outer",
-    "ts_decay_features",
-    "dq_distribution_drift",
-    # (58 names; the driver's bounded gate covers the first ~50 — every
-    # other registered query was driver-checked in rounds 1-2)
+    # -- re-check: pagerank's r1 row was no_oracle; the two sketch queries
+    # were rows-only until this round's exact+tolerance restructure --
+    "graph_pagerank",
+    "agg_approx",
+    "agg_sketch_reaggregation",
+    # -- backfill: round-1 greens, longest unchecked --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_winnow",
+    "decontaminate_overlap",
+    "fuzzy_blocked_levenshtein",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_tfidf_top_terms",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_winnow_fingerprint",
+    "graph_triangle_count",
+    "eav_pivot_roundtrip",
+    "eav_unpivot",
+    "pivot_event_values",
+    "checkbox_to_array",
+    "checkbox_explode_outer",
+    "join_broadcast_lookup",
+    "join_merge_update",
+    "join_anti",
+    "join_semi",
+    "union_chunks",
+    "setop_intersect",
+    "setop_except",
+    "date_granularities",
+    "date_calendar_suite",
+    "string_suite",
+    "map_functions_suite",
+    "json_extract_props",
+    "case_dispatch",
+    "agg_distinct_keys",
+    "agg_cube",
+    "agg_rollup",
+    "multimodal_featurize",
+    "docs_prep_pipeline",
+    "snapshot_diff_counts",
+    "sql_api_revenue_rank",
+    "bpe_pair_counts",
+    "join_key_overlap",
+    "date_shift_constant",
+    "date_total_seconds",
 ]
 
 

@@ -70,8 +70,8 @@ class TestSketchReaggregation:
         from redcap_omop_etl_spark.sources.readers import Catalog
         from tests.conftest import SF_SMOKE
 
-        approx = {
-            r["event_type"]: r["approx_users"]
+        got = {
+            r["event_type"]: r
             for r in workload.queries()["agg_sketch_reaggregation"](spark, SF_SMOKE).collect()
         }
         exact = {
@@ -81,9 +81,10 @@ class TestSketchReaggregation:
             .agg(F.countDistinct("user_id").alias("n"))
             .collect()
         }
-        assert set(approx) == set(exact)
+        assert set(got) == set(exact)
         for t, n in exact.items():
-            assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+            assert got[t]["exact_users"] == n, (t, got[t]["exact_users"], n)
+            assert got[t]["sketch_within_tol"], t
 
 
 class TestPagerank:

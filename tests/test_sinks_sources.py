@@ -121,6 +121,68 @@ class TestRestSource:
         b = sorted(map(tuple, spark.read.format("rest_eav").options(**opts).load().collect()))
         assert a == b
 
+    def test_http_transport_against_loopback_fixture(self, spark):
+        # The real requests-backed transport, proven against a local
+        # fixture server speaking the REDCap wire protocol — one POST per
+        # ID chunk, records[i]/fields[i]/events[i] form params, CSV EAV
+        # body. Loopback only; no network egress.
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from urllib.parse import parse_qs
+
+        posts: list[dict] = []
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+                form = {k: v for k, v in parse_qs(body).items()}
+                posts.append(form)
+                ids = [v[0] for k, v in sorted(form.items()) if k.startswith("records[")]
+                fields = [v[0] for k, v in sorted(form.items()) if k.startswith("fields[")] or ["f1"]
+                lines = [
+                    "record,redcap_event_name,redcap_repeat_instrument,"
+                    "redcap_repeat_instance,field_name,value"
+                ]
+                lines += [f"{rid},ev1,,,{f},{rid}_{f}" for rid in ids for f in fields]
+                payload = "\n".join(lines).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            rest_source.register(spark)
+            df = (
+                spark.read.format("rest_eav")
+                .option("url", f"http://127.0.0.1:{srv.server_port}/api/")
+                .option("token", "T0K3N")
+                .option("ids", "R1,R2,R3")
+                .option("chunk_size", 2)
+                .option("fields", "np_gender")
+                .load()
+            )
+            rows = df.collect()
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        # 3 ids × 1 field, across 2 chunk-partitions → 2 POSTs
+        assert sorted((r.record_id, r.field_name, r.value) for r in rows) == [
+            ("R1", "np_gender", "R1_np_gender"),
+            ("R2", "np_gender", "R2_np_gender"),
+            ("R3", "np_gender", "R3_np_gender"),
+        ]
+        assert len(posts) == 2
+        for form in posts:
+            assert form["token"] == ["T0K3N"]
+            assert form["content"] == ["record"]
+            assert form["type"] == ["eav"]
+            assert form["fields[0]"] == ["np_gender"]
+
     def test_streaming_cursor_reads_all_batches(self, spark, tmp_path):
         # the incremental-extract stream: offset cursor walks the ID space
         # in ids_per_batch steps; all 25 synthetic records arrive across

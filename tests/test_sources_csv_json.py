@@ -69,8 +69,8 @@ class TestApproxAgg:
         rows = agg_approx(spark, SF_SMOKE).collect()
         assert rows
         for r in rows:
-            assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
-            assert r.price_p50 < r.price_p95
+            assert r.exact_orders > 0
+            assert r.hll_within_tol and r.p50_within_tol and r.p95_within_tol
 
 
 class TestVariantType:

@@ -77,6 +77,41 @@ def _all_query_names():
     return sorted(workload.queries())
 
 
+def test_never_driver_checked_queries_lead_priority():
+    """Every registered query the external driver has never verified must
+    sit inside the first ~50 slots of ``workload._PRIORITY`` (the driver's
+    bounded per-round check window) — otherwise newly registered queries
+    silently accumulate with only local evidence forever (round-3's 23
+    stragglers). Registering a new query therefore REQUIRES rotating it to
+    the head of ``_PRIORITY``; when the driver publishes the next
+    CORRECTNESS file the query leaves this set automatically.
+    """
+    import glob
+    import json
+
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            checked |= set(json.load(f).keys())
+    workload._ensure_loaded()
+    never = set(workload.REGISTRY) - checked
+    window = set(workload._PRIORITY[:50])
+    stragglers = sorted(never - window)
+    assert not stragglers, (
+        f"{len(stragglers)} registered queries have never been driver-"
+        f"checked and are NOT in the first 50 _PRIORITY slots: {stragglers}"
+        " — rotate them to the head of workload._PRIORITY"
+    )
+    assert len(never) <= 50, (
+        f"{len(never)} never-driver-checked queries exceed the driver's "
+        "~50-query window; some cannot be verified next round no matter "
+        "the rotation — stop registering and let a round drain the queue"
+    )
+
+
 @pytest.mark.parametrize("name", _all_query_names())
 def test_no_nested_top_level_output(spark, name):
     fn = workload.queries()[name]

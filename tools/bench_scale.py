@@ -19,7 +19,9 @@ bound, pinned by tests, not this harness.
 Replicas are cached under .scale_cache/ (gitignored) as real parquet so
 scans exercise pushdown exactly like the registered inputs.
 
-Usage: python tools/bench_scale.py [m ...]   (default: 1 4 16)
+Usage: python tools/bench_scale.py [m ...] [--queries=a,b,c]
+(default: 1 4 16 over the full QUERIES list). --queries restricts the
+run — e.g. the 64x knee check over just the worst 16x slopes.
 Prints ONE JSON line: {"metric": "scale_stress", "multipliers": [...],
 "queries": {name: {m: sec}}, "slope16": {name: t(16)/t(1)}}.
 """
@@ -104,12 +106,19 @@ def materialize(spark, m: int) -> str:
 
 
 def main() -> None:
-    ms = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    names = QUERIES
+    ms_args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            names = [q for q in a.split("=", 1)[1].split(",") if q]
+        else:
+            ms_args.append(int(a))
+    ms = ms_args or [1, 4, 16]
     spark = build_session("bench_scale")
     qs = workload.queries()
     dirs = {m: materialize(spark, m) for m in ms}
     results: dict[str, dict[int, float]] = {}
-    for name in QUERIES:
+    for name in names:
         results[name] = {}
         for m in ms:
             qs[name](spark, dirs[m]).count()  # warm: codegen + file index
