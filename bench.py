@@ -91,6 +91,18 @@ HEADLINE = [
     "event_pattern_regex",
     "anomaly_mad",
     "ts_autocorr",
+    # round-4 additions: retrieval (BM25 / inverted index / mergeable MG
+    # sketch / Zipf fit), curation (quantile-normalize, curriculum order,
+    # winsorized stats), group-wise OLS, Markov transitions.
+    "retrieval_bm25_topk",
+    "retrieval_inverted_index",
+    "retrieval_heavy_hitters",
+    "retrieval_zipf_fit",
+    "curation_quantile_normalize",
+    "curation_curriculum_order",
+    "curation_winsorized_stats",
+    "ts_ols_trend",
+    "ts_markov_transitions",
 ]
 
 

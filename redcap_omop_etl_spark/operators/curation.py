@@ -1,0 +1,155 @@
+"""Corpus-curation operators: cross-source score normalization,
+curriculum ordering, robust (winsorized) statistics.
+
+Net-new LLM-data-pipeline surface (no counterpart in
+``/root/reference/redcap-etl.py``): the normalization / ordering passes a
+training-data pipeline runs after quality scoring and before packing —
+re-expressed as partitioned-window + hash-agg plans so nothing needs a
+global sort or a driver round-trip.
+
+Scale notes (100 TB):
+- Every window here is PARTITIONED (by source, or by source × decile) —
+  no single-partition global window anywhere. The global artifacts
+  (per-tile reference means) are tile-count-bounded small-table broadcasts.
+- Quantile normalization uses the bucketed (ntile) formulation rather
+  than exact rank-matching: at corpus scale the reference distribution is
+  a fixed small vector (one mean per tile), which is the form that ships
+  to executors as a broadcast and applies as a map-side join.
+- Curriculum order is emitted as shard-local positions (per-source
+  round-robin over difficulty deciles). A distributed training loader
+  consumes shards independently, so the per-shard order IS the contract;
+  a global total order would force a full-corpus range exchange for no
+  training benefit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+N_TILES = 20
+N_DECILES = 10
+
+
+@register(
+    "curation_quantile_normalize",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ntile({N_TILES}) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS tile
+      FROM documents
+    ), ref AS (
+      SELECT tile, round(sum(n_chars)::DOUBLE / count(*), 4) AS qnorm_chars
+      FROM t GROUP BY tile
+    )
+    SELECT t.doc_id, t.source, t.tile, ref.qnorm_chars
+    FROM t JOIN ref USING (tile)
+    """,
+    doc="Quantile normalization of a per-doc score (n_chars) across "
+    "sources: each doc maps to its within-source quantile tile "
+    "(ntile(20), tie-broken by doc_id), then takes the cross-source mean "
+    "of its tile — the bucketed quantile-normalization used to make "
+    "heterogeneous source score distributions comparable. Partitioned "
+    "window + 20-row broadcast reference; exact long sums make the tile "
+    "means bit-identical cross-engine.",
+)
+def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t = d.select(
+        "doc_id", "source", "n_chars", F.ntile(N_TILES).over(w).cast("bigint").alias("tile")
+    )
+    ref = t.groupBy("tile").agg(
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("qnorm_chars")
+    )
+    return t.join(F.broadcast(ref), "tile").select("doc_id", "source", "tile", "qnorm_chars")
+
+
+@register(
+    "curation_curriculum_order",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             ntile({N_DECILES}) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT doc_id, source, decile,
+           ((row_number() OVER (PARTITION BY source, decile ORDER BY doc_id) - 1)
+              * {N_DECILES} + decile - 1)::BIGINT AS shard_pos
+    FROM t
+    """,
+    doc="Curriculum ordering: difficulty deciles (n_chars proxy) within "
+    "each source shard, interleaved round-robin — shard position "
+    "(rn−1)·10 + (decile−1) cycles easy→hard repeatedly, computed purely "
+    "arithmetically from partitioned windows (no global row_number, which "
+    "would be a single-partition exchange at corpus scale).",
+)
+def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t = d.select(
+        "doc_id", "source", F.ntile(N_DECILES).over(w_src).cast("bigint").alias("decile")
+    )
+    w_dec = Window.partitionBy("source", "decile").orderBy("doc_id")
+    shard_pos = (F.row_number().over(w_dec) - 1) * N_DECILES + F.col("decile") - 1
+    return t.select("doc_id", "source", "decile", shard_pos.cast("bigint").alias("shard_pos"))
+
+
+@register(
+    "curation_winsorized_stats",
+    """
+    WITH q AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    ), clipped AS (
+      SELECT d.source, q.p05, q.p95,
+             greatest(q.p05, least(q.p95, d.n_chars::DOUBLE)) AS v,
+             CASE WHEN d.n_chars::DOUBLE < q.p05 OR d.n_chars::DOUBLE > q.p95
+                  THEN 1 ELSE 0 END AS is_clipped
+      FROM documents d JOIN q USING (source)
+    )
+    SELECT source,
+           count(*)::BIGINT               AS n_docs,
+           sum(is_clipped)::BIGINT        AS n_clipped,
+           round(any_value(p05), 4)       AS p05,
+           round(any_value(p95), 4)       AS p95,
+           round(avg(v), 4)               AS robust_mean,
+           round(stddev_samp(v), 4)       AS robust_std
+    FROM clipped GROUP BY source
+    """,
+    doc="Winsorized robust statistics per source: clip n_chars at the "
+    "within-source [p05, p95] (exact interpolated percentiles — Spark "
+    "percentile() ≡ DuckDB quantile_cont()), then mean/stddev of the "
+    "clipped values plus the clip count. Outlier-robust length stats are "
+    "the standard pre-filter calibration pass; two hash aggs on source "
+    "joined by a source-count-bounded broadcast.",
+)
+def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    q = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    v = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("n_chars").cast("double")))
+    is_clipped = (
+        (F.col("n_chars").cast("double") < F.col("p05"))
+        | (F.col("n_chars").cast("double") > F.col("p95"))
+    ).cast("int")
+    return (
+        d.join(F.broadcast(q), "source")
+        .select("source", "p05", "p95", v.alias("v"), is_clipped.alias("is_clipped"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_clipped").cast("bigint").alias("n_clipped"),
+            F.round(F.any_value("p05"), 4).alias("p05"),
+            F.round(F.any_value("p95"), 4).alias("p95"),
+            F.round(F.avg("v"), 4).alias("robust_mean"),
+            F.round(F.stddev_samp("v"), 4).alias("robust_std"),
+        )
+    )

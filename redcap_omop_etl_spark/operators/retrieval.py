@@ -1,0 +1,304 @@
+"""Retrieval / corpus-index operators: BM25 scoring, inverted-index
+posting lists, mergeable heavy-hitter sketches, Zipf frequency fit.
+
+Net-new LLM-data-pipeline surface (no counterpart in
+``/root/reference/redcap-etl.py`` — the reference is a REST EAV ETL; these
+are the retrieval-side operations a pretraining/RAG corpus pipeline runs
+over the same ``documents`` table the text-analysis operators use).
+
+Scale notes (100 TB):
+- BM25 and the inverted index are one tokenize scan + hash aggregations on
+  ``term`` / ``(term, doc_id)`` — the same shuffle shape as word-count,
+  which is the canonical Spark-scales workload. Corpus-level scalars
+  (N, avgdl) are 1-row aggregates broadcast back, never collected.
+- The heavy-hitter sketch is the distributed Misra-Gries pattern: fixed
+  deterministic buckets, one bounded summary (≤ k counters + 1 decrement
+  tally) per bucket, merged by summation. Bucket count is a parameter —
+  at cluster scale it rises with parallelism and the merge stays a
+  k·buckets-row aggregation; the error bound (Σ per-bucket decrements)
+  composes additively under merge, which is what makes the sketch
+  shippable as a partial aggregate.
+- The Zipf fit runs ``regr_*`` over the term-frequency table, which is
+  vocabulary-bounded (≪ corpus size); the global rank window is over that
+  bounded table, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.operators.textstats import ws_tokens
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+# Fixed query-term set for the registered BM25 query (parameterizing the
+# operator is a data change; the registered entry pins one deterministic
+# instance the oracle can replicate).
+BM25_QUERY_TERMS = ["spark", "vector", "hash"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# DuckDB fragment: one row per (doc_id, term) token occurrence, the same
+# lower/trim whitespace tokenization as ws_tokens().
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),"
+    " '\\s+')) AS term FROM documents)"
+)
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+
+
+def bm25_scores(d: DataFrame, query_terms: list[str], k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Okapi BM25 document scores for a bag of query terms.
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (Robertson/Sparck Jones,
+    +1 keeps common terms positive); score(d) = Σ_t idf·tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Plan: tokenize scan → tf on (doc_id, term) for query terms only
+    (filter BEFORE the shuffle — the per-doc tf agg only carries matching
+    tokens), df per term from tf, doc lengths from a full-token agg, and
+    the corpus scalars (N, avgdl) as a 1-row broadcast. Every join key is
+    either ``doc_id`` (co-partitioned aggs) or a broadcastable
+    term/scalar dim.
+    """
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Long sums are exact in any order, so N/avgdl are bit-identical
+    # cross-engine (the division is one double op on identical operands).
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("bm25_raw"))
+    )
+
+
+@register(
+    "retrieval_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE}, dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+      WHERE term IN ('spark', 'vector', 'hash')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+               / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                    + 0.75::DOUBLE * dl.dl::DOUBLE / stats.avgdl)) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 15
+    """,
+    doc="Okapi BM25 top-k retrieval for a fixed query-term bag "
+    "(k1=1.2, b=0.75, RSJ+1 idf). Tokenize scan → query-term tf, term df, "
+    "doc-length agg, 1-row corpus-stats broadcast; top-15 is "
+    "TakeOrderedAndProject, tie-broken by doc_id. Oracle runs the "
+    "identical IEEE chain with ::DOUBLE-cast literals.",
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    return (
+        bm25_scores(d, BM25_QUERY_TERMS)
+        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", F.round("bm25_raw", 6).alias("bm25"))
+    )
+
+
+@register(
+    "retrieval_inverted_index",
+    f"""
+    WITH {_TOKS_CTE}, tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*)::BIGINT                                   AS df,
+           sum(tf)::BIGINT                                    AS cf,
+           ceil(count(*) / 20.0)::BIGINT                      AS n_blocks,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS first_block
+    FROM tf GROUP BY term HAVING count(*) >= 3
+    """,
+    doc="Inverted-index build: per term, document frequency, collection "
+    "frequency, and the first fixed-size posting block (doc_ids sorted "
+    "ascending, block size 20) — the blocked posting-list layout search "
+    "engines shard by term. One tokenize scan, two hash aggs; the "
+    "collect_list is bounded per term by the block slice taken from it "
+    "(emit the first block only; full lists would be written as blocked "
+    "rows, never a single cell, at corpus scale).",
+)
+def retrieval_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    tf = _tokens(d).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.ceil(F.count(F.lit(1)) / 20.0).alias("n_blocks"),
+            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)).alias(
+                "first_block"
+            ),
+        )
+        .filter(F.col("df") >= 3)
+        .select("term", "df", "cf", "n_blocks", "first_block")
+    )
+
+
+MG_K = 16  # Misra-Gries counter budget per bucket (< vocab, so decrements fire)
+MG_BUCKETS = 8  # fixed → results independent of input partitioning
+
+
+def misra_gries_summaries(d: DataFrame, k: int = MG_K, n_buckets: int = MG_BUCKETS) -> DataFrame:
+    """Per-bucket Misra-Gries term-frequency summaries.
+
+    Documents are routed to ``n_buckets`` deterministic buckets
+    (xxhash64(doc_id) mod n — NOT the physical partitioning, so the
+    result is stable under any cluster layout); each bucket's token
+    stream (ordered by doc_id, token position) feeds the classic MG(k)
+    loop: increment a held counter, else claim a free one, else decrement
+    all k and absorb the item. Per bucket the summary is ≤ k (term, est)
+    rows + the decrement-round tally; merged estimates (Σ est) satisfy
+    C(t) − Σ d_b ≤ est(t) ≤ C(t) — the additive bound that makes MG a
+    mergeable partial aggregate.
+    """
+
+    def mg(pdf):
+        import pandas as pd  # local import: closure must be self-contained
+
+        pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+        counters: dict[str, int] = {}
+        dec_rounds = 0
+        for t in pdf["term"]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < k:
+                counters[t] = 1
+            else:
+                dec_rounds += 1
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        bucket = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "term": list(counters.keys()),
+                "est": list(counters.values()),
+                "bucket_dec": dec_rounds,
+            }
+        )
+
+    toks = d.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).alias("bucket"),
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "term"),
+    )
+    return toks.groupBy("bucket").applyInPandas(
+        mg, schema="bucket long, term string, est long, bucket_dec long"
+    )
+
+
+@register(
+    "retrieval_heavy_hitters",
+    f"""
+    WITH {_TOKS_CTE}, c AS (
+      SELECT term, count(*)::BIGINT AS exact_count FROM toks GROUP BY term
+    )
+    SELECT term, exact_count, TRUE AS mg_within_bound
+    FROM c ORDER BY exact_count DESC, term LIMIT 10
+    """,
+    doc="Mergeable Misra-Gries heavy-hitter sketch (k=16, 8 deterministic "
+    "buckets, applyInPandas kernel) checked against the exact top-10 "
+    "terms. Approximate counts are sketch-internal, so the driver-checkable "
+    "contract (the agg_approx pattern) is exact counts + a Spark-side "
+    "boolean asserting the MG guarantee est ≤ exact ∧ exact − est ≤ "
+    "Σ per-bucket decrement rounds; the oracle emits the exact side and "
+    "TRUE.",
+)
+def retrieval_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    summaries = misra_gries_summaries(d)
+    est = summaries.groupBy("term").agg(F.sum("est").alias("est"))
+    total_dec = (
+        summaries.groupBy("bucket")
+        .agg(F.max("bucket_dec").alias("d"))
+        .agg(F.sum("d").alias("total_dec"))
+    )
+    exact = (
+        _tokens(d)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(10)
+    )
+    bounded = (F.col("mg_est") <= F.col("exact_count")) & (
+        F.col("exact_count") - F.col("mg_est") <= F.col("total_dec")
+    )
+    return (
+        exact.join(F.broadcast(est), "term", "left")
+        .withColumn("mg_est", F.coalesce(F.col("est"), F.lit(0)))
+        .crossJoin(F.broadcast(total_dec))
+        .select("term", "exact_count", bounded.alias("mg_within_bound"))
+    )
+
+
+@register(
+    "retrieval_zipf_fit",
+    f"""
+    WITH {_TOKS_CTE}, c AS (
+      SELECT term, count(*) AS cf FROM toks GROUP BY term
+    ), ranked AS (
+      SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+      FROM c WHERE cf >= 5
+    )
+    SELECT count(*)::BIGINT                                  AS n_terms,
+           round(regr_slope(ln(cf), ln(rnk)), 6)             AS zipf_slope,
+           round(regr_r2(ln(cf), ln(rnk)), 6)                AS zipf_r2
+    FROM ranked
+    """,
+    doc="Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the "
+    "term-frequency table (cf ≥ 5). The rank window is global but "
+    "vocabulary-bounded (≪ corpus size); regr_slope/regr_r2 run on both "
+    "engines over identical integer-derived inputs, rounded 6dp.",
+)
+def retrieval_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    c = _tokens(d).groupBy("term").agg(F.count(F.lit(1)).alias("cf")).filter(F.col("cf") >= 5)
+    ranked = c.select(
+        "cf", F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))).alias("rnk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("cf"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("cf"), F.log("rnk")), 6).alias("zipf_r2"),
+    )

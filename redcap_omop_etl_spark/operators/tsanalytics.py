@@ -348,3 +348,74 @@ def ts_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.exp(-age_s / 604800.0)), 4).alias("decay_sum_7d"),
         )
     )
+
+
+@register(
+    "ts_ols_trend",
+    """
+    SELECT event_type,
+           regr_count(value, epoch_us(ts)::DOUBLE / 86400000000.0)::BIGINT AS n,
+           round(regr_slope(value, epoch_us(ts)::DOUBLE / 86400000000.0), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts)::DOUBLE / 86400000000.0), 6)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts)::DOUBLE / 86400000000.0), 6)
+             AS r2
+    FROM events GROUP BY event_type
+    """,
+    doc="Group-wise OLS trend: regr_slope/intercept/r2 of value against "
+    "time (days, from exact integer microseconds so both engines divide "
+    "identical operands) per event_type — the per-metric linear-trend "
+    "fit a monitoring pipeline runs as one partial-aggregable hash agg "
+    "(regression moments combine associatively, so this is a single "
+    "shuffle of 5-double states, not a data motion).",
+)
+def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    x_day = F.unix_micros("ts").cast("double") / 86400000000.0
+    return e.groupBy("event_type").agg(
+        F.regr_count(F.col("value"), x_day).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x_day), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x_day), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x_day), 6).alias("r2"),
+    )
+
+
+@register(
+    "ts_markov_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst_type
+      FROM events
+    ), c AS (
+      SELECT src_type, dst_type, count(*) AS n
+      FROM nxt WHERE dst_type IS NOT NULL
+      GROUP BY src_type, dst_type
+    )
+    SELECT src_type, dst_type, n::BIGINT AS n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY src_type), 6) AS p
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: lead() within (user_id; ts, event_id) pairs each event with "
+    "its successor, then (src, dst) counts and row-normalized transition "
+    "probabilities. One shuffle on user_id for the lag, one hash agg on "
+    "the state pair; the normalizing window is state-space-bounded. "
+    "Integer counts divide exactly, so p is bit-identical cross-engine.",
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    c = nxt.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(W.partitionBy("src_type")), 6).alias("p"),
+    )

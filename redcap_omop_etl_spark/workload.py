@@ -96,6 +96,16 @@ _PRIORITY = [
     "graph_pagerank",
     "agg_approx",
     "agg_sketch_reaggregation",
+    # -- round-4 additions (never driver-checked by construction) --
+    "retrieval_bm25_topk",
+    "retrieval_inverted_index",
+    "retrieval_heavy_hitters",
+    "retrieval_zipf_fit",
+    "curation_quantile_normalize",
+    "curation_curriculum_order",
+    "curation_winsorized_stats",
+    "ts_ols_trend",
+    "ts_markov_transitions",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -199,6 +209,8 @@ def _ensure_loaded() -> None:
         multimodal,
         textstats,
         pandas_ops,
+        retrieval,
+        curation,
     )
     from redcap_omop_etl_spark.functions import udafs, udtfs  # noqa: F401
 

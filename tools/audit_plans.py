@@ -62,6 +62,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     "(25 rows)",
     ("revenue_share_window", "global-window"): "percent-of-total over the "
     "per-flag aggregate (3 rows)",
+    ("retrieval_bm25_topk", "bnlj"): "corpus N/avgdl scalar: 1-row broadcast "
+    "crossJoin",
+    ("retrieval_heavy_hitters", "bnlj"): "merged MG decrement bound: 1-row "
+    "broadcast crossJoin",
+    ("retrieval_zipf_fit", "global-window"): "frequency rank over the "
+    "term-frequency table — vocabulary-bounded (≪ corpus), by construction "
+    "of a Zipf fit",
 }
 
 
