@@ -419,3 +419,224 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(W.partitionBy("src_type")), 6).alias("p"),
     )
+
+
+# Shared DuckDB fragment: the exact-integer daily series every ts_* query
+# below reduces the event stream to before analysing it. One hash agg on
+# (event_type, day); cents sums are BIGINT-exact in any accumulation order.
+_DAILY_CTE = """daily AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(round(value * 100)::BIGINT) AS x
+      FROM events GROUP BY event_type, ts::DATE
+    )"""
+
+
+def _daily_cents(e: DataFrame) -> DataFrame:
+    """Per-(event_type, day) exact integer-cents daily series."""
+    return e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+    WITH {_DAILY_CTE},
+    c AS (
+      SELECT event_type, day,
+             count(*)  OVER (PARTITION BY event_type) AS n_days,
+             sum(x)    OVER (PARTITION BY event_type) AS tot,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day, n_days,
+             n_days * s - t * tot AS cusum_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n_days * s - t * tot) DESC, day) AS rk
+      FROM c
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day, n_days::BIGINT AS n_days,
+           round(cusum_scaled::DOUBLE / (n_days * 100.0), 4) AS cusum_peak
+    FROM scored WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection per metric: reduce the event stream "
+    "to an exact integer daily series, then the classic cumulative-sum-of-"
+    "deviations statistic C_t = sum_i<=t (x_i - mean). Computed scaled by "
+    "n (n*S_t - t*Total) so every operand stays BIGINT-exact; the peak "
+    "|C_t| day is the level-shift candidate. One corpus shuffle for the "
+    "daily agg; all four windows share one (event_type)-partitioned "
+    "exchange over the day-bounded series. The final double division has "
+    "identical integer operands cross-engine.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    daily = _daily_cents(e)
+    w_all = W.partitionBy("event_type").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_run = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("x").over(w_all).alias("tot"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.sum("x").over(w_run).alias("s"),
+    )
+    cusum = (F.col("n_days") * F.col("s") - F.col("t") * F.col("tot")).alias("cusum_scaled")
+    scored = c.select("event_type", "day", "n_days", cusum).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("day"))
+        ),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+        "n_days",
+        F.round(F.col("cusum_scaled").cast("double") / (F.col("n_days") * 100.0), 4).alias(
+            "cusum_peak"
+        ),
+    )
+
+
+@register(
+    "ts_seasonal_strength",
+    f"""
+    WITH {_DAILY_CTE},
+    dowm AS (
+      SELECT event_type, dayofweek(day) + 1 AS dow,
+             sum(x) AS sx, count(*) AS cx,
+             sum(x)::DOUBLE / count(*) AS dow_mean
+      FROM daily GROUP BY event_type, dayofweek(day) + 1
+    ), joined AS (
+      SELECT d.event_type, d.x::DOUBLE AS xv,
+             d.x::DOUBLE - m.dow_mean AS resid
+      FROM daily d JOIN dowm m
+        ON d.event_type = m.event_type AND dayofweek(d.day) + 1 = m.dow
+    ), strength AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             round(greatest(0.0, 1.0 - var_samp(resid) / nullif(var_samp(xv), 0)), 5)
+               AS seasonal_strength
+      FROM joined GROUP BY event_type
+    ), ranked AS (
+      SELECT event_type, dow,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(dow_mean, 4) DESC, dow) AS rk_hi,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(dow_mean, 4) ASC, dow) AS rk_lo
+      FROM dowm
+    )
+    SELECT s.event_type, s.n_days, s.seasonal_strength,
+           hi.dow::BIGINT AS peak_dow, lo.dow::BIGINT AS trough_dow
+    FROM strength s
+    JOIN ranked hi ON hi.event_type = s.event_type AND hi.rk_hi = 1
+    JOIN ranked lo ON lo.event_type = s.event_type AND lo.rk_lo = 1
+    """,
+    doc="Day-of-week seasonal decomposition per metric: seasonal component "
+    "= dow means of the exact daily series; seasonal strength = "
+    "1 - var(residual)/var(series) (the STL strength statistic), with "
+    "peak/trough dow from the 7-row-per-metric seasonal profile "
+    "(ties broken on the 4dp-rounded mean, then dow — deterministic "
+    "cross-engine because the mean divides exact integer operands). "
+    "One corpus shuffle; the profile join is a types*7-row broadcast.",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    daily = _daily_cents(e)
+    dow = F.dayofweek("day").alias("dow")
+    dowm = daily.groupBy("event_type", dow).agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    joined = daily.withColumn("dow", F.dayofweek("day")).join(
+        F.broadcast(dowm), ["event_type", "dow"]
+    )
+    strength = (
+        joined.select(
+            "event_type",
+            F.col("x").cast("double").alias("xv"),
+            (F.col("x").cast("double") - F.col("dow_mean")).alias("resid"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - F.var_samp("resid") / F.nullif(F.var_samp("xv"), F.lit(0.0)),
+                ),
+                5,
+            ).alias("seasonal_strength"),
+        )
+    )
+    ranked = dowm.select(
+        "event_type",
+        "dow",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.round("dow_mean", 4).desc(), F.col("dow")))
+        .alias("rk_hi"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.round("dow_mean", 4).asc(), F.col("dow")))
+        .alias("rk_lo"),
+    )
+    hi = ranked.filter(F.col("rk_hi") == 1).select("event_type", F.col("dow").cast("bigint").alias("peak_dow"))
+    lo = ranked.filter(F.col("rk_lo") == 1).select("event_type", F.col("dow").cast("bigint").alias("trough_dow"))
+    return strength.join(F.broadcast(hi), "event_type").join(F.broadcast(lo), "event_type")
+
+
+@register(
+    "ts_cross_correlation",
+    f"""
+    WITH {_DAILY_CTE},
+    lags(lg) AS (VALUES (0), (1)),
+    shifted AS (
+      SELECT d.event_type, d.day + lg * INTERVAL 1 DAY AS jday, lg, d.x
+      FROM daily d CROSS JOIN lags
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.lg AS lag_days,
+             a.x AS xa, b.x AS xb
+      FROM shifted a JOIN daily b
+        ON a.jday = b.day AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, lag_days::BIGINT AS lag_days,
+           count(*)::BIGINT AS n_days,
+           round(corr(xa, xb), 6) AS xcorr
+    FROM pairs GROUP BY type_a, type_b, lag_days
+    HAVING count(*) >= 30
+    """,
+    doc="Cross-correlation between metric pairs at lags 0 and 1 day: "
+    "corr(x_a(t), x_b(t+lag)) over the exact integer daily series, "
+    "emitted for every unordered type pair with >= 30 aligned days. "
+    "The corpus collapses to a (types x days) table in one shuffle; the "
+    "lag shift is arithmetic (no extra window) and the pair join runs on "
+    "the day key of the bounded series — at 100 TB the join input is "
+    "days x types rows regardless of event volume. corr's moment sums "
+    "run over identical integer operands in both engines, rounded 6dp.",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    daily = _daily_cents(e)
+    shifted = daily.select(
+        "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("lag_days"),
+        "day",
+        "x",
+    ).select(
+        "event_type",
+        "lag_days",
+        F.date_add("day", F.col("lag_days")).alias("jday"),
+        "x",
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), F.col("day").alias("bday"), F.col("x").alias("xb")
+    )
+    pairs = shifted.join(
+        b, (F.col("jday") == F.col("bday")) & (F.col("event_type") < F.col("type_b"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("type_a"), "type_b", F.col("lag_days").cast("bigint").alias("lag_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_days"), F.round(F.corr("x", "xb"), 6).alias("xcorr"))
+        .filter(F.col("n_days") >= 30)
+    )

@@ -106,6 +106,9 @@ _PRIORITY = [
     "curation_winsorized_stats",
     "ts_ols_trend",
     "ts_markov_transitions",
+    "ts_cusum_changepoint",
+    "ts_seasonal_strength",
+    "ts_cross_correlation",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

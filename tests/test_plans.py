@@ -31,6 +31,8 @@ _NESTED_LOOP_OK = {
     "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_temperature_mixture",  # total/wsum scalar: 1-row broadcast cross join
     "dq_distribution_drift",  # bounded KS value grid + 1-row corpus-total scalar
+    "retrieval_bm25_topk",  # corpus N/avgdl scalar: 1-row broadcast cross join
+    "retrieval_heavy_hitters",  # merged MG decrement bound: 1-row broadcast cross join
 }
 
 

@@ -98,3 +98,99 @@ class TestTimeWeightedAvg:
         for r in rows:
             assert r.twa_cents_floor * r.total_s <= r.weighted_cents_s
             assert (r.twa_cents_floor + 1) * r.total_s > r.weighted_cents_s
+
+
+class TestCusumChangepoint:
+    def test_matches_pandas_bruteforce(self, spark):
+        import numpy as np
+
+        got = {
+            r.event_type: r
+            for r in workload.queries()["ts_cusum_changepoint"](spark, SF_SMOKE).collect()
+        }
+        pdf = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "date_format(cast(ts as date), 'yyyy-MM-dd') as day",
+                "cast(round(value * 100) as long) as cents",
+            )
+            .toPandas()
+        )
+        daily = pdf.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+        for et, g in daily.groupby("event_type"):
+            g = g.sort_values("day").reset_index(drop=True)
+            x = g["cents"].to_numpy(dtype="int64")
+            n, tot = len(x), int(x.sum())
+            c = n * np.cumsum(x) - (np.arange(1, n + 1) * tot)
+            i = int(np.argmax(np.abs(c)))  # first max — matches day-asc tie-break
+            r = got[et]
+            assert r.n_days == n
+            assert r.cp_day == g.loc[i, "day"]
+            assert abs(r.cusum_peak - round(c[i] / (n * 100.0), 4)) < 1e-9
+
+
+class TestSeasonalStrength:
+    def test_matches_pandas_bruteforce(self, spark):
+        got = {
+            r.event_type: r
+            for r in workload.queries()["ts_seasonal_strength"](spark, SF_SMOKE).collect()
+        }
+        pdf = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(ts as date) as day",
+                "cast(round(value * 100) as long) as cents",
+            )
+            .toPandas()
+        )
+        daily = pdf.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+        daily["dow"] = daily["day"].map(lambda d: d.isoweekday() % 7 + 1)  # Spark: Sun=1
+        for et, g in daily.groupby("event_type"):
+            means = g.groupby("dow")["cents"].mean()
+            resid = g["cents"].astype("float64") - g["dow"].map(means)
+            strength = max(0.0, 1.0 - resid.var(ddof=1) / g["cents"].astype("float64").var(ddof=1))
+            r = got[et]
+            assert r.n_days == len(g)
+            assert abs(r.seasonal_strength - round(strength, 5)) < 1e-4
+            rounded = means.round(4)
+            assert r.peak_dow == min(d for d in rounded.index if rounded[d] == rounded.max())
+            assert r.trough_dow == min(d for d in rounded.index if rounded[d] == rounded.min())
+
+
+class TestCrossCorrelation:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        rows = workload.queries()["ts_cross_correlation"](spark, SF_SMOKE).collect()
+        assert rows, "expected at least one pair with >= 30 aligned days"
+        pdf = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(ts as date) as day",
+                "cast(round(value * 100) as long) as cents",
+            )
+            .toPandas()
+        )
+        daily = pdf.groupby(["event_type", "day"])["cents"].sum()
+        for r in rows:
+            assert r.type_a < r.type_b
+            a, b = daily[r.type_a], daily[r.type_b]
+            pairs = [
+                (a[d], b[dd])
+                for d in a.index
+                for dd in [d + __import__("datetime").timedelta(days=int(r.lag_days))]
+                if dd in b.index
+            ]
+            assert r.n_days == len(pairs) >= 30
+            xs, ys = zip(*pairs)
+            assert abs(r.xcorr - round(float(np.corrcoef(xs, ys)[0, 1]), 6)) < 1e-5
+
+    def test_daily_reduction_before_join(self, spark):
+        # the pair join must run on the aggregated daily table, not raw
+        # events: both join children contain a HashAggregate below them.
+        plan = _plan(spark, "ts_cross_correlation")
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
