@@ -1348,3 +1348,64 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+@register(
+    "text_collocation_pmi",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT w[r.i] AS w1, w[r.i + 1] AS w2
+      FROM t, unnest(range(1, len(w))) AS r(i)
+      WHERE len(w) >= 2
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS cl FROM bg GROUP BY w1
+    ), cr AS (
+      SELECT w2, count(*) AS cr FROM bg GROUP BY w2
+    ), tot AS (
+      SELECT count(*)::DOUBLE AS nb FROM bg
+    )
+    SELECT w1, w2, n::BIGINT AS n,
+           round(ln(n::DOUBLE * nb / (cl::DOUBLE * cr::DOUBLE)), 6) AS pmi
+    FROM c2 JOIN c1 USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+    WHERE n >= 5
+    ORDER BY ln(n::DOUBLE * nb / (cl::DOUBLE * cr::DOUBLE)) DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Collocation extraction by pointwise mutual information: corpus "
+    "bigrams (adjacent token pairs, docs with >= 2 tokens on both "
+    "engines — Spark's sequence() runs DESCENDING when start > stop, so "
+    "the short-doc filter is a correctness guard, not an optimization), "
+    "PMI = ln(n12·N / (n1·n2)) over exact integer counts for pairs seen "
+    ">= 5 times, top-20. One bigram explode scan feeds three hash aggs; "
+    "the left/right marginal joins are vocabulary-bounded and the corpus "
+    "total is a 1-row broadcast. All PMI operands are integer-derived, "
+    "so ordering and 6dp rounding are bit-identical cross-engine.",
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    t = d.select(ws_tokens(F.col("text")).alias("w")).filter(F.size("w") >= 2)
+    bg = t.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 5)
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cr"))
+    tot = bg.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    pmi = F.log(
+        F.col("n").cast("double") * F.col("nb") / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .orderBy(pmi.desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "n", F.round(pmi, 6).alias("pmi"))
+    )

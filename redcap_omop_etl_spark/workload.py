@@ -109,6 +109,9 @@ _PRIORITY = [
     "ts_cusum_changepoint",
     "ts_seasonal_strength",
     "ts_cross_correlation",
+    "join_bloom_prune",
+    "sketch_countmin",
+    "text_collocation_pmi",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -214,6 +217,7 @@ def _ensure_loaded() -> None:
         pandas_ops,
         retrieval,
         curation,
+        sketches,
     )
     from redcap_omop_etl_spark.functions import udafs, udtfs  # noqa: F401
 

@@ -221,3 +221,47 @@ class TestChunkWindows:
             for r in dedup_chunk_level(spark, "/tmp/chunk_test2").collect()
         }
         assert got == {"A": (2, 2, 1000000), "B": (1, 0, 0)}
+
+
+class TestCollocationPmi:
+    def test_matches_python_bruteforce(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+        from redcap_omop_etl_spark import workload
+
+        got = workload.queries()["text_collocation_pmi"](spark, SF_SMOKE).collect()
+        assert len(got) == 20
+
+        docs = Catalog(spark, SF_SMOKE)["documents"].select("text").collect()
+        c2, c1, cr = Counter(), Counter(), Counter()
+        nb = 0
+        for r in docs:
+            w = re.split(r"\s+", r.text.strip().lower())
+            for a, b in zip(w, w[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+                cr[b] += 1
+                nb += 1
+        scored = [
+            (math.log(n * nb / (c1[a] * cr[b])), a, b, n)
+            for (a, b), n in c2.items()
+            if n >= 5
+        ]
+        top = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:20]
+        for (pmi, a, b, n), g in zip(top, got):
+            assert (g.w1, g.w2, g.n) == (a, b, n)
+            assert abs(g.pmi - round(pmi, 6)) < 1e-9
+
+    def test_short_docs_excluded_identically(self, spark):
+        # one-token docs contribute no bigram (the sequence(1, 0) guard)
+        rows = [(1, "solo", "A"), (2, "a b a b a b a b a b", "A")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        df.write.mode("overwrite").parquet("/tmp/pmi_test1/documents.parquet")
+        from redcap_omop_etl_spark.operators.textstats import text_collocation_pmi
+
+        got = {(r.w1, r.w2): r.n for r in text_collocation_pmi(spark, "/tmp/pmi_test1").collect()}
+        assert got == {("a", "b"): 5}  # "b a" occurs only 4x — under the floor

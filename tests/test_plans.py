@@ -33,6 +33,7 @@ _NESTED_LOOP_OK = {
     "dq_distribution_drift",  # bounded KS value grid + 1-row corpus-total scalar
     "retrieval_bm25_topk",  # corpus N/avgdl scalar: 1-row broadcast cross join
     "retrieval_heavy_hitters",  # merged MG decrement bound: 1-row broadcast cross join
+    "text_collocation_pmi",  # corpus bigram-total scalar: 1-row broadcast cross join
 }
 
 

@@ -69,6 +69,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("retrieval_zipf_fit", "global-window"): "frequency rank over the "
     "term-frequency table — vocabulary-bounded (≪ corpus), by construction "
     "of a Zipf fit",
+    ("text_collocation_pmi", "bnlj"): "corpus bigram-total scalar: 1-row "
+    "broadcast crossJoin",
 }
 
 
