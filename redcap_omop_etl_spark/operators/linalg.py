@@ -1,0 +1,246 @@
+"""Embedding linear algebra: distributed covariance/Gram accumulation,
+Johnson-Lindenstrauss sign random projection, PCA on the reduced matrix.
+
+Net-new LLM-data-pipeline surface (no counterpart in
+``/root/reference/redcap-etl.py``): the dense-vector statistics an
+embedding-curation pipeline runs — covariance for whitening/PCA, random
+projection for cheap dimensionality reduction before LSH/clustering.
+
+Scale notes (100 TB):
+- The covariance never materializes the d² row blowup a naive
+  explode-pair join would (64× the corpus). ``mapInPandas`` accumulates
+  one exact integer Gram partial per Arrow batch with a vectorized
+  ``Q.T @ Q`` (numpy int64 einsum), emitting ≤ d(d+1)/2 + d rows PER
+  BATCH; the only shuffle carries batch-count × d² tiny rows into a
+  (i, j)-keyed hash agg. This is the canonical "associative matrix
+  accumulator" shape — the reduction tree is Spark's partial agg.
+- Quantization (round(x·10⁴) → int64) makes every moment sum exact, so
+  covariance entries are bit-identical cross-engine: the final
+  (Σab − ΣaΣb/n)/(n−1) chain divides identical integer-valued operands.
+  Overflow headroom: |q| ≤ 2·10⁴ ⇒ Σq² per cell ≤ 4·10⁸·rows; beyond
+  ~10¹⁰ rows shard the sum by a row-bucket key first (two-level agg).
+- The JL projection is pure JVM higher-order functions (zip_with +
+  aggregate over the 64-wide array with a LITERAL ±1 sign matrix derived
+  from md5 — no Python, no explode, no join in the hot path); per-label
+  distortion sums stay integer until one final division.
+- PCA runs driver-side on the d×d covariance — a bounded 2080-row
+  collect (same class as IVF's centroid fetch), never on data rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.workload import register
+
+DIM = 64
+Q_SCALE = 10_000  # fixed-point quantization: q = round(x * 1e4) as int64
+JL_K = 8  # projected dimensionality
+
+
+def _quantized(col):
+    """array<long> fixed-point embedding; float→double widening is exact
+    on both engines, so round(x·1e4) is bit-identical cross-engine."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"))
+
+
+def gram_partials(df: DataFrame, dim: int = DIM) -> DataFrame:
+    """Per-Arrow-batch exact integer Gram partials.
+
+    Emits (i, j, s, n): for j ≥ 0 the pair sums Σ qᵢqⱼ (upper triangle
+    i ≤ j), for j = -1 the marginal sums Σ qᵢ; n is the batch row count
+    (only meaningful on marginal rows). Closure is self-contained
+    (pickled to workers that don't share the driver's sys.path).
+    """
+
+    def acc(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        scale = Q_SCALE
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            # ties away from zero (matches Spark/DuckDB round; np.rint is
+            # half-EVEN and diverges on exactly-representable .5 products)
+            q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype("int64")
+            g = q.T @ q  # exact: int64 matmul
+            s = q.sum(axis=0)
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dim)]),
+                    "j": np.concatenate([ju, np.full(dim, -1)]),
+                    "s": np.concatenate([g[iu, ju], s]),
+                    "n": np.full(len(iu) + dim, len(pdf), dtype="int64"),
+                }
+            )
+
+    return df.select("embedding").mapInPandas(acc, schema="i int, j int, s long, n long")
+
+
+@register(
+    "embedding_covariance",
+    f"""
+    WITH q AS (
+      SELECT vec_id, r.i - 1 AS i,
+             round(embedding[r.i]::DOUBLE * {Q_SCALE})::BIGINT AS q
+      FROM embeddings, unnest(range(1, {DIM} + 1)) AS r(i)
+    ), pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(a.q * b.q)::BIGINT AS s_ab, count(*)::BIGINT AS n
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), marg AS (
+      SELECT i, sum(q)::BIGINT AS s FROM q GROUP BY i
+    )
+    SELECT p.i::BIGINT AS i, p.j::BIGINT AS j, p.n,
+           round((p.s_ab - ma.s::DOUBLE * mb.s::DOUBLE / p.n)
+                 / (p.n - 1) / {Q_SCALE * Q_SCALE}.0, 12) AS cov
+    FROM pairs p JOIN marg ma ON ma.i = p.i JOIN marg mb ON mb.i = p.j
+    """,
+    doc="Upper-triangle sample covariance of the 64-dim embedding "
+    "corpus via exact integer Gram accumulation: one mapInPandas pass "
+    "emits a vectorized Q^T Q partial per Arrow batch (never the d²-row "
+    "explode the oracle uses — at 100 TB the shuffle carries "
+    "batches × d² summary rows, not corpus × d²), merged by a (i,j) hash "
+    "agg; cov = (Σab − ΣaΣb/n)/(n−1) on identical integer operands, so "
+    "all 2080 entries are bit-identical cross-engine at 12dp.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["embeddings"]
+    parts = gram_partials(e)
+    pairs = parts.filter(F.col("j") >= 0).groupBy("i", "j").agg(F.sum("s").alias("s_ab"))
+    marg = parts.filter(F.col("j") == -1).groupBy("i").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    ma = marg.select(F.col("i").alias("i"), F.col("s").alias("s_i"), F.col("n").alias("n"))
+    mb = marg.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    cov = (
+        (F.col("s_ab") - F.col("s_i").cast("double") * F.col("s_j").cast("double") / F.col("n"))
+        / (F.col("n") - 1)
+        / float(Q_SCALE * Q_SCALE)
+    )
+    return (
+        pairs.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "n",
+            F.round(cov, 12).alias("cov"),
+        )
+    )
+
+
+def jl_signs(k: int = JL_K, dim: int = DIM) -> list[list[int]]:
+    """±1 sign matrix [k][dim] from md5 — the same derivation the DuckDB
+    oracle runs (`('0x'||substring(md5(j||'_'||i),1,15))::BIGINT % 2`),
+    reproduced here with hashlib so Spark embeds it as literals."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label, r.i - 1 AS i,
+             round(embedding[r.i]::DOUBLE * {Q_SCALE})::BIGINT AS q
+      FROM embeddings, unnest(range(1, {DIM} + 1)) AS r(i)
+    ), signs AS (
+      SELECT j.j, i.i,
+             CASE WHEN ('0x' || substring(md5(j.j || '_' || i.i), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range({JL_K}) AS j(j), range({DIM}) AS i(i)
+    ), proj AS (
+      SELECT q.vec_id, q.label, s.j, sum(s.s * q.q) AS p
+      FROM q JOIN signs s ON s.i = q.i
+      GROUP BY q.vec_id, q.label, s.j
+    ), per_vec AS (
+      SELECT p.vec_id, p.label,
+             sum(p.p * p.p)::BIGINT AS pp,
+             any_value(qq.qq) AS qq
+      FROM proj p JOIN (
+        SELECT vec_id, sum(q * q)::BIGINT AS qq FROM q GROUP BY vec_id
+      ) qq ON qq.vec_id = p.vec_id
+      GROUP BY p.vec_id, p.label
+    )
+    SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+           round(sum(pp)::DOUBLE / ({JL_K} * sum(qq)), 6) AS distortion,
+           round(min(pp::DOUBLE / ({JL_K} * qq)), 6) AS min_ratio,
+           round(max(pp::DOUBLE / ({JL_K} * qq)), 6) AS max_ratio
+    FROM per_vec GROUP BY label
+    """,
+    doc="Johnson-Lindenstrauss sign random projection (k=8) with "
+    "distortion audit per label: E[‖Rx‖²/k] = ‖x‖², so the ratio "
+    "Σp²/(k·Σq²) measures norm preservation. The Spark hot path is pure "
+    "JVM — the ±1 matrix is embedded as literals (derived from md5 "
+    "identically to the oracle's CTE) and each projection is one "
+    "aggregate() over the quantized array: no explode, no join, no "
+    "Python per row; per-label sums stay exact integers until the final "
+    "division. The oracle reaches the same integers via explode + join.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["embeddings"]
+    signs = jl_signs()
+    q = e.select("vec_id", "label", _quantized(F.col("embedding")).alias("q"))
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(JL_K)
+    ]
+    qq = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    per_vec = q.select("vec_id", "label", qq.alias("qq"), *proj_cols).select(
+        "vec_id",
+        "label",
+        "qq",
+        sum((F.col(f"p{j}") * F.col(f"p{j}") for j in range(JL_K)), F.lit(0).cast("long")).alias("pp"),
+    )
+    ratio = F.col("pp").cast("double") / (JL_K * F.col("qq"))
+    return per_vec.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("pp").cast("double") / (JL_K * F.sum("qq")), 6).alias("distortion"),
+        F.round(F.min(ratio), 6).alias("min_ratio"),
+        F.round(F.max(ratio), 6).alias("max_ratio"),
+    )
+
+
+def pca_top_components(cov_df: DataFrame, top: int = 5) -> dict:
+    """Eigendecomposition of the (bounded, d×d) covariance output of
+    ``embedding_covariance`` — a 2080-row collect, driver-side numpy.
+
+    Returns {"eigenvalues": [...], "explained_variance_ratio": [...]}.
+    Not registered as a workload query (no SQL-expressible oracle);
+    pinned against numpy.linalg.eigh on the full matrix in tests.
+    """
+    import numpy as np
+
+    rows = cov_df.collect()  # bounded: d(d+1)/2 covariance entries
+    d = max(int(r.j) for r in rows) + 1
+    m = np.zeros((d, d))
+    for r in rows:
+        m[int(r.i), int(r.j)] = m[int(r.j), int(r.i)] = r.cov
+    vals = np.linalg.eigvalsh(m)[::-1]
+    return {
+        "eigenvalues": [float(v) for v in vals[:top]],
+        "explained_variance_ratio": [float(v / vals.sum()) for v in vals[:top]],
+    }

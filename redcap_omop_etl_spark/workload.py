@@ -112,6 +112,8 @@ _PRIORITY = [
     "join_bloom_prune",
     "sketch_countmin",
     "text_collocation_pmi",
+    "embedding_covariance",
+    "embedding_random_projection",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -218,6 +220,7 @@ def _ensure_loaded() -> None:
         retrieval,
         curation,
         sketches,
+        linalg,
     )
     from redcap_omop_etl_spark.functions import udafs, udtfs  # noqa: F401
 
