@@ -103,6 +103,16 @@ HEADLINE = [
     "curation_winsorized_stats",
     "ts_ols_trend",
     "ts_markov_transitions",
+    # round-4 wave 2: CUSUM/seasonal/xcorr on the daily series, Bloom join
+    # pruning, Count-Min, PMI collocations, Gram covariance, JL projection.
+    "ts_cusum_changepoint",
+    "ts_seasonal_strength",
+    "ts_cross_correlation",
+    "join_bloom_prune",
+    "sketch_countmin",
+    "text_collocation_pmi",
+    "embedding_covariance",
+    "embedding_random_projection",
 ]
 
 

@@ -862,3 +862,68 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.floor(gap * 1e6 + F.lit(0.5)).cast("long")).alias("ks_e6"),
         )
     )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), materialized
+# ONCE in Python and inlined as identical 17-sig-digit literals in both
+# engines — calling log10() in each engine would race libm vs JVM ulps.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
+
+
+@register(
+    "dq_benford_audit",
+    f"""
+    WITH c AS (
+      SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+    ), d AS (
+      SELECT substring(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n_obs
+      FROM c GROUP BY 1
+    ), bp(digit, p) AS (VALUES {_BENFORD_VALUES}),
+    j AS (
+      SELECT d.digit, d.n_obs, bp.p,
+             sum(d.n_obs) OVER ()::DOUBLE AS n
+      FROM d JOIN bp USING (digit)
+    )
+    SELECT digit, n_obs,
+           round(n_obs / n, 6)  AS obs_share,
+           round(p, 6)          AS benford_p,
+           round(sum((n_obs - n * p) * (n_obs - n * p) / (n * p)) OVER (), 6)
+             AS chi2_total
+    FROM j
+    """,
+    doc="Benford's-law first-significant-digit audit of o_totalprice (the "
+    "classic fabricated-data / DQ screen): digit taken from the exact "
+    "integer-cents value's decimal string (leading digit is invariant "
+    "under x100, and integer-to-string is formatting-stable cross-engine, "
+    "unlike double log10 digit extraction which races libm ulps at "
+    "power-of-ten boundaries); expected shares are Python-materialized "
+    "literals identical in both engines. One scan + one 9-row hash agg; "
+    "the chi-square total runs on the digit-domain-bounded (9-row) "
+    "global window.",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir)["orders"]
+    digit = F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+    counts = o.groupBy(digit.cast("bigint").alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    bp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit bigint, p double"
+    )
+    w = W.partitionBy()
+    j = counts.join(F.broadcast(bp), "digit").withColumn(
+        "n", F.sum("n_obs").over(w).cast("double")
+    )
+    dev = F.col("n_obs") - F.col("n") * F.col("p")
+    chi = dev * dev / (F.col("n") * F.col("p"))  # explicit multiply: pow(x,2) may race x*x by an ulp
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
+        F.round("p", 6).alias("benford_p"),
+        F.round(F.sum(chi).over(w), 6).alias("chi2_total"),
+    )

@@ -114,6 +114,7 @@ _PRIORITY = [
     "text_collocation_pmi",
     "embedding_covariance",
     "embedding_random_projection",
+    "dq_benford_audit",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -57,3 +57,29 @@ def test_stats_drive_broadcast_decision(spark, statdb):
     j = li.join(small, li.l_orderkey == small.o_orderkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # no hint: size estimate decides
+
+
+class TestBenfordAudit:
+    def test_matches_python_bruteforce(self, spark):
+        import math
+        from collections import Counter
+
+        from redcap_omop_etl_spark import workload
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        got = {r.digit: r for r in workload.queries()["dq_benford_audit"](spark, SF_SMOKE).collect()}
+        prices = [r.o_totalprice for r in Catalog(spark, SF_SMOKE)["orders"].select("o_totalprice").collect()]
+        digits = Counter(int(str(int(round(p * 100)))[0]) for p in prices)
+        n = sum(digits.values())
+        chi2 = sum(
+            (digits.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2 / (n * math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        )
+        assert set(got) == set(digits)
+        for d, r in got.items():
+            assert r.n_obs == digits[d]
+            assert abs(r.obs_share - round(digits[d] / n, 6)) < 1e-9
+            assert abs(r.benford_p - round(math.log10(1 + 1 / d), 6)) < 1e-9
+            assert abs(r.chi2_total - round(chi2, 6)) < 1e-4
+        assert abs(sum(r.obs_share for r in got.values()) - 1.0) < 1e-4

@@ -71,6 +71,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "of a Zipf fit",
     ("text_collocation_pmi", "bnlj"): "corpus bigram-total scalar: 1-row "
     "broadcast crossJoin",
+    ("dq_benford_audit", "global-window"): "chi-square total over the "
+    "digit-domain-bounded (9-row) aggregate",
 }
 
 
