@@ -113,6 +113,8 @@ HEADLINE = [
     "text_collocation_pmi",
     "embedding_covariance",
     "embedding_random_projection",
+    "dq_benford_audit",
+    "sql_api_recursive_hierarchy",
 ]
 
 

@@ -605,3 +605,51 @@ def join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_left, n_right, n_both, round(n_both / n_left, 6))],
         "n_left bigint, n_right bigint, n_both bigint, left_containment double",
     )
+
+
+_SQL_API_RECURSIVE_HIERARCHY = """
+    WITH RECURSIVE edges AS (
+      SELECT 'C' || CAST(c_custkey AS STRING) AS node,
+             'N' || CAST(c_nationkey AS STRING) AS parent
+      FROM customer
+      UNION ALL
+      SELECT 'S' || CAST(s_suppkey AS STRING),
+             'N' || CAST(s_nationkey AS STRING)
+      FROM supplier
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS STRING),
+             'R' || CAST(n_regionkey AS STRING)
+      FROM nation
+    ), walk AS (
+      SELECT node, parent AS ancestor, 1 AS depth FROM edges
+      UNION ALL
+      SELECT w.node, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON e.node = w.ancestor
+    )
+    SELECT substring(node, 1, 1)     AS node_kind,
+           substring(ancestor, 1, 1) AS ancestor_kind,
+           CAST(depth AS BIGINT)     AS depth,
+           CAST(count(*) AS BIGINT)  AS n_paths,
+           min(node)                 AS first_node
+    FROM walk
+    GROUP BY substring(node, 1, 1), substring(ancestor, 1, 1), depth
+"""
+
+
+@register(
+    "sql_api_recursive_hierarchy",
+    _SQL_API_RECURSIVE_HIERARCHY,
+    doc="WITH RECURSIVE ancestor closure over the entity hierarchy "
+    "(customer/supplier -> nation -> region), ONE ANSI string executed "
+    "verbatim by BOTH engines (recursive CTEs landed in Spark 4.0). The "
+    "recursion is the right tool because depth is schema-unknown at query "
+    "time; each step is an equi-join of the frontier against the edge "
+    "table, and the frontier SHRINKS (nations, then regions, then empty) "
+    "— Spark executes it as a bounded iterative union, one broadcastable "
+    "join per level, terminating when the frontier is exhausted rather "
+    "than at a guessed max-depth literal.",
+)
+def sql_api_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    return spark.sql(_SQL_API_RECURSIVE_HIERARCHY)

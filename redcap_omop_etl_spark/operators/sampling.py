@@ -882,7 +882,7 @@ _BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
       FROM c GROUP BY 1
     ), bp(digit, p) AS (VALUES {_BENFORD_VALUES}),
     j AS (
-      SELECT d.digit, d.n_obs, bp.p,
+      SELECT d.digit, d.n_obs, bp.p::DOUBLE AS p,
              sum(d.n_obs) OVER ()::DOUBLE AS n
       FROM d JOIN bp USING (digit)
     )

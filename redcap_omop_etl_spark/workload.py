@@ -115,6 +115,7 @@ _PRIORITY = [
     "embedding_covariance",
     "embedding_random_projection",
     "dq_benford_audit",
+    "sql_api_recursive_hierarchy",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -279,3 +279,30 @@ class TestPennyAllocationProperties:
         for q, a in zip(qs, allocs):
             exact = total * (q / qtot) * 100
             assert abs(a - exact) <= 1.0 + 1e-9
+
+
+class TestRecursiveHierarchy:
+    def test_closure_shape_and_counts(self, spark):
+        from redcap_omop_etl_spark import workload
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        got = {
+            (r.node_kind, r.ancestor_kind, r.depth): r.n_paths
+            for r in workload.queries()["sql_api_recursive_hierarchy"](spark, SF_SMOKE).collect()
+        }
+        cat = Catalog(spark, SF_SMOKE)
+        n_cust = cat["customer"].count()
+        n_supp = cat["supplier"].count()
+        n_nat = cat["nation"].count()
+        # exact closure of the 3-level hierarchy: every customer/supplier
+        # reaches its nation at depth 1 and its region at depth 2; every
+        # nation reaches its region at depth 1; recursion then terminates
+        # (regions are roots), so exactly these five groups exist.
+        assert got == {
+            ("C", "N", 1): n_cust,
+            ("C", "R", 2): n_cust,
+            ("S", "N", 1): n_supp,
+            ("S", "R", 2): n_supp,
+            ("N", "R", 1): n_nat,
+        }
