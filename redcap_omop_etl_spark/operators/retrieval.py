@@ -302,3 +302,93 @@ def retrieval_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("cf"), F.log("rnk")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("cf"), F.log("rnk")), 6).alias("zipf_r2"),
     )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_POOL = 100  # per-ranker candidate pool (fuse top-K lists, never full rankings)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH {_TOKS_CTE}, dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+      WHERE term IN ('spark', 'vector', 'hash')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                 * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                 / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                      + 0.75::DOUBLE * dl.dl::DOUBLE / stats.avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM bm QUALIFY rnk <= {RRF_POOL}
+    ), rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents QUALIFY rnk <= {RRF_POOL}
+    ), fused AS (
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             ra.rnk AS rank_bm25, rb.rnk AS rank_len,
+             coalesce(1.0::DOUBLE / ({RRF_K} + ra.rnk), 0.0)
+               + coalesce(1.0::DOUBLE / ({RRF_K} + rb.rnk), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rank_bm25::BIGINT AS rank_bm25, rank_len::BIGINT AS rank_len,
+           round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Reciprocal-rank fusion (k=60) of two rankers — BM25 relevance "
+    "and document length — over their top-100 candidate pools. RRF is "
+    "THE standard zero-tuning hybrid-retrieval combiner; fusing bounded "
+    "top-K lists (TakeOrderedAndProject per ranker, then rank windows "
+    "over ≤100 rows) is also what keeps it scale-sane — ranking the FULL "
+    "corpus per ranker would single-partition a global window. 1/(60+r) "
+    "terms divide exact integers, so fusion scores are bit-identical "
+    "cross-engine.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    w_bm = Window.orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+    ra = (
+        bm25_scores(d, BM25_QUERY_TERMS)
+        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .select("doc_id", F.row_number().over(w_bm).alias("rank_bm25"))
+    )
+    w_len = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    rb = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .select("doc_id", F.row_number().over(w_len).alias("rank_len"))
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_len",
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_len")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+            F.col("rank_len").cast("bigint").alias("rank_len"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )

@@ -116,6 +116,7 @@ _PRIORITY = [
     "embedding_random_projection",
     "dq_benford_audit",
     "sql_api_recursive_hierarchy",
+    "retrieval_rrf_fusion",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -34,6 +34,7 @@ _NESTED_LOOP_OK = {
     "retrieval_bm25_topk",  # corpus N/avgdl scalar: 1-row broadcast cross join
     "retrieval_heavy_hitters",  # merged MG decrement bound: 1-row broadcast cross join
     "text_collocation_pmi",  # corpus bigram-total scalar: 1-row broadcast cross join
+    "retrieval_rrf_fusion",  # inherits bm25's 1-row corpus-stats cross join
 }
 
 

@@ -163,3 +163,58 @@ class TestWinsorized:
             assert abs(r.p95 - round(float(p95), 4)) < 1e-9
             assert abs(r.robust_mean - round(float(clipped.mean()), 4)) < 5e-4
             assert abs(r.robust_std - round(float(clipped.std(ddof=1)), 4)) < 5e-4
+
+
+class TestRrfFusion:
+    def test_matches_bruteforce(self, spark, docs_pdf):
+        got = retrieval.retrieval_rrf_fusion(spark, SF_SMOKE).toPandas()
+        assert len(got) == 10
+
+        # ranker A: BM25 (reuse the python brute force from TestBm25)
+        toks = {int(r.doc_id): _tokenize(r.text) for r in docs_pdf.itertuples()}
+        dl = {d: len(t) for d, t in toks.items()}
+        n = float(len(dl))
+        avgdl = float(sum(dl.values())) / n
+        k1, b = retrieval.BM25_K1, retrieval.BM25_B
+        df = {q: sum(1 for t in toks.values() if q in t) for q in retrieval.BM25_QUERY_TERMS}
+        scores = {}
+        for d, ts in toks.items():
+            s = 0.0
+            for q in retrieval.BM25_QUERY_TERMS:
+                tf = float(ts.count(q))
+                if tf:
+                    idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                    s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+            if s > 0:
+                scores[d] = s
+        ra = {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: retrieval.RRF_POOL]
+            )
+        }
+        rb = {
+            int(r.doc_id): i + 1
+            for i, r in enumerate(
+                docs_pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+                .head(retrieval.RRF_POOL)
+                .itertuples()
+            )
+        }
+        fused = {
+            d: (1.0 / (retrieval.RRF_K + ra[d]) if d in ra else 0.0)
+            + (1.0 / (retrieval.RRF_K + rb[d]) if d in rb else 0.0)
+            for d in set(ra) | set(rb)
+        }
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(got["doc_id"]) == [d for d, _ in top]
+        for (d, s), row in zip(top, got.itertuples()):
+            assert abs(row.rrf - round(s, 6)) < 1e-9
+            if d in ra:
+                assert row.rank_bm25 == ra[d]
+            else:
+                assert pd.isna(row.rank_bm25)
+            if d in rb:
+                assert row.rank_len == rb[d]
+            else:
+                assert pd.isna(row.rank_len)

@@ -73,6 +73,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "broadcast crossJoin",
     ("dq_benford_audit", "global-window"): "chi-square total over the "
     "digit-domain-bounded (9-row) aggregate",
+    ("retrieval_rrf_fusion", "global-window"): "rank windows run AFTER "
+    "TakeOrderedAndProject LIMIT 100 — pool-bounded, never corpus-wide",
+    ("retrieval_rrf_fusion", "bnlj"): "corpus N/avgdl scalar inherited "
+    "from bm25_scores: 1-row broadcast crossJoin",
 }
 
 
