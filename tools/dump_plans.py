@@ -85,6 +85,20 @@ SHOWCASE: dict[str, str] = {
     "|d|-ceil(t|d|)+1 shingles (global df ascending) — exact recall "
     "with bucket sizes bounded where hot-shingle blocking explodes; "
     "the verify join touches candidates only.",
+    "embedding_covariance": "Distributed Gram covariance: mapInPandas "
+    "emits batch-local int64 Q^T Q partials, so the exchange carries "
+    "batches x d^2 summary rows — never corpus x d^2; marginal joins are "
+    "64-row broadcasts.",
+    "join_bloom_prune": "Runtime Bloom filter made explicit: three "
+    "map-side broadcast joins against the bounded set-bit table drop "
+    "non-matching fact rows BEFORE any shuffle; no BNLJ, no fact "
+    "exchange.",
+    "retrieval_bm25_topk": "BM25: query-term filter BEFORE the tf "
+    "shuffle, doc-length agg co-keyed on doc_id, 1-row corpus-stats "
+    "broadcast; top-15 via TakeOrderedAndProject.",
+    "ts_cusum_changepoint": "CUSUM: one corpus shuffle to the daily "
+    "series; all four windows (count/total/rank/running-sum) share one "
+    "event_type-partitioned exchange over the bounded series.",
     "corpus_source_divergence": "Entropy + KL(source‖corpus) from ONE "
     "corpus explode: the corpus distribution is a vocab-sized "
     "re-aggregation of the (source, token) counts (no second pass), "
