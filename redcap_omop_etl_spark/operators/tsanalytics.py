@@ -543,14 +543,19 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
-    daily = _daily_cents(e)
-    dow = F.dayofweek("day").alias("dow")
-    dowm = daily.groupBy("event_type", dow).agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    # Cache the (types x days)-bounded series: strength and the dow
+    # profile are separate action branches, and without the cache each
+    # re-runs the corpus scan + daily agg (3 scans; 3.5s at sf0.1 vs
+    # ~1.3s cached — Catalyst does not share the common subtree).
+    daily = _daily_cents(e).withColumn("dow", F.dayofweek("day")).cache()
+    # dow mean as a window over (event_type, dow): same sum/count division
+    # as the oracle's dowm CTE, no join back to the series needed.
+    w_dow = W.partitionBy("event_type", "dow")
+    joined = daily.withColumn(
+        "dow_mean",
+        F.sum("x").over(w_dow).cast("double") / F.count(F.lit(1)).over(w_dow),
     )
-    joined = daily.withColumn("dow", F.dayofweek("day")).join(
-        F.broadcast(dowm), ["event_type", "dow"]
-    )
+    dowm = joined.groupBy("event_type", "dow").agg(F.any_value("dow_mean").alias("dow_mean"))
     strength = (
         joined.select(
             "event_type",
