@@ -42,10 +42,6 @@ from redcap_omop_etl_spark.workload import register
 # space keeps a*h < 2^62 — no signed-long overflow under ANSI arithmetic.
 _MERSENNE_P = (1 << 31) - 1
 
-# prefix_jaccard_pairs: broadcast the shingle-vocabulary DF table only when
-# a measured count says it fits comfortably in executor memory (~50 B/row
-# → ≤ ~50 MB). Above the cap the rank join stays a shuffle join.
-_BROADCAST_VOCAB_MAX = 1_000_000
 
 
 def portable_hash60(col: Column) -> Column:
@@ -180,13 +176,14 @@ def prefix_jaccard_pairs(
     blocking explodes. No recall loss (unlike ``df_cap``-ed
     ``ngram_jaccard_pairs``), exact verify on candidates only.
 
-    Shuffles: shingle explode → df count (vocab-sized; broadcast hint is
-    CONDITIONAL on a measured vocabulary count — a 1-row-scalar count of
-    the already-needed dfreq aggregate — so the rank join broadcasts when
-    the vocabulary provably fits and degrades to a shuffle join when
+    Shuffles: shingle explode → df count (vocab-sized; no broadcast hint
+    — AQE converts the rank join to a broadcast at runtime when the
+    measured vocabulary size fits, and degrades to a shuffle join when
     Heaps' law loses to corpus size, instead of OOMing the driver on a
-    hard-coded hint), one window shuffle on doc, prefix-shingle
-    equi-join, one candidate-bounded verify join.
+    hard-coded hint. An eager ``dfreq.count()`` gate was tried and
+    reverted: it made PLAN CONSTRUCTION run a corpus job, which every
+    plan-inspection tool and test paid), one window shuffle on doc,
+    prefix-shingle equi-join, one candidate-bounded verify join.
     """
     from pyspark.sql.window import Window
 
@@ -199,13 +196,6 @@ def prefix_jaccard_pairs(
         F.explode(shingles(F.col(text_col), n)).alias("t"),
     ).cache()
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
-    # Conditional broadcast: counting dfreq is one extra vocab-sized job
-    # (it also warms the toks cache every later stage reuses), and the
-    # count is the evidence the hint needs — under the cap the broadcast
-    # saves re-shuffling every token occurrence; over it, fall through to
-    # the sort-merge join AQE would plan anyway.
-    if dfreq.count() <= _BROADCAST_VOCAB_MAX:
-        dfreq = F.broadcast(dfreq)
     wdoc = Window.partitionBy("doc")
     ranked = (
         toks.join(dfreq, "t")

@@ -115,7 +115,11 @@ def gram_partials(df: DataFrame, dim: int = DIM) -> DataFrame:
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["embeddings"]
-    parts = gram_partials(e)
+    # cache: pairs and the two marginal broadcasts are separate action
+    # branches, and mapInPandas is a narrow op with no exchange below it
+    # (ReuseExchange can't dedupe) — uncached, the full-corpus Gram pass
+    # would run once per branch. Bounded at batches x ~2144 rows.
+    parts = gram_partials(e).cache()
     pairs = parts.filter(F.col("j") >= 0).groupBy("i", "j").agg(F.sum("s").alias("s_ab"))
     marg = parts.filter(F.col("j") == -1).groupBy("i").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")

@@ -38,6 +38,13 @@ from redcap_omop_etl_spark.workload import register
 BM25_QUERY_TERMS = ["spark", "vector", "hash"]
 BM25_K1 = 1.2
 BM25_B = 0.75
+# Per-(doc, term) scores are quantized to integer nano-units BEFORE the
+# per-doc sum: each term score is one IEEE chain over identical operands
+# (bit-identical cross-engine), but a SUM of doubles accumulates in
+# engine- and partition-dependent order — a sub-ulp difference at a
+# LIMIT/pool boundary would flip the emitted row set. Integer sums are
+# exact in any order; 1e-9 resolution is far inside the 6dp output.
+BM25_SCALE = 1_000_000_000
 
 # DuckDB fragment: one row per (doc_id, term) token occurrence, the same
 # lower/trim whitespace tokenization as ws_tokens().
@@ -45,6 +52,36 @@ _TOKS_CTE = (
     "toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),"
     " '\\s+')) AS term FROM documents)"
 )
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+# The full BM25 scoring chain, shared VERBATIM by the retrieval_bm25_topk
+# and retrieval_rrf_fusion oracles (single source of truth — editing the
+# query terms or k1/b constants re-renders both; the shingle_sql_cte()
+# lesson applied to BM25). Ends with bm(doc_id, s_int).
+_BM25_CHAIN_CTE = f"""{_TOKS_CTE}, dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+      WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             floor(ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * tf.tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE)
+               / (tf.tf + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                    + {BM25_B}::DOUBLE * dl.dl::DOUBLE / stats.avgdl))
+               * {BM25_SCALE} + 0.5::DOUBLE)::BIGINT AS s_nano
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ), bm AS (
+      SELECT doc_id, sum(s_nano)::BIGINT AS s_int FROM scored GROUP BY doc_id
+    )"""
 
 
 def _tokens(d: DataFrame) -> DataFrame:
@@ -81,56 +118,42 @@ def bm25_scores(d: DataFrame, query_terms: list[str], k1: float = BM25_K1, b: fl
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    # quantize the per-term score BEFORE summing (see BM25_SCALE note):
+    # floor(double) is LONG in Spark, and integer sums are order-exact.
+    s_nano = F.floor(idf * F.col("tf") * (k1 + 1.0) / denom * BM25_SCALE + 0.5)
     return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("s"))
+        .select("doc_id", s_nano.alias("s_nano"))
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("bm25_raw"))
+        .agg(F.sum("s_nano").alias("s_int"))
     )
 
 
 @register(
     "retrieval_bm25_topk",
     f"""
-    WITH {_TOKS_CTE}, dl AS (
-      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-    ), stats AS (
-      SELECT count(*)::DOUBLE AS n_docs,
-             sum(dl)::DOUBLE / count(*) AS avgdl
-      FROM dl
-    ), tf AS (
-      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-      WHERE term IN ('spark', 'vector', 'hash')
-      GROUP BY doc_id, term
-    ), df AS (
-      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
-    ), scored AS (
-      SELECT tf.doc_id,
-             ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-               * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
-               / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-                    + 0.75::DOUBLE * dl.dl::DOUBLE / stats.avgdl)) AS s
-      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-    )
-    SELECT doc_id, round(sum(s), 6) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY sum(s) DESC, doc_id LIMIT 15
+    WITH {_BM25_CHAIN_CTE}
+    SELECT doc_id, round(s_int / {BM25_SCALE}.0, 6) AS bm25
+    FROM bm ORDER BY s_int DESC, doc_id LIMIT 15
     """,
     doc="Okapi BM25 top-k retrieval for a fixed query-term bag "
     "(k1=1.2, b=0.75, RSJ+1 idf). Tokenize scan → query-term tf, term df, "
     "doc-length agg, 1-row corpus-stats broadcast; top-15 is "
-    "TakeOrderedAndProject, tie-broken by doc_id. Oracle runs the "
-    "identical IEEE chain with ::DOUBLE-cast literals.",
+    "TakeOrderedAndProject, tie-broken by doc_id. Per-term scores run one "
+    "IEEE chain on identical operands, are nano-quantized, and sum as "
+    "exact integers — so the ORDER BY key is order-independent and the "
+    "oracle (sharing the _BM25_CHAIN_CTE fragment with rrf_fusion) "
+    "matches bit-for-bit.",
 )
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
     return (
         bm25_scores(d, BM25_QUERY_TERMS)
-        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+        .orderBy(F.desc("s_int"), F.asc("doc_id"))
         .limit(15)
-        .select("doc_id", F.round("bm25_raw", 6).alias("bm25"))
+        .select("doc_id", F.round(F.col("s_int") / float(BM25_SCALE), 6).alias("bm25"))
     )
 
 
@@ -209,11 +232,16 @@ def misra_gries_summaries(d: DataFrame, k: int = MG_K, n_buckets: int = MG_BUCKE
                     if counters[key] == 0:
                         del counters[key]
         bucket = int(pdf["bucket"].iloc[0])
+        # Sentinel row (term NULL, est 0): a bucket whose stream ends on a
+        # decrement round that zeroes every counter would otherwise emit
+        # NO rows — silently dropping its dec tally from the merged error
+        # bound. The sentinel always carries bucket_dec; est readers
+        # filter term IS NOT NULL.
         return pd.DataFrame(
             {
                 "bucket": bucket,
-                "term": list(counters.keys()),
-                "est": list(counters.values()),
+                "term": list(counters.keys()) + [None],
+                "est": list(counters.values()) + [0],
                 "bucket_dec": dec_rounds,
             }
         )
@@ -247,8 +275,15 @@ def misra_gries_summaries(d: DataFrame, k: int = MG_K, n_buckets: int = MG_BUCKE
 )
 def retrieval_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
-    summaries = misra_gries_summaries(d)
-    est = summaries.groupBy("term").agg(F.sum("est").alias("est"))
+    # cache: est and total_dec are separate action branches, and the
+    # Python MG kernel sits ABOVE the bucket exchange — without the cache
+    # each branch re-runs the full tokenize + MG pass. ≤ 136 rows.
+    summaries = misra_gries_summaries(d).cache()
+    est = (
+        summaries.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
     total_dec = (
         summaries.groupBy("bucket")
         .agg(F.max("bucket_dec").alias("d"))
@@ -311,28 +346,8 @@ RRF_POOL = 100  # per-ranker candidate pool (fuse top-K lists, never full rankin
 @register(
     "retrieval_rrf_fusion",
     f"""
-    WITH {_TOKS_CTE}, dl AS (
-      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-    ), stats AS (
-      SELECT count(*)::DOUBLE AS n_docs,
-             sum(dl)::DOUBLE / count(*) AS avgdl
-      FROM dl
-    ), tf AS (
-      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-      WHERE term IN ('spark', 'vector', 'hash')
-      GROUP BY doc_id, term
-    ), df AS (
-      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
-    ), bm AS (
-      SELECT tf.doc_id,
-             sum(ln((stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-                 * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
-                 / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-                      + 0.75::DOUBLE * dl.dl::DOUBLE / stats.avgdl))) AS s
-      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY tf.doc_id
-    ), ra AS (
-      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+    WITH {_BM25_CHAIN_CTE}, ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s_int DESC, doc_id) AS rnk
       FROM bm QUALIFY rnk <= {RRF_POOL}
     ), rb AS (
       SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
@@ -359,10 +374,10 @@ RRF_POOL = 100  # per-ranker candidate pool (fuse top-K lists, never full rankin
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
-    w_bm = Window.orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+    w_bm = Window.orderBy(F.desc("s_int"), F.asc("doc_id"))
     ra = (
         bm25_scores(d, BM25_QUERY_TERMS)
-        .orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+        .orderBy(F.desc("s_int"), F.asc("doc_id"))
         .limit(RRF_POOL)
         .select("doc_id", F.row_number().over(w_bm).alias("rank_bm25"))
     )

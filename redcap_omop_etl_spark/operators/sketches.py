@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.operators.dedup import portable_hash60
+from redcap_omop_etl_spark.operators.retrieval import _TOKS_CTE
 from redcap_omop_etl_spark.operators.textstats import ws_tokens
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
@@ -163,10 +164,7 @@ def countmin_cells(term_counts: DataFrame, depth: int = CMS_DEPTH, width: int = 
 @register(
     "sketch_countmin",
     f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-      FROM documents
-    ), c AS (
+    WITH {_TOKS_CTE}, c AS (
       SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term
     ), h AS (
       SELECT term, cnt, {_H60.format(x="term")} AS h FROM c

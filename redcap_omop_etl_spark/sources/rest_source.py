@@ -119,6 +119,11 @@ def http_transport(
         data[f"events[{i}]"] = e
     resp = requests.post(url, data=data, timeout=timeout)
     resp.raise_for_status()
+    # requests falls back to ISO-8859-1 for text/* when the server omits
+    # the charset parameter; REDCap exports are UTF-8 — honor an explicit
+    # charset, default the silent fallback to UTF-8 (else "müller" mojibakes).
+    if "charset" not in resp.headers.get("content-type", "").lower():
+        resp.encoding = "utf-8"
     for rec in csv.DictReader(io.StringIO(resp.text)):
         yield (
             rec.get("record", ""),
