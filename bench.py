@@ -115,6 +115,9 @@ HEADLINE = [
     "embedding_random_projection",
     "dq_benford_audit",
     "sql_api_recursive_hierarchy",
+    "retrieval_rrf_fusion",
+    "dedup_containment",
+    "ts_forecast_backtest",
 ]
 
 

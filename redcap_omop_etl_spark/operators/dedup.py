@@ -762,3 +762,77 @@ def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("containment_ppm_a"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relationships: a tweet quoted inside an article
+    has tiny Jaccard but containment ≈ 1. Same candidate plan as
+    ``ngram_jaccard_pairs`` (one shingle equi-join, ``df_cap`` hot-shingle
+    guard); both directed containments come from the ONE intersection
+    count, so asymmetry costs nothing extra. Emitted per unordered pair
+    with both directions; integer count / integer size divisions are
+    bit-exact cross-engine.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, df_cap).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    c12 = F.col("i") / F.col("sz1")
+    c21 = F.col("i") / F.col("sz2")
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .filter(F.greatest(c12, c21) >= threshold)
+        .select(
+            "d1",
+            "d2",
+            F.round(c12, 6).alias("cont_1in2"),
+            F.round(c21, 6).alias("cont_2in1"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {shingle_sql_cte()}, hot AS (
+      SELECT s FROM __sh GROUP BY s HAVING count(*) > 100
+    ), sh AS (
+      SELECT doc_id, s FROM __sh WHERE s NOT IN (SELECT s FROM hot)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(i * 1.0 / x.sz, 6) AS cont_1in2,
+           round(i * 1.0 / y.sz, 6) AS cont_2in1
+    FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE greatest(i * 1.0 / x.sz, i * 1.0 / y.sz) >= 0.5
+    """,
+    doc="Asymmetric containment near-dup pairs (max direction ≥ 0.5, "
+    "3-gram shingles, df_cap=100): catches subset relationships — a doc "
+    "quoted inside a longer one — that symmetric Jaccard scores near "
+    "zero. Both directed containments come from ONE shingle equi-join's "
+    "intersection count; the hot-shingle guard keeps candidate volume "
+    "linear at corpus scale. Integer count/size divisions are bit-exact.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        Catalog(spark, sf_dir)["documents"], threshold=0.5, n=3, df_cap=100
+    )

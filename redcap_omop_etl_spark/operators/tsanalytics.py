@@ -645,3 +645,50 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_days"), F.round(F.corr("x", "xb"), 6).alias("xcorr"))
         .filter(F.col("n_days") >= 30)
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    f"""
+    WITH {_DAILY_CTE},
+    paired AS (
+      SELECT a.event_type, a.x AS actual, f.x AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_evals,
+           round(sum(abs(actual - forecast))::DOUBLE / (count(*) * 100), 4) AS mae,
+           round(sum(abs(actual - forecast))::DOUBLE / sum(abs(actual)), 6) AS wape,
+           round(sum(actual - forecast)::DOUBLE / (count(*) * 100), 4) AS bias
+    FROM paired GROUP BY event_type
+    """,
+    doc="Forecast backtest: the seasonal-naive baseline (forecast = value "
+    "7 days prior) evaluated per metric with MAE, WAPE and mean bias — "
+    "the accuracy floor every real forecasting model must beat, and the "
+    "standard shape of a backtest join (predictions vs actuals on the "
+    "time key). WAPE (Σ|err|/Σ|actual|) replaces sMAPE deliberately: it "
+    "aggregates as a ratio of two exact integer sums, so the metric is "
+    "order-independent and bit-identical cross-engine, while a mean of "
+    "per-day double ratios would accumulate in engine-dependent order. "
+    "One corpus shuffle to the daily series; the self-join runs on the "
+    "bounded (types x days) table via an arithmetic date shift.",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    daily = _daily_cents(e)
+    f_ = daily.select(
+        F.col("event_type").alias("et"),
+        F.date_add("day", 7).alias("fday"),
+        F.col("x").alias("forecast"),
+    )
+    paired = daily.join(
+        f_, (F.col("event_type") == F.col("et")) & (F.col("day") == F.col("fday"))
+    )
+    err = F.col("x") - F.col("forecast")
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.round(F.sum(F.abs(err)).cast("double") / (F.count(F.lit(1)) * 100), 4).alias("mae"),
+        F.round(F.sum(F.abs(err)).cast("double") / F.sum(F.abs(F.col("x"))), 6).alias("wape"),
+        F.round(F.sum(err).cast("double") / (F.count(F.lit(1)) * 100), 4).alias("bias"),
+    )

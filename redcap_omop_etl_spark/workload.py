@@ -117,6 +117,8 @@ _PRIORITY = [
     "dq_benford_audit",
     "sql_api_recursive_hierarchy",
     "retrieval_rrf_fusion",
+    "dedup_containment",
+    "ts_forecast_backtest",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

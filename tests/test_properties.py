@@ -306,3 +306,62 @@ class TestRecursiveHierarchy:
             ("S", "R", 2): n_supp,
             ("N", "R", 1): n_nat,
         }
+
+
+class TestContainmentPairs:
+    def test_subset_doc_detected(self, spark, tmp_path):
+        # doc 2 is a strict prefix of doc 1: containment(2 in 1) == 1.0
+        # while Jaccard is low — the case the asymmetric metric exists for.
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "A"),
+            (2, "alpha beta gamma delta epsilon", "A"),
+            (3, "totally different words here entirely", "B"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        path = str(tmp_path / "cont")
+        df.write.parquet(f"{path}/documents.parquet")
+        from redcap_omop_etl_spark.operators.dedup import dedup_containment
+
+        got = {(r.d1, r.d2): (r.cont_1in2, r.cont_2in1) for r in dedup_containment(spark, path).collect()}
+        assert (1, 2) in got
+        c12, c21 = got[(1, 2)]
+        assert c21 == 1.0  # every shingle of doc 2 appears in doc 1
+        assert c12 < 0.5  # doc 1 is NOT contained in doc 2
+        assert not any(3 in pair for pair in got)
+
+    def test_matches_python_bruteforce(self, spark):
+        import re
+
+        from redcap_omop_etl_spark import workload
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        got = {
+            (r.d1, r.d2): (r.cont_1in2, r.cont_2in1)
+            for r in workload.queries()["dedup_containment"](spark, SF_SMOKE).collect()
+        }
+        docs = Catalog(spark, SF_SMOKE)["documents"].select("doc_id", "text").collect()
+
+        def sh(text):
+            w = re.split(r"\s+", text.strip().lower())
+            if len(w) < 3:
+                return {" ".join(w)}
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        sets = {int(r.doc_id): sh(r.text) for r in docs}
+        from collections import Counter
+
+        dfreq = Counter(s for ss in sets.values() for s in ss)
+        hot = {s for s, c in dfreq.items() if c > 100}
+        sets = {d: ss - hot for d, ss in sets.items()}
+        expected = {}
+        ids = sorted(sets)
+        for i, d1 in enumerate(ids):
+            for d2 in ids[i + 1 :]:
+                inter = len(sets[d1] & sets[d2])
+                if not inter or not sets[d1] or not sets[d2]:
+                    continue
+                c12, c21 = inter / len(sets[d1]), inter / len(sets[d2])
+                if max(c12, c21) >= 0.5:
+                    expected[(d1, d2)] = (round(c12, 6), round(c21, 6))
+        assert got == expected

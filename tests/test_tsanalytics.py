@@ -194,3 +194,38 @@ class TestCrossCorrelation:
         plan = _plan(spark, "ts_cross_correlation")
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestForecastBacktest:
+    def test_matches_pandas_bruteforce(self, spark):
+        import pandas as pd
+
+        got = {
+            r.event_type: r
+            for r in workload.queries()["ts_forecast_backtest"](spark, SF_SMOKE).collect()
+        }
+        pdf = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(ts as date) as day",
+                "cast(round(value * 100) as long) as cents",
+            )
+            .toPandas()
+        )
+        daily = pdf.groupby(["event_type", "day"])["cents"].sum()
+        for et in daily.index.get_level_values(0).unique():
+            s = daily[et]
+            pairs = [
+                (s[d], s[d - pd.Timedelta(days=7)])
+                for d in s.index
+                if d - pd.Timedelta(days=7) in s.index
+            ]
+            a = pd.Series([p[0] for p in pairs], dtype="int64")
+            f = pd.Series([p[1] for p in pairs], dtype="int64")
+            r = got[et]
+            assert r.n_evals == len(pairs)
+            assert abs(r.mae - round(float((a - f).abs().sum()) / (len(pairs) * 100), 4)) < 1e-9
+            assert abs(r.wape - round(float((a - f).abs().sum()) / float(a.abs().sum()), 6)) < 1e-9
+            assert abs(r.bias - round(float((a - f).sum()) / (len(pairs) * 100), 4)) < 1e-9
+            assert r.wape >= 0
