@@ -339,3 +339,66 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iters: int = 10) -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), inc AS (
+      SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+    ), deg AS (
+      SELECT x, count(*) AS d FROM inc GROUP BY x
+    ), ends AS (
+      SELECT du.d AS d1, dv.d AS d2
+      FROM edges JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM edges JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x
+    )
+    SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           round((SELECT sum(d) FROM deg)::DOUBLE / (SELECT count(*) FROM deg), 4)
+             AS mean_degree,
+           (SELECT max(d) FROM deg)::BIGINT AS max_degree,
+           round(corr(d1, d2), 6) AS assortativity
+    FROM ends
+    """,
+    doc="Degree assortativity of the co-purchase graph: Pearson "
+    "correlation of endpoint degrees over both edge orientations "
+    "(Newman's r) — negative r means hubs attach to leaves "
+    "(disassortative, the typical co-occurrence-graph shape), which "
+    "predicts whether degree-based partitioning/salting will face hub "
+    "hotspots. Degrees are exact integers from two hash aggs on the "
+    "memoized support-2 edge projection; the graph summary scalars are "
+    "1-row broadcasts. Third graph-analytics primitive next to "
+    "components/triangles/PageRank.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    inc = edges.select(F.col("u").alias("x")).unionByName(edges.select(F.col("v").alias("x")))
+    deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    e2 = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    ends = e2.select(F.col("du").alias("d1"), F.col("dv").alias("d2")).unionByName(
+        e2.select(F.col("dv").alias("d1"), F.col("du").alias("d2"))
+    )
+    corr_row = ends.agg(F.round(F.corr("d1", "d2"), 6).alias("assortativity"))
+    deg_row = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 4).alias("mean_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    edge_row = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        deg_row.crossJoin(F.broadcast(edge_row))
+        .crossJoin(F.broadcast(corr_row))
+        .select("n_nodes", "n_edges", "mean_degree", "max_degree", "assortativity")
+    )

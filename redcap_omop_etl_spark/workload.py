@@ -119,6 +119,7 @@ _PRIORITY = [
     "retrieval_rrf_fusion",
     "dedup_containment",
     "ts_forecast_backtest",
+    "graph_degree_assortativity",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

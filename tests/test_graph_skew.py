@@ -114,3 +114,28 @@ class TestPagerank:
             assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
         # probability mass conserved
         assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+class TestDegreeAssortativity:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from redcap_omop_etl_spark import workload
+        from redcap_omop_etl_spark.operators.graph import _copurchase_edges
+        from tests.conftest import SF_SMOKE
+
+        row = workload.queries()["graph_degree_assortativity"](spark, SF_SMOKE).collect()[0]
+        edges = [(r.u, r.v) for r in _copurchase_edges(spark, SF_SMOKE).collect()]
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        d1 = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+        d2 = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+        assert row.n_nodes == len(deg)
+        assert row.n_edges == len(edges)
+        assert row.max_degree == max(deg.values())
+        assert abs(row.mean_degree - round(sum(deg.values()) / len(deg), 4)) < 1e-9
+        expected = float(np.corrcoef(d1, d2)[0, 1])
+        assert abs(row.assortativity - round(expected, 6)) < 1e-5
+        assert -1.0 <= row.assortativity <= 1.0

@@ -35,6 +35,7 @@ _NESTED_LOOP_OK = {
     "retrieval_heavy_hitters",  # merged MG decrement bound: 1-row broadcast cross join
     "text_collocation_pmi",  # corpus bigram-total scalar: 1-row broadcast cross join
     "retrieval_rrf_fusion",  # inherits bm25's 1-row corpus-stats cross join
+    "graph_degree_assortativity",  # graph summary scalars: 1-row cross joins
 }
 
 

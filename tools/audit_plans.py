@@ -77,6 +77,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "TakeOrderedAndProject LIMIT 100 — pool-bounded, never corpus-wide",
     ("retrieval_rrf_fusion", "bnlj"): "corpus N/avgdl scalar inherited "
     "from bm25_scores: 1-row broadcast crossJoin",
+    ("graph_degree_assortativity", "bnlj"): "graph summary scalars: two "
+    "1-row broadcast crossJoins",
 }
 
 
