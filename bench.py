@@ -118,6 +118,7 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "dedup_containment",
     "ts_forecast_backtest",
+    "graph_degree_assortativity",
 ]
 
 
