@@ -365,3 +365,55 @@ class TestContainmentPairs:
                 if max(c12, c21) >= 0.5:
                     expected[(d1, d2)] = (round(c12, 6), round(c21, 6))
         assert got == expected
+
+
+class TestContainmentVsJaccard:
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                min_size=0,
+                max_size=8,
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_max_containment_dominates_jaccard(self, spark, docs):
+        """C(A→B) = i/|A| ≥ i/|A∪B| = J always; and both metrics agree
+        with python set arithmetic on arbitrary (incl. empty / 1-token /
+        identical) documents."""
+        from redcap_omop_etl_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cont = {
+            (r.d1, r.d2): (r.cont_1in2, r.cont_2in1)
+            for r in containment_pairs(df, threshold=0.0).collect()
+        }
+        jac = {
+            (r.d1, r.d2): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        # same candidate pairs (both derive from the same shingle join)
+        assert set(cont) == set(jac)
+        for pair, (c12, c21) in cont.items():
+            assert max(c12, c21) >= jac[pair] - 1e-9
+
+        def sh(ws):
+            w = [t for t in " ".join(ws).strip().lower().split()]
+            if not w:
+                return {""}
+            if len(w) < 3:
+                return {" ".join(w)}
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        sets = {i: sh(ws) for i, ws in enumerate(docs)}
+        for (d1, d2), (c12, c21) in cont.items():
+            i = len(sets[d1] & sets[d2])
+            assert abs(c12 - round(i / len(sets[d1]), 6)) < 1e-9
+            assert abs(c21 - round(i / len(sets[d2]), 6)) < 1e-9
