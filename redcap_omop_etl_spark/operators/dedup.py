@@ -139,6 +139,23 @@ def ngram_jaccard_pairs(
     scale (trades recall only for pairs whose entire overlap is
     boilerplate).
     """
+    return (
+        _pair_intersections(df, id_col, text_col, n, df_cap)
+        .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _pair_intersections(
+    df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None
+) -> DataFrame:
+    """Shared candidate pipeline for every set-overlap metric:
+    ``(d1, d2, i, sz1, sz2)`` — intersection count and both set sizes per
+    unordered candidate pair. Jaccard, containment (and any future Dice/
+    overlap variant) are thin arithmetic wrappers over this one frame, so
+    the cached shingle table, hot-cap guard, and join shape can never
+    diverge between metrics."""
     sh = _shingle_table(df, id_col, text_col, n, df_cap).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -148,12 +165,27 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    return inter.join(
+        sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1"
+    ).join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+
+
+def _pair_intersections_sql_cte(df_cap: int = 100) -> str:
+    """DuckDB mirror of ``_pair_intersections`` (splice after the shingle
+    CTE; emits ``sh``, ``sz``, ``inter``) — single source of truth for the
+    Jaccard AND containment oracles."""
     return (
-        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
-        .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+        f"hot AS (\n"
+        f"      SELECT s FROM __sh GROUP BY s HAVING count(*) > {df_cap}\n"
+        f"    ), sh AS (\n"
+        f"      SELECT doc_id, s FROM __sh WHERE s NOT IN (SELECT s FROM hot)\n"
+        f"    ), sz AS (\n"
+        f"      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id\n"
+        f"    ), inter AS (\n"
+        f"      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i\n"
+        f"      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id\n"
+        f"      GROUP BY 1, 2\n"
+        f"    )"
     )
 
 
@@ -464,18 +496,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {shingle_sql_cte()}, hot AS (
-      SELECT s FROM __sh GROUP BY s HAVING count(*) > 100
-    ), sh AS (
-      SELECT doc_id, s FROM __sh
-      WHERE s NOT IN (SELECT s FROM hot)
-    ), sz AS (
-      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {shingle_sql_cte()}, {_pair_intersections_sql_cte()}
     SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
     FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
     WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
@@ -782,19 +803,10 @@ def containment_pairs(
     with both directions; integer count / integer size divisions are
     bit-exact cross-engine.
     """
-    sh = _shingle_table(df, id_col, text_col, n, df_cap).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     c12 = F.col("i") / F.col("sz1")
     c21 = F.col("i") / F.col("sz2")
     return (
-        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        _pair_intersections(df, id_col, text_col, n, df_cap)
         .filter(F.greatest(c12, c21) >= threshold)
         .select(
             "d1",
@@ -808,17 +820,7 @@ def containment_pairs(
 @register(
     "dedup_containment",
     f"""
-    WITH {shingle_sql_cte()}, hot AS (
-      SELECT s FROM __sh GROUP BY s HAVING count(*) > 100
-    ), sh AS (
-      SELECT doc_id, s FROM __sh WHERE s NOT IN (SELECT s FROM hot)
-    ), sz AS (
-      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {shingle_sql_cte()}, {_pair_intersections_sql_cte()}
     SELECT d1, d2,
            round(i * 1.0 / x.sz, 6) AS cont_1in2,
            round(i * 1.0 / y.sz, 6) AS cont_2in1

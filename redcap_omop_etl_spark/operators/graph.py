@@ -390,7 +390,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = e2.select(F.col("du").alias("d1"), F.col("dv").alias("d2")).unionByName(
         e2.select(F.col("dv").alias("d1"), F.col("du").alias("d2"))
     )
-    corr_row = ends.agg(F.round(F.corr("d1", "d2"), 6).alias("assortativity"))
+    # zero-variance guard (degree-regular graph, e.g. a perfect matching):
+    # Spark corr yields NaN where DuckDB yields NULL — normalize to NULL
+    # (same nullif discipline as ts_autocorr/anomaly_mad).
+    raw_corr = F.corr("d1", "d2")
+    corr_row = ends.agg(
+        F.round(F.when(F.isnan(raw_corr), None).otherwise(raw_corr), 6).alias("assortativity")
+    )
     deg_row = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 4).alias("mean_degree"),

@@ -659,7 +659,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)::BIGINT AS n_evals,
            round(sum(abs(actual - forecast))::DOUBLE / (count(*) * 100), 4) AS mae,
-           round(sum(abs(actual - forecast))::DOUBLE / sum(abs(actual)), 6) AS wape,
+           round(sum(abs(actual - forecast))::DOUBLE / nullif(sum(abs(actual)), 0), 6) AS wape,
            round(sum(actual - forecast)::DOUBLE / (count(*) * 100), 4) AS bias
     FROM paired GROUP BY event_type
     """,
@@ -689,6 +689,8 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_evals"),
         F.round(F.sum(F.abs(err)).cast("double") / (F.count(F.lit(1)) * 100), 4).alias("mae"),
-        F.round(F.sum(F.abs(err)).cast("double") / F.sum(F.abs(F.col("x"))), 6).alias("wape"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.nullif(F.sum(F.abs(F.col("x"))), F.lit(0)), 6
+        ).alias("wape"),
         F.round(F.sum(err).cast("double") / (F.count(F.lit(1)) * 100), 4).alias("bias"),
     )

@@ -221,6 +221,9 @@ class TestForecastBacktest:
                 for d in s.index
                 if d - pd.Timedelta(days=7) in s.index
             ]
+            if not pairs:
+                assert et not in got  # no 7-day-lag pair -> no output group
+                continue
             a = pd.Series([p[0] for p in pairs], dtype="int64")
             f = pd.Series([p[1] for p in pairs], dtype="int64")
             r = got[et]
