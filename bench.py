@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_containment",
     "ts_forecast_backtest",
     "graph_degree_assortativity",
+    "join_asof_nearest",
 ]
 
 

@@ -765,3 +765,100 @@ def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_bursts"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT user_id, ts, min(event_id) AS rid
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), b AS (
+      SELECT p.event_id, p.user_id, p.ts, s.rid AS b_id, s.ts AS b_ts
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ), f AS (
+      SELECT p.event_id, s.rid AS f_id, s.ts AS f_ts
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts
+    ), m AS (
+      SELECT b.event_id, b.user_id,
+             strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             epoch_us(b.ts) - epoch_us(b_ts) AS db,
+             epoch_us(f_ts) - epoch_us(b.ts) AS df,
+             b_id, f_id
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, purchase_ts,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df)
+                THEN b_id ELSE f_id END AS nearest_error_id,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df)
+                THEN CASE WHEN b_id IS NULL THEN NULL ELSE 'backward' END
+                WHEN f_id IS NOT NULL THEN 'forward' END AS direction,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df) THEN db
+                ELSE df END AS gap_us
+    FROM m
+    """,
+    doc="Nearest-direction as-of join (pandas merge_asof "
+    "direction='nearest'): each purchase matches its temporally closest "
+    "error event per user, backward winning exact-distance ties. BOTH "
+    "direction candidates come from ONE union + ONE (user_id)-partitioned "
+    "sort — last(ignorenulls) over the preceding frame and "
+    "first(ignorenulls) over the following frame share the same window "
+    "exchange, so the nearest variant costs the same single shuffle as "
+    "the backward-only operator (the oracle's two ASOF JOINs shuffle "
+    "twice). Right side pre-aggregated to unique (user, ts) with min "
+    "event_id so equal-timestamp matches are deterministic; distances "
+    "compared in exact integer microseconds. Equal-ts right rows sort "
+    "before the left row, so they land in the backward frame only — and "
+    "backward wins gap-0 ties anyway, matching the inclusive <= oracle.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("__side"),
+        "event_id",
+        F.lit(None).cast("struct<ts_us:bigint,rid:bigint>").alias("__rv"),
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("rid"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("__side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.struct(F.unix_micros("ts").alias("ts_us"), F.col("rid").alias("rid")).alias("__rv"),
+        )
+    )
+    unioned = left.unionByName(right)
+    order = W.partitionBy("user_id").orderBy("ts", "__side")
+    back = F.last("__rv", ignorenulls=True).over(order.rowsBetween(W.unboundedPreceding, 0))
+    fwd = F.first("__rv", ignorenulls=True).over(order.rowsBetween(0, W.unboundedFollowing))
+    m = (
+        unioned.withColumn("__b", back)
+        .withColumn("__f", fwd)
+        .filter(F.col("__side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            (F.unix_micros("ts") - F.col("__b.ts_us")).alias("db"),
+            (F.col("__f.ts_us") - F.unix_micros("ts")).alias("df"),
+            F.col("__b.rid").alias("b_id"),
+            F.col("__f.rid").alias("f_id"),
+        )
+    )
+    pick_back = F.col("b_id").isNotNull() & (F.col("f_id").isNull() | (F.col("db") <= F.col("df")))
+    return m.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_error_id"),
+        F.when(pick_back & F.col("b_id").isNotNull(), F.lit("backward"))
+        .when(F.col("f_id").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+        F.when(pick_back, F.col("db")).otherwise(F.col("df")).alias("gap_us"),
+    )

@@ -120,6 +120,7 @@ _PRIORITY = [
     "dedup_containment",
     "ts_forecast_backtest",
     "graph_degree_assortativity",
+    "join_asof_nearest",
     # -- backfill: round-1 greens, longest unchecked --
     "q1_pricing_summary",
     "q3_shipping_priority",

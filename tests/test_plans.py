@@ -65,6 +65,16 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_asof_nearest_shares_one_window_exchange(spark):
+    # both direction candidates (backward last + forward first) must ride
+    # ONE (user_id) exchange — the right-side pre-agg adds its own small
+    # exchange, but there is no second window shuffle and no join.
+    plan = _plan(spark, "join_asof_nearest")
+    assert plan.count("Exchange") == 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") == 1, plan  # single WindowExec, two frames
+
+
 def test_topk_uses_take_ordered(spark):
     for name in ["q3_shipping_priority", "similarity_cosine_topk"]:
         plan = _plan(spark, name)

@@ -417,3 +417,39 @@ class TestContainmentVsJaccard:
             i = len(sets[d1] & sets[d2])
             assert abs(c12 - round(i / len(sets[d1]), 6)) < 1e-9
             assert abs(c21 - round(i / len(sets[d2]), 6)) < 1e-9
+
+
+class TestAsofNearest:
+    def test_hand_timeline(self, spark, tmp_path):
+        # user 1: errors at t=10 and t=100; purchases at t=30 (nearest =
+        # backward err@10, gap 20), t=80 (nearest = forward err@100, gap
+        # 20), t=55 (equidistant 45/45 -> backward wins). user 2: purchase
+        # with no error at all -> null match.
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for eid, (u, sec, et) in enumerate(
+            [
+                (1, 10, "error"),
+                (1, 100, "error"),
+                (1, 30, "purchase"),
+                (1, 80, "purchase"),
+                (1, 55, "purchase"),
+                (2, 40, "purchase"),
+            ]
+        ):
+            rows.append((eid, u, base + dt.timedelta(seconds=sec), et, 1.0, "{}"))
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        from redcap_omop_etl_spark.operators.windows import join_asof_nearest
+
+        got = {
+            r.event_id: (r.nearest_error_id, r.direction, r.gap_us)
+            for r in join_asof_nearest(spark, str(tmp_path)).collect()
+        }
+        assert got[2] == (0, "backward", 20_000_000)
+        assert got[3] == (1, "forward", 20_000_000)
+        assert got[4] == (0, "backward", 45_000_000)  # tie -> backward
+        assert got[5] == (None, None, None)
