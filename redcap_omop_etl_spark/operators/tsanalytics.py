@@ -234,39 +234,53 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anomaly_mad",
     """
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    WITH c AS (
+      SELECT event_id, event_type, round(value * 100)::BIGINT AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, median(cents) AS med FROM c GROUP BY event_type
     ), mad AS (
-      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
-      FROM events e JOIN med m USING (event_type)
+      SELECT e.event_type, median(abs(e.cents - m.med)) AS mad
+      FROM c e JOIN med m USING (event_type)
       GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type,
-           round(0.6745 * (e.value - m.med) / nullif(d.mad, 0), 4) AS mz
-    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
-    WHERE abs(0.6745 * (e.value - m.med) / nullif(d.mad, 0)) > 3.0
+           floor(0.6745 * (e.cents - m.med) / nullif(d.mad, 0) * 10000 + 0.5) / 10000.0
+             AS mz
+    FROM c e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE abs(0.6745 * (e.cents - m.med) / nullif(d.mad, 0)) > 3.0
     """,
     doc="Robust outlier flagging by modified z-score (median absolute "
     "deviation): unlike anomaly_zscore's mean/stddev, the median/MAD "
     "estimators don't let the outliers inflate their own yardstick. Two "
     "dim-sized median aggs broadcast back to the stream — the fact side "
-    "never shuffles; nullif guards degenerate zero-MAD groups on both "
-    "engines.",
+    "never shuffles; nullif guards degenerate zero-MAD groups. The score "
+    "runs in integer cents (scale cancels in (x-med)/mad): an "
+    "even-count median over RAW doubles interpolates a+0.5*(b-a) in one "
+    "engine and (a+b)/2 in the other — a 1-ulp divergence that flipped a "
+    "4dp rounding at sf0.1 — while over integers both forms are IEEE-"
+    "exact, so every operand is bit-identical cross-engine at any SF.",
 )
 def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = Catalog(spark, sf_dir)["events"]
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    e = Catalog(spark, sf_dir)["events"].select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med"))
     mad = (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
-        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+        .agg(F.median(F.abs(F.col("cents") - F.col("med"))).alias("mad"))
     )
-    mz = 0.6745 * (F.col("value") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0))
+    mz = 0.6745 * (F.col("cents") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0))
+    # floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): Spark rounds the exact
+    # decimal expansion of the double while DuckDB scales-then-rounds, so
+    # values an ulp under a .00005 boundary round differently; the shared
+    # floor formula runs the same IEEE ops on both engines.
     return (
         e.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .filter(F.abs(mz) > 3.0)
-        .select("event_id", "event_type", F.round(mz, 4).alias("mz"))
+        .select("event_id", "event_type", (F.floor(mz * 10000 + 0.5) / 10000.0).alias("mz"))
     )
 
 
