@@ -89,7 +89,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single parquet FILES; Spark-written replicas (e.g.
+        # .scale_cache/m16) are parquet DIRECTORIES — glob those for DuckDB.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     spark = build_session("check_oracle")
     qs, oracles = workload.queries(), workload.oracle_sql()
