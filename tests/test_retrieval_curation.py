@@ -48,19 +48,20 @@ class TestBm25:
             q: sum(1 for t in toks.values() if q in t) for q in retrieval.BM25_QUERY_TERMS
         }
         for d, ts in toks.items():
-            s = 0.0
+            s_nano = 0  # mirror the operator: per-term nano-quantize, integer sum
             for q in retrieval.BM25_QUERY_TERMS:
                 tf = float(ts.count(q))
                 if tf == 0:
                     continue
                 idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
-                s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
-            if s > 0:
-                scores[d] = s
+                term = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+                s_nano += math.floor(term * retrieval.BM25_SCALE + 0.5)
+            if s_nano > 0:
+                scores[d] = s_nano
         top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
         assert list(got["doc_id"]) == [d for d, _ in top]
         for (_, s), g in zip(top, got["bm25"]):
-            assert abs(round(s, 6) - g) < 1e-9
+            assert abs(round(s / retrieval.BM25_SCALE, 6) - g) < 1e-12
 
 
 class TestInvertedIndex:
@@ -179,12 +180,13 @@ class TestRrfFusion:
         df = {q: sum(1 for t in toks.values() if q in t) for q in retrieval.BM25_QUERY_TERMS}
         scores = {}
         for d, ts in toks.items():
-            s = 0.0
+            s = 0  # nano-quantized integer sum, mirroring bm25_scores
             for q in retrieval.BM25_QUERY_TERMS:
                 tf = float(ts.count(q))
                 if tf:
                     idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
-                    s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+                    term = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+                    s += math.floor(term * retrieval.BM25_SCALE + 0.5)
             if s > 0:
                 scores[d] = s
         ra = {
