@@ -13,7 +13,7 @@ which is one shuffle + one sort, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.sources.readers import Catalog
@@ -245,20 +245,51 @@ def asof_join(
     DuckDB ASOF semantics: ties (left.ts == right.ts) match, so the right
     side sorts before the left at equal timestamps.
     """
-    lt = left.select(
-        F.col(on), F.col(ts_col), F.lit(1).alias("__side"), *[F.col(c) for c in left_cols if c not in (on, ts_col)]
-    ).withColumn("__rv", F.lit(None).cast(dict(right.dtypes)[right_value]))
-    rt = right.select(F.col(on), F.col(ts_col), F.lit(0).alias("__side"), F.col(right_value).alias("__rv"))
-    for c in left_cols:
-        if c not in (on, ts_col):
-            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = lt.unionByName(rt.select(*lt.columns))
-    w = W.partitionBy(on).orderBy(ts_col, "__side").rowsBetween(W.unboundedPreceding, 0)
+    unioned = _asof_tag_union(
+        left,
+        right,
+        on,
+        ts_col,
+        rv=F.col(right_value),
+        rv_type=dict(right.dtypes)[right_value],
+        left_extra=[c for c in left_cols if c not in (on, ts_col)],
+    )
+    w = _asof_order(on, ts_col).rowsBetween(W.unboundedPreceding, 0)
     return (
         unioned.withColumn(right_alias, F.last("__rv", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
         .drop("__side", "__rv")
     )
+
+
+def _asof_order(on: str, ts_col: str):
+    """The ONE window ordering every as-of variant rides: (ts, __side)
+    within the key partition, right side (__side 0) sorting before the
+    left (1) at equal timestamps so backward frames include exact-ts
+    matches (DuckDB ASOF tie semantics)."""
+    return W.partitionBy(on).orderBy(ts_col, "__side")
+
+
+def _asof_tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    rv: Column,
+    rv_type: str,
+    left_extra: list[str],
+) -> DataFrame:
+    """Tag-and-union core shared by the backward and nearest as-of
+    variants: left rows carry __side=1 and a typed-null payload, right
+    rows __side=0 and ``rv``; every null-cast/column-alignment invariant
+    lives here once."""
+    lt = left.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("__side"), *[F.col(c) for c in left_extra]
+    ).withColumn("__rv", F.lit(None).cast(rv_type))
+    rt = right.select(F.col(on), F.col(ts_col), F.lit(0).alias("__side"), rv.alias("__rv"))
+    for c in left_extra:
+        rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    return lt.unionByName(rt.select(*lt.columns))
 
 
 @register(
@@ -792,7 +823,7 @@ def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df)
                 THEN b_id ELSE f_id END AS nearest_error_id,
            CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df)
-                THEN CASE WHEN b_id IS NULL THEN NULL ELSE 'backward' END
+                THEN 'backward'
                 WHEN f_id IS NOT NULL THEN 'forward' END AS direction,
            CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df) THEN db
                 ELSE df END AS gap_us
@@ -814,27 +845,21 @@ def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("__side"),
-        "event_id",
-        F.lit(None).cast("struct<ts_us:bigint,rid:bigint>").alias("__rv"),
-    )
     right = (
         e.filter(F.col("event_type") == "error")
         .groupBy("user_id", "ts")
         .agg(F.min("event_id").alias("rid"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("__side"),
-            F.lit(None).cast("bigint").alias("event_id"),
-            F.struct(F.unix_micros("ts").alias("ts_us"), F.col("rid").alias("rid")).alias("__rv"),
-        )
     )
-    unioned = left.unionByName(right)
-    order = W.partitionBy("user_id").orderBy("ts", "__side")
+    unioned = _asof_tag_union(
+        e.filter(F.col("event_type") == "purchase"),
+        right,
+        on="user_id",
+        ts_col="ts",
+        rv=F.struct(F.unix_micros("ts").alias("ts_us"), F.col("rid").alias("rid")),
+        rv_type="struct<ts_us:bigint,rid:bigint>",
+        left_extra=["event_id"],
+    )
+    order = _asof_order("user_id", "ts")
     back = F.last("__rv", ignorenulls=True).over(order.rowsBetween(W.unboundedPreceding, 0))
     fwd = F.first("__rv", ignorenulls=True).over(order.rowsBetween(0, W.unboundedFollowing))
     m = (
@@ -857,7 +882,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_ts",
         F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_error_id"),
-        F.when(pick_back & F.col("b_id").isNotNull(), F.lit("backward"))
+        F.when(pick_back, F.lit("backward"))
         .when(F.col("f_id").isNotNull(), F.lit("forward"))
         .alias("direction"),
         F.when(pick_back, F.col("db")).otherwise(F.col("df")).alias("gap_us"),

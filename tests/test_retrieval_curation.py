@@ -61,7 +61,11 @@ class TestBm25:
         top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
         assert list(got["doc_id"]) == [d for d, _ in top]
         for (_, s), g in zip(top, got["bm25"]):
-            assert abs(round(s / retrieval.BM25_SCALE, 6) - g) < 1e-12
+            # compare against the UNROUNDED exact value: Python round() is
+            # half-even on the binary double, Spark round() is HALF_UP on
+            # the shortest decimal repr — at a 6dp tie they differ, so pin
+            # "g is a valid 6dp rounding of s/SCALE" instead.
+            assert abs(s / retrieval.BM25_SCALE - g) <= 5.0001e-7
 
 
 class TestInvertedIndex:
@@ -211,7 +215,7 @@ class TestRrfFusion:
         top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert list(got["doc_id"]) == [d for d, _ in top]
         for (d, s), row in zip(top, got.itertuples()):
-            assert abs(row.rrf - round(s, 6)) < 1e-9
+            assert abs(row.rrf - s) <= 5.0001e-7  # valid 6dp rounding of s
             if d in ra:
                 assert row.rank_bm25 == ra[d]
             else:
