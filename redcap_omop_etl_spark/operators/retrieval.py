@@ -18,9 +18,10 @@ Scale notes (100 TB):
   k·buckets-row aggregation; the error bound (Σ per-bucket decrements)
   composes additively under merge, which is what makes the sketch
   shippable as a partial aggregate.
-- The Zipf fit runs ``regr_*`` over the term-frequency table, which is
-  vocabulary-bounded (≪ corpus size); the global rank window is over that
-  bounded table, not the corpus.
+- The Zipf fit runs ``regr_*`` over the term-frequency table; the
+  frequency rank uses the two-phase range-partitioned rank
+  (``with_global_index``) — per-partition row_number plus broadcast
+  offsets — so even a web-scale vocabulary never crosses one task.
 """
 
 from __future__ import annotations
@@ -322,15 +323,20 @@ def retrieval_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
     doc="Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the "
-    "term-frequency table (cf ≥ 5). The rank window is global but "
-    "vocabulary-bounded (≪ corpus size); regr_slope/regr_r2 run on both "
-    "engines over identical integer-derived inputs, rounded 6dp.",
+    "term-frequency table (cf ≥ 5). The frequency rank is the two-phase "
+    "range-partitioned rank (with_global_index): range-repartition on "
+    "(cf DESC, term), per-partition row_number, broadcast cumulative "
+    "offsets — NO unpartitioned window, so a web-scale (10⁸–10⁹ term) "
+    "vocabulary never funnels through one task. regr_slope/regr_r2 run "
+    "on both engines over identical integer-derived inputs, rounded 6dp.",
 )
 def retrieval_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.sinks.chunked import with_global_index
+
     d = Catalog(spark, sf_dir)["documents"]
     c = _tokens(d).groupBy("term").agg(F.count(F.lit(1)).alias("cf")).filter(F.col("cf") >= 5)
-    ranked = c.select(
-        "cf", F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))).alias("rnk")
+    ranked = with_global_index(c, [F.desc("cf"), F.asc("term")], index_col="rnk0").select(
+        "cf", (F.col("rnk0") + 1).alias("rnk")
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),

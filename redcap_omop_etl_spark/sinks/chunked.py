@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 from redcap_omop_etl_spark.operators.eav import pivot_from_eav
 
 
-def with_global_index(df: DataFrame, order_cols: list[str], index_col: str = "__idx") -> DataFrame:
+def with_global_index(df: DataFrame, order_cols: list, index_col: str = "__idx") -> DataFrame:
     """0-based global row index in ``order_cols`` order, computed without a
     global sort bottleneck.
+
+    ``order_cols`` entries are column names or Column sort expressions
+    (``F.desc("cf")``), so descending rank orders (frequency ranks) reuse
+    the same two-phase machinery as ascending chunk assignment.
 
     Plan: range-repartition on the key (so partitions hold contiguous key
     ranges), sort within partitions, count rows per partition (tiny job,

@@ -66,9 +66,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     "crossJoin",
     ("retrieval_heavy_hitters", "bnlj"): "merged MG decrement bound: 1-row "
     "broadcast crossJoin",
-    ("retrieval_zipf_fit", "global-window"): "frequency rank over the "
-    "term-frequency table — vocabulary-bounded (≪ corpus), by construction "
-    "of a Zipf fit",
     ("text_collocation_pmi", "bnlj"): "corpus bigram-total scalar: 1-row "
     "broadcast crossJoin",
     ("dq_benford_audit", "global-window"): "chi-square total over the "
