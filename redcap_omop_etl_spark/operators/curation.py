@@ -108,26 +108,41 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     ), clipped AS (
       SELECT d.source, q.p05, q.p95,
-             greatest(q.p05, least(q.p95, d.n_chars::DOUBLE)) AS v,
+             floor(greatest(q.p05, least(q.p95, d.n_chars::DOUBLE)) * 10000 + 0.5)::HUGEINT AS vq,
              CASE WHEN d.n_chars::DOUBLE < q.p05 OR d.n_chars::DOUBLE > q.p95
                   THEN 1 ELSE 0 END AS is_clipped
       FROM documents d JOIN q USING (source)
+    ), s AS (
+      SELECT source,
+             count(*)::HUGEINT AS n,
+             sum(is_clipped)   AS n_clipped,
+             any_value(p05)    AS p05,
+             any_value(p95)    AS p95,
+             sum(vq)           AS s1,
+             sum(vq * vq)      AS s2
+      FROM clipped GROUP BY source
     )
     SELECT source,
-           count(*)::BIGINT               AS n_docs,
-           sum(is_clipped)::BIGINT        AS n_clipped,
-           round(any_value(p05), 4)       AS p05,
-           round(any_value(p95), 4)       AS p95,
-           round(avg(v), 4)               AS robust_mean,
-           round(stddev_samp(v), 4)       AS robust_std
-    FROM clipped GROUP BY source
+           n::BIGINT                      AS n_docs,
+           n_clipped::BIGINT              AS n_clipped,
+           round(p05, 4)                  AS p05,
+           round(p95, 4)                  AS p95,
+           round(s1::DOUBLE / (n::DOUBLE * 10000.0), 4) AS robust_mean,
+           round(sqrt((n * s2 - s1 * s1)::DOUBLE
+                      / nullif(n * (n - 1), 0)::DOUBLE) / 10000.0, 4) AS robust_std
+    FROM s
     """,
     doc="Winsorized robust statistics per source: clip n_chars at the "
     "within-source [p05, p95] (exact interpolated percentiles — Spark "
     "percentile() ≡ DuckDB quantile_cont()), then mean/stddev of the "
-    "clipped values plus the clip count. Outlier-robust length stats are "
-    "the standard pre-filter calibration pass; two hash aggs on source "
-    "joined by a source-count-bounded broadcast.",
+    "clipped values plus the clip count. The clipped value is quantized "
+    "to 4dp integers (shared floor(x·10⁴+0.5)) BEFORE aggregation, so "
+    "the moment sums (Σvq, Σvq²) are exact integers — order-independent "
+    "across engines and partitionings — and mean/std are single double "
+    "expressions over identical exact operands at the end (the "
+    "accumulation-order-flake-proof pattern; only a sub-ulp percentile "
+    "divergence landing exactly on a quantization boundary could differ). "
+    "Two hash aggs on source joined by a source-count-bounded broadcast.",
 )
 def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
@@ -136,20 +151,37 @@ def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.95)).alias("p95"),
     )
     v = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("n_chars").cast("double")))
+    # 4dp integer quantization before any aggregation: integer sums are
+    # exact in any accumulation order (decimal(38,0) so Σvq² can't
+    # overflow at 100 TB row counts; DuckDB's HUGEINT mirrors it).
+    vq = F.floor(v * 10000 + F.lit(0.5)).cast("decimal(38,0)")
     is_clipped = (
         (F.col("n_chars").cast("double") < F.col("p05"))
         | (F.col("n_chars").cast("double") > F.col("p95"))
     ).cast("int")
-    return (
+    s = (
         d.join(F.broadcast(q), "source")
-        .select("source", "p05", "p95", v.alias("v"), is_clipped.alias("is_clipped"))
+        .select("source", "p05", "p95", vq.alias("vq"), is_clipped.alias("is_clipped"))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
             F.sum("is_clipped").cast("bigint").alias("n_clipped"),
-            F.round(F.any_value("p05"), 4).alias("p05"),
-            F.round(F.any_value("p95"), 4).alias("p95"),
-            F.round(F.avg("v"), 4).alias("robust_mean"),
-            F.round(F.stddev_samp("v"), 4).alias("robust_std"),
+            F.any_value("p05").alias("p05"),
+            F.any_value("p95").alias("p95"),
+            F.sum("vq").alias("s1"),
+            F.sum(F.col("vq") * F.col("vq")).alias("s2"),
         )
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    var_den = F.nullif(F.col("n") * (F.col("n") - 1), F.lit(0).cast("decimal(38,0)")).cast("double")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "n_clipped",
+        F.round("p05", 4).alias("p05"),
+        F.round("p95", 4).alias("p95"),
+        F.round(F.col("s1").cast("double") / (F.col("n").cast("double") * 10000.0), 4).alias(
+            "robust_mean"
+        ),
+        F.round(F.sqrt(var_num / var_den) / 10000.0, 4).alias("robust_std"),
     )

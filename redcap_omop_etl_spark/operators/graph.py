@@ -361,14 +361,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT dv.d, du.d
       FROM edges JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x
+    ), mom AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(d1::HUGEINT) AS sa, sum(d2::HUGEINT) AS sb,
+             sum(d1::HUGEINT * d2) AS sab,
+             sum(d1::HUGEINT * d1) AS saa, sum(d2::HUGEINT * d2) AS sbb
+      FROM ends
     )
     SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
            (SELECT count(*) FROM edges)::BIGINT AS n_edges,
            round((SELECT sum(d) FROM deg)::DOUBLE / (SELECT count(*) FROM deg), 4)
              AS mean_degree,
            (SELECT max(d) FROM deg)::BIGINT AS max_degree,
-           round(corr(d1, d2), 6) AS assortativity
-    FROM ends
+           round((n * sab - sa * sb)::DOUBLE
+                 / nullif(sqrt((n * saa - sa * sa)::DOUBLE)
+                          * sqrt((n * sbb - sb * sb)::DOUBLE), 0), 6) AS assortativity
+    FROM mom
     """,
     doc="Degree assortativity of the co-purchase graph: Pearson "
     "correlation of endpoint degrees over both edge orientations "
@@ -376,8 +384,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(disassortative, the typical co-occurrence-graph shape), which "
     "predicts whether degree-based partitioning/salting will face hub "
     "hotspots. Degrees are exact integers from two hash aggs on the "
-    "memoized support-2 edge projection; the graph summary scalars are "
-    "1-row broadcasts. Third graph-analytics primitive next to "
+    "memoized support-2 edge projection, and r itself reduces to exact "
+    "integer moment sums (order-independent cross-engine; one double "
+    "normalize at the end); the graph summary scalars are 1-row "
+    "broadcasts. Third graph-analytics primitive next to "
     "components/triangles/PageRank.",
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,13 +400,27 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = e2.select(F.col("du").alias("d1"), F.col("dv").alias("d2")).unionByName(
         e2.select(F.col("dv").alias("d1"), F.col("du").alias("d2"))
     )
-    # zero-variance guard (degree-regular graph, e.g. a perfect matching):
-    # Spark corr yields NaN where DuckDB yields NULL — normalize to NULL
-    # (same nullif discipline as ts_autocorr/anomaly_mad).
-    raw_corr = F.corr("d1", "d2")
-    corr_row = ends.agg(
-        F.round(F.when(F.isnan(raw_corr), None).otherwise(raw_corr), 6).alias("assortativity")
+    # Pearson r from exact integer moment sums (decimal(38,0) ≡ DuckDB
+    # HUGEINT) — order-independent, unlike corr()'s double accumulation —
+    # with one double normalize at the end. The nullif doubles as the
+    # zero-variance guard (degree-regular graph): NULL on both engines.
+    dec = "decimal(38,0)"
+    d1, d2 = F.col("d1").cast(dec), F.col("d2").cast(dec)
+    mom = ends.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(d1).alias("sa"),
+        F.sum(d2).alias("sb"),
+        F.sum(d1 * d2).alias("sab"),
+        F.sum(d1 * d1).alias("saa"),
+        F.sum(d2 * d2).alias("sbb"),
     )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")),
+        F.lit(0.0),
+    )
+    corr_row = mom.select(F.round(num / den, 6).alias("assortativity"))
     deg_row = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 4).alias("mean_degree"),

@@ -641,7 +641,8 @@ _SQL_API_RECURSIVE_HIERARCHY = """
     _SQL_API_RECURSIVE_HIERARCHY,
     doc="WITH RECURSIVE ancestor closure over the entity hierarchy "
     "(customer/supplier -> nation -> region), ONE ANSI string executed "
-    "verbatim by BOTH engines (recursive CTEs landed in Spark 4.0). The "
+    "verbatim by BOTH engines (recursive CTEs landed in Spark 4.1 — this "
+    "query will not parse on a 4.0.x deployment). The "
     "recursion is the right tool because depth is schema-unknown at query "
     "time; each step is an equi-join of the frontier against the edge "
     "table, and the frontier SHRINKS (nations, then regions, then empty) "

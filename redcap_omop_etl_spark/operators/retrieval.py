@@ -40,11 +40,17 @@ BM25_QUERY_TERMS = ["spark", "vector", "hash"]
 BM25_K1 = 1.2
 BM25_B = 0.75
 # Per-(doc, term) scores are quantized to integer nano-units BEFORE the
-# per-doc sum: each term score is one IEEE chain over identical operands
-# (bit-identical cross-engine), but a SUM of doubles accumulates in
-# engine- and partition-dependent order — a sub-ulp difference at a
-# LIMIT/pool boundary would flip the emitted row set. Integer sums are
-# exact in any order; 1e-9 resolution is far inside the 6dp output.
+# per-doc sum: a SUM of doubles accumulates in engine- and partition-
+# dependent order — a sub-ulp difference at a LIMIT/pool boundary would
+# flip the emitted row set — while integer sums are exact in any order.
+# Residual (documented, not eliminable): the per-term chain contains one
+# ln(), and JVM Math.log is allowed 1 ulp off the correctly-rounded
+# result libm typically returns — a divergence there can flip s_nano by
+# ±1 when idf·tf·(k1+1)/denom·1e9+0.5 lands within an ulp of an integer.
+# ±1 nano only surfaces in the 6dp output when s_int sits exactly on a
+# 0.5µ rounding boundary, and only reorders a LIMIT cut when two docs'
+# s_int differ by ≤1 — both data-dependent corner cases, not the
+# accumulation-order flake class the quantization removes.
 BM25_SCALE = 1_000_000_000
 
 # DuckDB fragment: one row per (doc_id, term) token occurrence, the same

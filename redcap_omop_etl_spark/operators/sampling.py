@@ -882,9 +882,9 @@ _BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
       FROM c GROUP BY 1
     ), bp(digit, p) AS (VALUES {_BENFORD_VALUES}),
     j AS (
-      SELECT d.digit, d.n_obs, bp.p::DOUBLE AS p,
-             sum(d.n_obs) OVER ()::DOUBLE AS n
-      FROM d JOIN bp USING (digit)
+      SELECT bp.digit, coalesce(d.n_obs, 0)::BIGINT AS n_obs, bp.p::DOUBLE AS p,
+             sum(coalesce(d.n_obs, 0)) OVER ()::DOUBLE AS n
+      FROM bp LEFT JOIN d USING (digit)
     )
     SELECT digit, n_obs,
            round(n_obs / n, 6)  AS obs_share,
@@ -915,8 +915,14 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, p) for d, p in _BENFORD_P.items()], "digit bigint, p double"
     )
     w = W.partitionBy()
-    j = counts.join(F.broadcast(bp), "digit").withColumn(
-        "n", F.sum("n_obs").over(w).cast("double")
+    # Drive from the 9-row expected table (LEFT join, n_obs → 0): a digit
+    # absent from the data must still contribute its full (0 − n·p)²/(n·p)
+    # term — an inner join would silently drop exactly the terms that
+    # signal the strongest Benford deviation.
+    j = (
+        bp.join(F.broadcast(counts), "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint"))
+        .withColumn("n", F.sum("n_obs").over(w).cast("double"))
     )
     dev = F.col("n_obs") - F.col("n") * F.col("p")
     chi = dev * dev / (F.col("n") * F.col("p"))  # explicit multiply: pow(x,2) may race x*x by an ulp

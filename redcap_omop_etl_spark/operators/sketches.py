@@ -128,9 +128,12 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b1").isNotNull() & F.col("b2").isNotNull() & F.col("b3").isNotNull()
     ).cast("long")
     hit = F.col("mb").isNotNull().cast("long")
-    n_build = build.count()  # bounded dim count (build side is the small table)
-    return flagged.agg(
-        F.lit(n_build).cast("bigint").alias("n_build_keys"),
+    # n_build_keys stays relational (1-row agg crossJoined into the final
+    # aggregate) — an eager build.count() here would run a real customer
+    # scan at PLAN CONSTRUCTION, which every plan-inspection tool/test
+    # pays (the exact pattern prefix_jaccard_pairs tried and reverted).
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    probe_agg = flagged.agg(
         F.count(F.lit(1)).alias("n_probe"),
         F.sum(cand).alias("n_candidates"),
         F.sum(hit).alias("n_matches"),
@@ -140,6 +143,9 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count(F.lit(1)) - F.sum(hit), F.lit(0)),
             6,
         ).alias("fp_rate"),
+    )
+    return probe_agg.crossJoin(F.broadcast(n_build)).select(
+        "n_build_keys", "n_probe", "n_candidates", "n_matches", "n_false_pos", "fp_rate"
     )
 
 

@@ -1373,7 +1373,7 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(n::DOUBLE * nb / (cl::DOUBLE * cr::DOUBLE)), 6) AS pmi
     FROM c2 JOIN c1 USING (w1) JOIN cr USING (w2) CROSS JOIN tot
     WHERE n >= 5
-    ORDER BY ln(n::DOUBLE * nb / (cl::DOUBLE * cr::DOUBLE)) DESC, w1, w2
+    ORDER BY n::DOUBLE * nb / (cl::DOUBLE * cr::DOUBLE) DESC, w1, w2
     LIMIT 20
     """,
     doc="Collocation extraction by pointwise mutual information: corpus "
@@ -1383,8 +1383,14 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PMI = ln(n12·N / (n1·n2)) over exact integer counts for pairs seen "
     ">= 5 times, top-20. One bigram explode scan feeds three hash aggs; "
     "the left/right marginal joins are vocabulary-bounded and the corpus "
-    "total is a 1-row broadcast. All PMI operands are integer-derived, "
-    "so ordering and 6dp rounding are bit-identical cross-engine.",
+    "total is a 1-row broadcast. The LIMIT-20 cut orders by the ln-FREE "
+    "probability ratio (ln is monotone, so the ranking is identical): "
+    "the ratio is three correctly-rounded IEEE ops over exact integers — "
+    "bit-identical cross-engine — whereas JVM Math.log and libm may "
+    "disagree by 1 ulp, which at a LIMIT boundary would flip the row "
+    "set. Residual risk: the DISPLAYED pmi still passes through ln, so a "
+    "1-ulp divergence landing exactly on a 6dp rounding boundary could "
+    "differ (data-dependent, not accumulation-order-dependent).",
 )
 def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
@@ -1405,14 +1411,18 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c2all.groupBy("w1").agg(F.sum("n").alias("cl"))
     cr = c2all.groupBy("w2").agg(F.sum("n").alias("cr"))
     tot = c2all.agg(F.sum("n").cast("double").alias("nb"))
-    pmi = F.log(
-        F.col("n").cast("double") * F.col("nb") / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    # Rank on the ln-free ratio (monotone-equivalent to PMI): exact-int
+    # operands through three correctly-rounded double ops — bit-identical
+    # cross-engine, immune to the JVM-vs-libm ln ulp at the LIMIT cut.
+    ratio = (
+        F.col("n").cast("double") * F.col("nb")
+        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
     )
     return (
         c2.join(c1, "w1")
         .join(cr, "w2")
         .crossJoin(F.broadcast(tot))
-        .orderBy(pmi.desc(), "w1", "w2")
+        .orderBy(ratio.desc(), "w1", "w2")
         .limit(20)
-        .select("w1", "w2", "n", F.round(pmi, 6).alias("pmi"))
+        .select("w1", "w2", "n", F.round(F.log(ratio), 6).alias("pmi"))
     )

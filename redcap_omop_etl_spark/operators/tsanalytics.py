@@ -524,13 +524,16 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(x)::DOUBLE / count(*) AS dow_mean
       FROM daily GROUP BY event_type, dayofweek(day) + 1
     ), joined AS (
-      SELECT d.event_type, d.x::DOUBLE AS xv,
-             d.x::DOUBLE - m.dow_mean AS resid
+      SELECT d.event_type, d.x::HUGEINT AS xi,
+             floor((d.x::DOUBLE - m.dow_mean) * 10000 + 0.5)::HUGEINT AS rq
       FROM daily d JOIN dowm m
         ON d.event_type = m.event_type AND dayofweek(d.day) + 1 = m.dow
     ), strength AS (
       SELECT event_type, count(*)::BIGINT AS n_days,
-             round(greatest(0.0, 1.0 - var_samp(resid) / nullif(var_samp(xv), 0)), 5)
+             round(greatest(0.0,
+               1.0 - (count(*) * sum(rq * rq) - sum(rq) * sum(rq))::DOUBLE
+                     / (100000000.0 *
+                        nullif(count(*) * sum(xi * xi) - sum(xi) * sum(xi), 0)::DOUBLE)), 5)
                AS seasonal_strength
       FROM joined GROUP BY event_type
     ), ranked AS (
@@ -553,6 +556,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak/trough dow from the 7-row-per-metric seasonal profile "
     "(ties broken on the 4dp-rounded mean, then dow — deterministic "
     "cross-engine because the mean divides exact integer operands). "
+    "Residuals are quantized to 4dp integers (floor(r·10⁴+0.5), where r "
+    "derives from one bit-identical double division of exact integer "
+    "sums), so BOTH variances reduce to exact integer moment sums "
+    "(n·Σq²−(Σq)²) — order-independent across engines/partitionings — "
+    "with a single double division at the end (no var_samp over doubles). "
     "One corpus shuffle; the profile join is a types*7-row broadcast.",
 )
 def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,23 +578,37 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w_dow).cast("double") / F.count(F.lit(1)).over(w_dow),
     )
     dowm = joined.groupBy("event_type", "dow").agg(F.any_value("dow_mean").alias("dow_mean"))
-    strength = (
+    # 4dp-quantized residuals → exact integer moment sums (decimal(38,0)
+    # mirrors DuckDB's HUGEINT): variance numerators are order-exact, the
+    # only double ops are the final division/round over identical operands.
+    dec = "decimal(38,0)"
+    quant = (
         joined.select(
             "event_type",
-            F.col("x").cast("double").alias("xv"),
-            (F.col("x").cast("double") - F.col("dow_mean")).alias("resid"),
+            F.col("x").cast(dec).alias("xi"),
+            F.floor((F.col("x").cast("double") - F.col("dow_mean")) * 10000 + F.lit(0.5))
+            .cast(dec)
+            .alias("rq"),
         )
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    1.0 - F.var_samp("resid") / F.nullif(F.var_samp("xv"), F.lit(0.0)),
-                ),
-                5,
-            ).alias("seasonal_strength"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("rq").alias("sr1"),
+            F.sum(F.col("rq") * F.col("rq")).alias("sr2"),
+            F.sum("xi").alias("sx1"),
+            F.sum(F.col("xi") * F.col("xi")).alias("sx2"),
         )
+    )
+    var_r = (F.col("n") * F.col("sr2") - F.col("sr1") * F.col("sr1")).cast("double")
+    var_x = F.nullif(
+        F.col("n") * F.col("sx2") - F.col("sx1") * F.col("sx1"), F.lit(0).cast(dec)
+    ).cast("double")
+    strength = quant.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var_r / (F.lit(100000000.0) * var_x)), 5
+        ).alias("seasonal_strength"),
     )
     ranked = dowm.select(
         "event_type",
@@ -613,15 +635,21 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d CROSS JOIN lags
     ), pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b, a.lg AS lag_days,
-             a.x AS xa, b.x AS xb
+             a.x::HUGEINT AS xa, b.x::HUGEINT AS xb
       FROM shifted a JOIN daily b
         ON a.jday = b.day AND a.event_type < b.event_type
+    ), mom AS (
+      SELECT type_a, type_b, lag_days, count(*)::HUGEINT AS n,
+             sum(xa) AS sa, sum(xb) AS sb, sum(xa * xb) AS sab,
+             sum(xa * xa) AS saa, sum(xb * xb) AS sbb
+      FROM pairs GROUP BY type_a, type_b, lag_days
+      HAVING count(*) >= 30
     )
-    SELECT type_a, type_b, lag_days::BIGINT AS lag_days,
-           count(*)::BIGINT AS n_days,
-           round(corr(xa, xb), 6) AS xcorr
-    FROM pairs GROUP BY type_a, type_b, lag_days
-    HAVING count(*) >= 30
+    SELECT type_a, type_b, lag_days::BIGINT AS lag_days, n::BIGINT AS n_days,
+           round((n * sab - sa * sb)::DOUBLE
+                 / nullif(sqrt((n * saa - sa * sa)::DOUBLE)
+                          * sqrt((n * sbb - sb * sb)::DOUBLE), 0), 6) AS xcorr
+    FROM mom
     """,
     doc="Cross-correlation between metric pairs at lags 0 and 1 day: "
     "corr(x_a(t), x_b(t+lag)) over the exact integer daily series, "
@@ -629,8 +657,10 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The corpus collapses to a (types x days) table in one shuffle; the "
     "lag shift is arithmetic (no extra window) and the pair join runs on "
     "the day key of the bounded series — at 100 TB the join input is "
-    "days x types rows regardless of event volume. corr's moment sums "
-    "run over identical integer operands in both engines, rounded 6dp.",
+    "days x types rows regardless of event volume. Pearson r is computed "
+    "from exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy² in "
+    "decimal(38,0)/HUGEINT — order-independent, unlike corr()'s double "
+    "accumulation), with one double normalize/round at the end, 6dp.",
 )
 def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]
@@ -652,12 +682,39 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shifted.join(
         b, (F.col("jday") == F.col("bday")) & (F.col("event_type") < F.col("type_b"))
     )
-    return (
-        pairs.groupBy(
-            F.col("event_type").alias("type_a"), "type_b", F.col("lag_days").cast("bigint").alias("lag_days")
+    dec = "decimal(38,0)"
+    xa, xb = F.col("x").cast(dec), F.col("xb").cast(dec)
+    mom = (
+        pairs.select(
+            F.col("event_type").alias("type_a"),
+            "type_b",
+            F.col("lag_days").cast("bigint").alias("lag_days"),
+            xa.alias("xa"),
+            xb.alias("xb"),
         )
-        .agg(F.count(F.lit(1)).alias("n_days"), F.round(F.corr("x", "xb"), 6).alias("xcorr"))
-        .filter(F.col("n_days") >= 30)
+        .groupBy("type_a", "type_b", "lag_days")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+            F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+            F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")),
+        F.lit(0.0),
+    )
+    return mom.select(
+        "type_a",
+        "type_b",
+        "lag_days",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("xcorr"),
     )
 
 

@@ -58,7 +58,9 @@ class TestBloomPrune:
             .toString()
         )
         assert "SortMergeJoin" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # exactly one BNLJ: the 1-row build-count scalar crossJoin (the
+        # relational replacement for the reverted eager build.count())
+        assert plan.count("BroadcastNestedLoopJoin") == 1
         assert plan.count("BroadcastHashJoin") == 4  # 3 bit tests + membership
 
 

@@ -68,6 +68,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "broadcast crossJoin",
     ("text_collocation_pmi", "bnlj"): "corpus bigram-total scalar: 1-row "
     "broadcast crossJoin",
+    ("join_bloom_prune", "bnlj"): "build-key count scalar: 1-row broadcast "
+    "crossJoin (replaces the eager driver-side build.count())",
     ("dq_benford_audit", "global-window"): "chi-square total over the "
     "digit-domain-bounded (9-row) aggregate",
     ("retrieval_rrf_fusion", "global-window"): "rank windows run AFTER "
