@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.caching import unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 # Headline set: one per operator family — scan/agg, multi-join, window,
@@ -151,6 +152,10 @@ def main() -> None:
     # precise one).
     timings: dict[str, float | str] = {}
     for name in names:
+        # release operator-internal caches from the previous query (the
+        # ownership convention: operators tracked_cache, callers release),
+        # then clearCache for any caller-level leftovers.
+        unpersist_operator_caches()
         spark.catalog.clearCache()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,64 @@
+"""Cache-ownership discipline for operators that persist intermediates.
+
+Several operators ``.cache()``/``.persist()`` an intermediate that feeds
+multiple branches of their plan (shingle tables, daily series, Gram
+partials …). The DataFrame they RETURN references that cached
+intermediate lazily, so the operator itself can never safely unpersist —
+only the caller knows when the last action over the result has run. In a
+one-query-per-process run that's moot, but a long-lived session composing
+many operators would accumulate storage blocks until eviction pressure
+hurts (``spark.catalog.clearCache()`` works but nukes caller-owned caches
+too).
+
+Convention: every operator-internal cache goes through ``tracked_cache``
+(or ``tracked_persist``); session owners call
+``unpersist_operator_caches()`` at their operator-composition boundaries
+(bench.py does so between queries). Caller-created caches are untouched —
+the registry only ever holds what operators created internally.
+
+The registry holds STRONG references deliberately: the Python DataFrame
+handle is the only way to unpersist later, and the operator's local
+reference dies with its frame while the JVM-side cache lives on (a
+weakref registry was tried — every entry was already dead by release
+time). The held object is just a plan handle; the storage it pins is
+pinned by the cache itself, which is exactly what release reclaims, and
+the registry drains on every ``unpersist_operator_caches()`` call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register for ``unpersist_operator_caches``."""
+    out = df.cache()
+    _TRACKED.append(out)
+    return out
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for ``unpersist_operator_caches``."""
+    out = df.persist()
+    _TRACKED.append(out)
+    return out
+
+
+def unpersist_operator_caches(blocking: bool = False) -> int:
+    """Unpersist every operator-internal cache; returns how many.
+
+    Idempotent and safe while results are still lazily pending — Spark
+    just recomputes on the next action. Call at operator-composition
+    boundaries (between queries / pipeline stages), not mid-plan.
+    """
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    _TRACKED.clear()
+    return n

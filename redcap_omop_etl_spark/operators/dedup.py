@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from redcap_omop_etl_spark.operators.textstats import fingerprint_md5, normalized_text, ws_tokens
 from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
 from redcap_omop_etl_spark.workload import register
+from redcap_omop_etl_spark.caching import tracked_cache, tracked_persist
 
 # Mersenne-31 prime for the (a*h + b) mod p minhash family. 31-bit hash
 # space keeps a*h < 2^62 — no signed-long overflow under ANSI arithmetic.
@@ -156,7 +157,7 @@ def _pair_intersections(
     overlap variant) are thin arithmetic wrappers over this one frame, so
     the cached shingle table, hot-cap guard, and join shape can never
     diverge between metrics."""
-    sh = _shingle_table(df, id_col, text_col, n, df_cap).cache()
+    sh = _shingle_table(df, id_col, text_col, n, df_cap).transform(tracked_cache)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -228,7 +229,7 @@ def prefix_jaccard_pairs(
     toks = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("t"),
-    ).cache()
+    ).transform(tracked_cache)
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = Window.partitionBy("doc")
     ranked = (
@@ -361,7 +362,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # Persist the hashed-shingle arrays: the banding self-join and the
     # verify join would otherwise recompute tokenize→shingle→hash 4×.
-    base = shingle_hashes(df, n, text_col, id_col).persist()
+    base = shingle_hashes(df, n, text_col, id_col).transform(tracked_persist)
     sigs = base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
     # Persisted: the candidate self-join references banded on BOTH sides,
     # which would re-run the 64-hash signature fold twice (the expensive
@@ -387,7 +388,7 @@ def minhash_lsh_pairs(
             ).alias("bk"),
         )
         .select("doc", "bk.band", "bk.bucket")
-        .persist()
+        .transform(tracked_persist)
     )
     cand = (
         banded.alias("x")
@@ -788,7 +789,7 @@ def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(d)
         .select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (

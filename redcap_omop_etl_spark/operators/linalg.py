@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
+from redcap_omop_etl_spark.caching import tracked_cache
 
 DIM = 64
 Q_SCALE = 10_000  # fixed-point quantization: q = round(x * 1e4) as int64
@@ -119,7 +120,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches, and mapInPandas is a narrow op with no exchange below it
     # (ReuseExchange can't dedupe) — uncached, the full-corpus Gram pass
     # would run once per branch. Bounded at batches x ~2144 rows.
-    parts = gram_partials(e).cache()
+    parts = gram_partials(e).transform(tracked_cache)
     pairs = parts.filter(F.col("j") >= 0).groupBy("i", "j").agg(F.sum("s").alias("s_ab"))
     marg = parts.filter(F.col("j") == -1).groupBy("i").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from redcap_omop_etl_spark.operators.textstats import ws_tokens
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
+from redcap_omop_etl_spark.caching import tracked_cache
 
 # Fixed query-term set for the registered BM25 query (parameterizing the
 # operator is a data change; the registered entry pins one deterministic
@@ -285,7 +286,7 @@ def retrieval_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: est and total_dec are separate action branches, and the
     # Python MG kernel sits ABOVE the bucket exchange — without the cache
     # each branch re-runs the full tokenize + MG pass. ≤ 136 rows.
-    summaries = misra_gries_summaries(d).cache()
+    summaries = misra_gries_summaries(d).transform(tracked_cache)
     est = (
         summaries.filter(F.col("term").isNotNull())
         .groupBy("term")

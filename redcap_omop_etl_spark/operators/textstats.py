@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
+from redcap_omop_etl_spark.caching import tracked_cache, tracked_persist
 
 # Marker stopwords per language for the n-gram/token heuristic language ID.
 # Tiny on purpose: the operator is the dispatch plan; swapping in a real
@@ -395,7 +396,7 @@ def winnow_near_pairs(
     # Persisted: the pair self-join references the fingerprint table on
     # both sides (plus the stop-fp scan) — without materialization the
     # HOF fingerprint chain would run 3×.
-    fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col).persist()
+    fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col).transform(tracked_persist)
     if df_cap is not None:
         hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("fp")
         fp = fp.join(F.broadcast(hot), "fp", "left_anti")
@@ -668,19 +669,34 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_learn(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 5, text_col: str = "text", batch_m: int = 1
+) -> DataFrame:
     """Learn the top-``n_merges`` BPE merges corpus-wide — the tokenizer-
     training outer loop (``bpe_pair_counts`` is one inner iteration).
 
     Distributed shape: symbol sequences live on the DEDUPLICATED word-
     frequency table (vocab-sized, not corpus-sized — the standard BPE
     trick), so each round is one explode+groupBy shuffle over the vocab
-    plus a 1-row argmax collect; the winning merge applies as a single
-    left-to-right ``aggregate`` fold over each symbol array (greedy,
-    matching the classic algorithm), ``localCheckpoint`` keeps the plan
-    O(1) deep across rounds. Ties break by pair string, so the merge
-    table is deterministic and pytest pins it against a pure-Python BPE
-    on the same corpus. Returns (rank, left, right, merged, frequency).
+    plus ONE bounded collect (≤ 4·batch_m rows); accepted merges apply as
+    a single left-to-right ``aggregate`` fold over each symbol array
+    (greedy, matching the classic algorithm), ``localCheckpoint`` keeps
+    the plan O(1) deep across rounds. Ties break by pair string, so the
+    merge table is deterministic and pytest pins it against a pure-Python
+    BPE on the same corpus. Returns (rank, left, right, merged, frequency).
+
+    ``batch_m`` is the driver-round-trip amortizer for real tokenizer
+    training (30k+ merges): each round accepts the maximal PREFIX of the
+    stale top-pair ranking whose pairs are symbol-disjoint (no shared
+    left/right/merged symbol), up to ``batch_m`` of them, and applies
+    them in one fold pass. Symbol-disjoint merges can't create or destroy
+    each other's adjacencies, so their corpus frequencies are exactly the
+    sequential recounts and the recorded table matches sequential greedy
+    UNLESS a pair newly created by an earlier batch member would have
+    outranked a later one (data-dependent; frequency-separated natural-
+    corpus rankings don't hit it — batched ≡ sequential is pinned on the
+    test fixture). batch_m=1 IS classic sequential greedy, the registered
+    oracle contract.
     """
     words = (
         docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
@@ -691,38 +707,59 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     seqs = words.select("cnt", F.split("w", "").alias("sym")).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         bigram = F.zip_with(
             F.col("sym"),
             F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
             lambda x, y: F.concat_ws(" ", x, y),
         )
         pairs = seqs.select("cnt", F.explode(bigram).alias("p")).filter(F.col("p").contains(" "))
-        best = (
+        m = min(batch_m, n_merges - len(merges))
+        top = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("p"))
-            .limit(1)
+            .limit(max(4 * m, 1))
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b = best[0]["p"].split(" ")
-        n = int(best[0]["n"])
-        merged = a + b
-        merges.append((rank, a, b, merged, n))
-        # greedy left-to-right merge of adjacent (a, b) in every sequence;
+        # maximal symbol-disjoint PREFIX of the ranking (stop at the first
+        # conflict rather than skipping past it — a conflicting pair's
+        # count changes once the earlier merge applies, so anything after
+        # it must be re-ranked next round)
+        accepted: list[tuple[str, str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["p"].split(" ")
+            merged = a + b
+            if {a, b, merged} & used:
+                break
+            accepted.append((a, b, merged, int(row["n"])))
+            used |= {a, b, merged}
+            if len(accepted) >= m:
+                break
+        for a, b, merged, n in accepted:
+            merges.append((len(merges) + 1, a, b, merged, n))
+
+        # greedy left-to-right application of every accepted merge in one
+        # fold pass (disjoint symbols → at most one WHEN fires per step);
         # try_element_at returns null on the empty accumulator (ANSI-safe)
+        def make_step(batch: list[tuple[str, str, str, int]]):
+            def step(acc, t):
+                out = F.concat(acc, F.array(t))
+                for a, b, merged, _n in batch:
+                    out = F.when(
+                        (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (t == F.lit(b)),
+                        F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+                    ).otherwise(out)
+                return out
+
+            return step
+
         seqs = seqs.withColumn(
             "sym",
-            F.aggregate(
-                F.col("sym"),
-                F.array().cast("array<string>"),
-                lambda acc, t: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (t == F.lit(b)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-                ).otherwise(F.concat(acc, F.array(t))),
-            ),
+            F.aggregate(F.col("sym"), F.array().cast("array<string>"), make_step(accepted)),
         ).localCheckpoint(eager=True)
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, merged string, frequency long"
@@ -928,7 +965,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same discipline as dedup._shingle_table). At 100 TB you'd persist
     # this to MEMORY_AND_DISK or compute the hot list from a hash-bucket
     # sample instead.
-    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).cache()
+    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).transform(tracked_cache)
     dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
     marked = occ.join(F.broadcast(hot), "g", "left")
@@ -1406,7 +1443,7 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slope dropped from ~30 to ~12 with this shape). Cached because
     # Catalyst does not reuse the common exchange across the four
     # aggregate branches (verified: ReusedExchange=0, Generate=8 uncached).
-    c2all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).cache()
+    c2all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).transform(tracked_cache)
     c2 = c2all.filter(F.col("n") >= 5)
     c1 = c2all.groupBy("w1").agg(F.sum("n").alias("cl"))
     cr = c2all.groupBy("w2").agg(F.sum("n").alias("cr"))

@@ -58,116 +58,170 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Queries surfaced first to the driver's (bounded, first ~50) per-round
-# correctness gate. Round-4 rotation: the 23 queries never driver-checked
-# in rounds 1-3 lead (they were added after the round-3 snapshot; all were
-# judge-verified green via tools/check_oracle.py but driver evidence is the
-# contract), then graph_pagerank (r1 was a no_oracle before it gained one)
-# and the two sketch queries (restructured this round from rows-only to
-# exact+tolerance-boolean output so they finally hash-check), then backfill
-# with the longest-unchecked greens (driver-checked in round 1, untouched
-# since).
+# correctness gate. Cumulative state entering round 5: all 192 queries
+# driver-checked at least once across rounds 1-4, latest result green for
+# every one. The rotation policy is now evidence-freshness: refactored
+# queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- never driver-checked (23) --
-    "dedup_chunk_level",
-    "dedup_prefix_jaccard",
-    "dedup_incremental",
-    "corpus_cross_contamination",
-    "corpus_quality_funnel",
-    "corpus_source_divergence",
-    "corpus_temperature_mixture",
-    "text_chunk_windows",
-    "json_variant_extract",
-    "embedding_quantize_error",
-    "anomaly_mad",
-    "ts_autocorr",
-    "ts_decay_features",
-    "dq_distribution_drift",
-    "sampling_weighted_topk",
-    "sampling_stratified_quota",
-    "agg_listagg_ordered",
-    "sql_api_lateral_topn",
-    "window_sliding_distinct",
-    "event_pattern_regex",
-    "pandas_penny_allocation",
-    "udtf_sessionize_tvf",
-    "stream_interval_join_outer",
-    # -- re-check: pagerank's r1 row was no_oracle; the two sketch queries
-    # were rows-only until this round's exact+tolerance restructure --
-    "graph_pagerank",
-    "agg_approx",
-    "agg_sketch_reaggregation",
-    # -- round-4 additions (never driver-checked by construction) --
-    "retrieval_bm25_topk",
-    "retrieval_inverted_index",
-    "retrieval_heavy_hitters",
+    # -- round-5 rotation. Leads: the 11 queries whose BEHAVIOR changed
+    # this round (two-phase Zipf rank, PPJoin positional filter, exact
+    # integer-moment statistics, relational Bloom build count, Benford
+    # outer join, ln-free PMI ranking, batched-capable BPE learner) —
+    # driver evidence must be refreshed for refactored queries first.
+    # Then the longest-unchecked greens: everything whose latest driver
+    # check was round 1, then round 2, then round 3 (round-4-checked
+    # queries fall to the registry tail — freshest evidence last).
     "retrieval_zipf_fit",
-    "curation_quantile_normalize",
-    "curation_curriculum_order",
+    "dedup_prefix_jaccard",
     "curation_winsorized_stats",
-    "ts_ols_trend",
-    "ts_markov_transitions",
-    "ts_cusum_changepoint",
     "ts_seasonal_strength",
     "ts_cross_correlation",
-    "join_bloom_prune",
-    "sketch_countmin",
-    "text_collocation_pmi",
-    "embedding_covariance",
-    "embedding_random_projection",
-    "dq_benford_audit",
-    "sql_api_recursive_hierarchy",
-    "retrieval_rrf_fusion",
-    "dedup_containment",
-    "ts_forecast_backtest",
     "graph_degree_assortativity",
-    "join_asof_nearest",
-    # -- backfill: round-1 greens, longest unchecked --
+    "join_bloom_prune",
+    "dq_benford_audit",
+    "text_collocation_pmi",
+    "bpe_learn_merges",
+    "bpe_encode_counts",
+    "agg_cube",
+    "agg_distinct_keys",
+    "agg_rollup",
+    "bpe_pair_counts",
+    "case_dispatch",
+    "checkbox_explode_outer",
+    "checkbox_to_array",
+    "date_calendar_suite",
+    "date_granularities",
+    "date_shift_constant",
+    "date_total_seconds",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_winnow",
+    "docs_prep_pipeline",
+    "eav_pivot_roundtrip",
+    "eav_unpivot",
+    "fuzzy_blocked_levenshtein",
+    "graph_triangle_count",
+    "join_anti",
+    "join_broadcast_lookup",
+    "join_key_overlap",
+    "join_merge_update",
+    "join_semi",
+    "json_extract_props",
+    "map_functions_suite",
+    "multimodal_featurize",
+    "pivot_event_values",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_winnow",
-    "decontaminate_overlap",
-    "fuzzy_blocked_levenshtein",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "text_tfidf_top_terms",
-    "text_fingerprint",
-    "text_redact_pii",
-    "text_winnow_fingerprint",
-    "graph_triangle_count",
-    "eav_pivot_roundtrip",
-    "eav_unpivot",
-    "pivot_event_values",
-    "checkbox_to_array",
-    "checkbox_explode_outer",
-    "join_broadcast_lookup",
-    "join_merge_update",
-    "join_anti",
-    "join_semi",
-    "union_chunks",
-    "setop_intersect",
     "setop_except",
-    "date_granularities",
-    "date_calendar_suite",
-    "string_suite",
-    "map_functions_suite",
-    "json_extract_props",
-    "case_dispatch",
-    "agg_distinct_keys",
-    "agg_cube",
-    "agg_rollup",
-    "multimodal_featurize",
-    "docs_prep_pipeline",
+    "setop_intersect",
     "snapshot_diff_counts",
     "sql_api_revenue_rank",
-    "bpe_pair_counts",
-    "join_key_overlap",
-    "date_shift_constant",
-    "date_total_seconds",
+    "string_suite",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "union_chunks",
+    "agg_grouping_sets",
+    "agg_median_quantiles",
+    "agg_moments",
+    "agg_observe_counts",
+    "anomaly_zscore",
+    "basket_pair_counts",
+    "cohort_retention",
+    "date_anchor_shift",
+    "dedup_first_seen",
+    "event_disorder_stats",
+    "funnel_steps",
+    "join_asof",
+    "join_range_bands",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_avg",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_by_year",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_share_window",
+    "rfm_segmentation",
+    "scd2_history",
+    "session_paths",
+    "sort_paginate",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "timeseries_gapfill",
+    "window_forward_fill",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_agg",
+    "window_topk_per_group",
+    "agg_argminmax_bitops",
+    "agg_boolean_suite",
+    "agg_histogram",
+    "agg_salted_twophase",
+    "array_hof_suite",
+    "corpus_mixture",
+    "corpus_pipeline_full",
+    "corpus_source_caps",
+    "counter_deltas",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "dq_expectations",
+    "dq_profile_orders",
+    "embedding_near_dup",
+    "interval_coalesce",
+    "join_interval_overlap",
+    "join_null_safe",
+    "join_salted_skew",
+    "multimodal_chunk_audio",
+    "multimodal_frame_sample",
+    "pandas_ewma_per_user",
+    "phi_filter_errors",
+    "phi_filter_keep",
+    "rollup_cascade",
+    "sampling_split_counts",
+    "sequence_packing",
+    "sessionize_gap",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_cosine_topk",
+    "similarity_topk_per_label",
+    "sink_chunk_assignment",
+    "sink_json_map_export",
+    "skew_key_stats",
+    "state_durations",
+    "stream_static_enrich",
+    "stream_watermark_dedup",
+    "text_boilerplate_ngrams",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "time_weighted_avg",
+    "try_arithmetic_suite",
+    "udaf_geo_mean",
+    "udtf_eav_emit",
+    "window_moving_median",
 ]
 
 

@@ -1,0 +1,51 @@
+"""Cache-ownership convention: operators that cache internally register
+through ``tracked_cache``/``tracked_persist``; session owners release with
+``unpersist_operator_caches()`` at composition boundaries. Without the
+convention, a long-lived session composing many operators accumulates
+storage blocks until eviction pressure (the round-3 phantom-26s class of
+failure, but in-session)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark.caching import _TRACKED, unpersist_operator_caches
+from tests.conftest import SF_SMOKE
+
+
+def _n_cached(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+class TestCacheOwnership:
+    def test_three_caching_operators_release_to_baseline(self, spark):
+        from redcap_omop_etl_spark.operators import dedup, retrieval, tsanalytics
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        unpersist_operator_caches()
+        spark.catalog.clearCache()
+        baseline = _n_cached(spark)
+
+        docs = Catalog(spark, SF_SMOKE)["documents"]
+        events = Catalog(spark, SF_SMOKE)["events"]
+        # three operators that each tracked_cache an intermediate; run an
+        # action on each so the cache actually materializes
+        assert dedup.ngram_jaccard_pairs(docs, threshold=0.6, df_cap=100).count() >= 0
+        assert retrieval.retrieval_heavy_hitters(spark, SF_SMOKE).count() > 0
+        assert tsanalytics.ts_seasonal_strength(spark, SF_SMOKE).count() > 0
+
+        assert _n_cached(spark) > baseline  # the operators did cache
+        released = unpersist_operator_caches(blocking=True)
+        assert released >= 3
+        assert _n_cached(spark) == baseline  # ...and the release is total
+
+    def test_release_is_idempotent_and_registry_drains(self, spark):
+        from redcap_omop_etl_spark.caching import tracked_cache
+
+        df = tracked_cache(spark.range(10).withColumn("x", F.col("id") * 2))
+        assert df.count() == 10
+        assert unpersist_operator_caches(blocking=True) >= 1
+        assert len(_TRACKED) == 0
+        assert unpersist_operator_caches() == 0  # second call: nothing left
+        # the returned frame still computes (recompute, not failure)
+        assert df.count() == 10

@@ -368,3 +368,15 @@ class TestBpeLearn:
         }
         want = self._python_bpe(wc, 5)
         assert got == want
+
+    def test_batched_equals_sequential(self, spark, docs):
+        """batch_m>1 (the 30k-merge scale path: one bounded collect per
+        batch instead of per merge) must reproduce the sequential-greedy
+        merge table on the fixture corpus — same pairs, ranks, AND
+        frequencies (symbol-disjoint batch members can't perturb each
+        other's counts)."""
+        from redcap_omop_etl_spark.operators.textstats import bpe_learn
+
+        sequential = [tuple(r) for r in bpe_learn(docs, n_merges=6, batch_m=1).collect()]
+        batched = [tuple(r) for r in bpe_learn(docs, n_merges=6, batch_m=4).collect()]
+        assert batched == sequential

@@ -10,19 +10,25 @@ the only thing that grows, so the measured slope is the compute scaling
 that survives a 1000-executor scale-up — separated from the fixed
 per-query scheduling floor that dominates at the bundled SFs.
 
-Pair-generating near-dup queries (minhash / simhash / embedding near-dup
-/ clusters) are deliberately EXCLUDED: replication makes every document
-m-1 exact twins, which inflates their candidate sets superlinearly in a
-way no real corpus does — their scale story is the banded-candidate
-bound, pinned by tests, not this harness.
+Pair-generating near-dup queries (minhash / simhash / prefix-Jaccard /
+containment) are EXCLUDED from plain replication — exact twins inflate
+their candidate sets superlinearly in a way no real corpus does — and
+covered instead by ``--neardup`` MUTATED replication: replica r rewrites
+the tokens whose deterministic per-position hash value u(t, i) falls
+below r/64 (mutation sets are NESTED across replicas, so replicas r and
+r' differ on exactly (r - r')/64 of their tokens). Adjacent replicas are
+genuine near-dups, distant ones drift apart — dup-cluster radius stays
+BOUNDED as the corpus grows, which is how real corpora behave, so
+candidate statistics stay realistic while document volume scales m×.
+Fully deterministic (xxhash64 over (token, position) literals, no RNG).
 
 Replicas are cached under .scale_cache/ (gitignored) as real parquet so
 scans exercise pushdown exactly like the registered inputs.
 
-Usage: python tools/bench_scale.py [m ...] [--queries=a,b,c]
-(default: 1 4 16 over the full QUERIES list). --queries restricts the
-run — e.g. the 64x knee check over just the worst 16x slopes.
-Prints ONE JSON line: {"metric": "scale_stress", "multipliers": [...],
+Usage: python tools/bench_scale.py [m ...] [--queries=a,b,c] [--neardup]
+(default: 1 4 16 over the full QUERIES list; --neardup switches to
+mutated document replication and the NEARDUP_QUERIES family). Prints ONE
+JSON line: {"metric": "scale_stress", "multipliers": [...],
 "queries": {name: {m: sec}}, "slope16": {name: t(16)/t(1)}}.
 """
 
@@ -38,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.caching import unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 BASE = "/root/testdata/sf0.1"
@@ -83,10 +90,38 @@ QUERIES = [
 ]
 
 
-def materialize(spark, m: int) -> str:
+NEARDUP_QUERIES = [
+    "dedup_prefix_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+]
+
+# token-mutation granularity for --neardup: replica r mutates the tokens
+# with u(t, i) < r/MUT_K, so replicas r, r' differ on (r-r')/MUT_K of
+# their tokens (nested mutation sets). At m=16 adjacent replicas differ
+# 1/64 (strong near-dups, above every registered threshold) while the
+# extremes differ 25% (well below) — bounded dup-cluster radius.
+MUT_K = 64
+
+
+def _mutated_text(r: int) -> F.Column:
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    mutated = F.transform(
+        toks,
+        lambda t, i: F.when(
+            F.pmod(F.xxhash64(t, i), F.lit(MUT_K * 1000)) < F.lit(r * 1000),
+            F.concat(t, F.lit("~m")),
+        ).otherwise(t),
+    )
+    return F.concat_ws(" ", mutated)
+
+
+def materialize(spark, m: int, neardup: bool = False) -> str:
     if m == 1:
         return BASE
-    out = os.path.join(CACHE, f"m{m}")
+    out = os.path.join(CACHE, f"{'nd' if neardup else 'm'}{m}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -100,6 +135,14 @@ def materialize(spark, m: int) -> str:
         df = spark.read.parquet(f"{BASE}/{t}.parquet").crossJoin(F.broadcast(reps))
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_rep") * F.lit(OFFSET))
+        if neardup and t == "documents":
+            # rebuild text per replica with the nested token mutation;
+            # n_chars follows the rewritten text so length filters stay
+            # honest. _rep 0 keeps the original text exactly.
+            muts = F.col("text")
+            for r in range(1, m):
+                muts = F.when(F.col("_rep") == r, _mutated_text(r)).otherwise(muts)
+            df = df.withColumn("text", muts).withColumn("n_chars", F.length("text"))
         df.drop("_rep").write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     open(done, "w").close()
     return out
@@ -108,19 +151,26 @@ def materialize(spark, m: int) -> str:
 def main() -> None:
     names = QUERIES
     ms_args = []
+    neardup = False
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
             names = [q for q in a.split("=", 1)[1].split(",") if q]
+        elif a == "--neardup":
+            neardup = True
         else:
             ms_args.append(int(a))
+    if neardup and names is QUERIES:
+        names = NEARDUP_QUERIES
     ms = ms_args or [1, 4, 16]
     spark = build_session("bench_scale")
     qs = workload.queries()
-    dirs = {m: materialize(spark, m) for m in ms}
+    dirs = {m: materialize(spark, m, neardup) for m in ms}
     results: dict[str, dict[int, float]] = {}
     for name in names:
         results[name] = {}
         for m in ms:
+            unpersist_operator_caches()
+            spark.catalog.clearCache()
             qs[name](spark, dirs[m]).count()  # warm: codegen + file index
             trials = []
             for _ in range(2):  # min-of-2: damps JVM/GC state variance

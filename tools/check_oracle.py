@@ -30,6 +30,7 @@ import duckdb
 import pandas as pd
 
 from redcap_omop_etl_spark import workload
+from redcap_omop_etl_spark.caching import unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 TABLE_NAMES = [
@@ -102,6 +103,10 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # release the previous query's operator-internal caches (the
+        # tracked_cache ownership convention) so a full-registry sweep
+        # doesn't accumulate storage blocks across 192 queries
+        unpersist_operator_caches()
         try:
             sdf = fn(spark, sf_dir)
             s_pd = sdf.toPandas()
