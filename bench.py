@@ -121,6 +121,16 @@ HEADLINE = [
     "ts_forecast_backtest",
     "graph_degree_assortativity",
     "join_asof_nearest",
+    # round-5 additions: readability, PRF expansion, bounded k-core peel,
+    # quality-prioritized rep selection, PQ audit, n-gram novelty, FK audit.
+    "text_readability",
+    "retrieval_prf_expansion",
+    "graph_kcore_peel",
+    "curation_rep_selection",
+    "embedding_pq_audit",
+    "corpus_ngram_novelty",
+    "dq_referential_integrity",
+    "sql_api_pipe_syntax",
 ]
 
 

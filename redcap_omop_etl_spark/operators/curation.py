@@ -185,3 +185,80 @@ def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(var_num / var_den) / 10000.0, 4).alias("robust_std"),
     )
+
+
+@register(
+    "curation_rep_selection",
+    """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE WHEN length(text) >= 100
+                       AND length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                           * 1.0 / length(text) < 0.1
+                       AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           * 1.0 / length(text) < 0.2
+                  THEN 1 ELSE 0 END AS qk
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, fp, qk,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY qk DESC, n_chars DESC, doc_id) AS rk,
+             count(*)     OVER (PARTITION BY fp) AS cluster_sz,
+             min(doc_id)  OVER (PARTITION BY fp) AS min_id
+      FROM t
+    )
+    SELECT source,
+           count(*)::BIGINT                                   AS n_reps,
+           sum(cluster_sz - 1)::BIGINT                        AS n_shadowed,
+           sum(CASE WHEN doc_id <> min_id THEN 1 ELSE 0 END)::BIGINT
+                                                              AS n_pri_override,
+           sum(qk)::BIGINT                                    AS n_quality_reps
+    FROM ranked WHERE rk = 1 GROUP BY source
+    """,
+    doc="Quality-prioritized duplicate-cluster representative selection: "
+    "exact-dup clusters (normalized-content fingerprint, same key as "
+    "dedup_exact) keep the member ranked by (quality gate DESC, length "
+    "DESC, doc_id) instead of blind min-id — the curation policy every "
+    "production dedup actually wants, since the shortest/boilerplate "
+    "copy is often the min-id one. n_pri_override counts clusters where "
+    "the policy changed the outcome vs min-id. One fingerprint shuffle "
+    "shared by the rank/size/min windows (same partition key), then a "
+    "source-bounded hash agg; all outputs exact integers.",
+)
+def curation_rep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.textstats import fingerprint_md5
+
+    d = Catalog(spark, sf_dir)["documents"]
+    n = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"""[^.,;:!?'"()-]""", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    qk = (
+        F.when((n >= 100) & (n_punct / n < 0.1) & (n_digit / n < 0.2), 1)
+        .otherwise(0)
+        .alias("qk")
+    )
+    t = d.select("doc_id", "source", "n_chars", fingerprint_md5(F.col("text")).alias("fp"), qk)
+    wfp = Window.partitionBy("fp")
+    ranked = t.select(
+        "doc_id",
+        "source",
+        "qk",
+        F.row_number()
+        .over(wfp.orderBy(F.desc("qk"), F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wfp).alias("cluster_sz"),
+        F.min("doc_id").over(wfp).alias("min_id"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum(F.col("cluster_sz") - 1).cast("bigint").alias("n_shadowed"),
+            F.sum((F.col("doc_id") != F.col("min_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_pri_override"),
+            F.sum("qk").cast("bigint").alias("n_quality_reps"),
+        )
+    )

@@ -341,6 +341,94 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_copurchase_edges(spark, sf_dir))
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled DuckDB mirror of the bounded k-core peel. Every stage CTE
+    is MATERIALIZED — edges{i} is referenced by deg, keep, edges{i+1} AND
+    the final stats row; re-inlining would re-run the support-2 pair join
+    once per reference (the BPE-oracle lesson)."""
+    parts = [
+        """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    deg{i} AS MATERIALIZED (
+      SELECT x, count(*) AS d FROM (
+        SELECT u AS x FROM edges{p} UNION ALL SELECT v FROM edges{p}
+      ) GROUP BY x
+    ),
+    keep{i} AS MATERIALIZED (SELECT x FROM deg{i} WHERE d >= {k}),
+    edges{i} AS MATERIALIZED (
+      SELECT u, v FROM edges{p}
+      WHERE u IN (SELECT x FROM keep{i}) AND v IN (SELECT x FROM keep{i})
+    )"""
+        )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {i}::BIGINT AS round,
+           (SELECT count(*) FROM keep{i})::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges{i})::BIGINT AS n_edges"""
+        for i in range(1, rounds + 1)
+    )
+    return ",".join(parts) + "\n" + rows + "\n    ORDER BY round"
+
+
+@register(
+    "graph_kcore_peel",
+    _kcore_oracle_sql(),
+    doc=f"Bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} rounds) on "
+    "the co-purchase graph: each round drops nodes below degree k, then "
+    "the edges touching them, reporting (round, surviving nodes, "
+    "surviving edges) — the convergence profile that sizes the stable "
+    "core for community/centrality passes and is the standard "
+    "hub-vs-periphery decomposition primitive. Plan: per round one "
+    "degree hash-agg + two semi-join-shaped inner joins against the "
+    "bounded keep set; rounds are a FIXED driver-side plan unroll (no "
+    "per-round collect — the whole profile is one job), intermediate "
+    "edge sets tracked_cache'd so round r+1 and round r's stats share "
+    "one materialization. The full fixpoint is the same loop with a "
+    "convergence check, exactly like pagerank/components.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.caching import tracked_cache
+
+    cur = _copurchase_edges(spark, sf_dir)
+    out = None
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        inc = cur.select(F.col("u").alias("x")).unionByName(cur.select(F.col("v").alias("x")))
+        deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("x")
+        nxt = tracked_cache(
+            cur.join(keep.withColumnRenamed("x", "u"), "u")
+            .join(keep.withColumnRenamed("x", "v"), "v")
+            .select("u", "v")
+        )
+        row = (
+            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(F.broadcast(nxt.agg(F.count(F.lit(1)).alias("n_edges"))))
+            .select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_edges").cast("bigint").alias("n_edges"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        cur = nxt
+    return out.orderBy("round")
+
+
 @register(
     "graph_degree_assortativity",
     """

@@ -654,3 +654,51 @@ def sql_api_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cat.register_all()
     return spark.sql(_SQL_API_RECURSIVE_HIERARCHY)
+
+
+_SQL_API_PIPE = """
+    FROM lineitem
+    |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    |> AGGREGATE
+         count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+       GROUP BY l_returnflag, l_linestatus
+    |> ORDER BY l_returnflag, l_linestatus
+"""
+
+_SQL_API_PIPE_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_api_pipe_syntax",
+    _SQL_API_PIPE_ORACLE,
+    doc="SQL pipe syntax (|> operators, new in Spark 4.1 — the "
+    "GoogleSQL-style linear query form): the q1-shaped pricing rollup "
+    "written as FROM |> WHERE |> AGGREGATE |> ORDER BY, executed via "
+    "spark.sql over the catalog views. Catalyst lowers pipes to the "
+    "identical filter->partial-agg->exchange plan as the ANSI form (the "
+    "oracle runs the ANSI equivalent in DuckDB, which has no pipe "
+    "dialect — same semantics, different spelling). Decimal-exact sums, "
+    "2dp-rounded on both sides.",
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    out = spark.sql(_SQL_API_PIPE)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("disc_revenue").cast("double").alias("disc_revenue"),
+    )

@@ -166,6 +166,56 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_prf_expansion",
+    f"""
+    WITH {_BM25_CHAIN_CTE}, fb AS (
+      SELECT doc_id FROM bm ORDER BY s_int DESC, doc_id LIMIT 10
+    ), ft AS (
+      SELECT t.term, t.doc_id
+      FROM toks t JOIN fb USING (doc_id)
+      WHERE length(t.term) >= 3 AND t.term NOT IN ({_BM25_TERMS_SQL})
+    )
+    SELECT term,
+           count(DISTINCT doc_id)::BIGINT AS df_fb,
+           count(*)::BIGINT               AS tf_fb
+    FROM ft GROUP BY term
+    ORDER BY df_fb DESC, tf_fb DESC, term LIMIT 15
+    """,
+    doc="Pseudo-relevance-feedback query expansion (Rocchio/RM-style): "
+    "take the BM25 top-10 feedback docs, rank their co-occurring terms "
+    "(length >= 3, original query terms excluded) by feedback document "
+    "frequency then feedback tf — the standard zero-supervision query "
+    "expander. The feedback set is a LIMIT-10 TakeOrderedAndProject "
+    "broadcast back onto the token stream (10-row semi-join, never a "
+    "corpus-wide rank), and every output stat is an exact integer count "
+    "— hash-identical cross-engine. Shares the _BM25_CHAIN_CTE fragment "
+    "with bm25_topk/rrf_fusion.",
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    fb = (
+        bm25_scores(d, BM25_QUERY_TERMS)
+        .orderBy(F.desc("s_int"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    ft = (
+        _tokens(d)
+        .join(F.broadcast(fb), "doc_id")
+        .filter((F.length("term") >= 3) & ~F.col("term").isin(*BM25_QUERY_TERMS))
+    )
+    return (
+        ft.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df_fb"),
+            F.count(F.lit(1)).alias("tf_fb"),
+        )
+        .orderBy(F.desc("df_fb"), F.desc("tf_fb"), F.asc("term"))
+        .limit(15)
+    )
+
+
+@register(
     "retrieval_inverted_index",
     f"""
     WITH {_TOKS_CTE}, tf AS (

@@ -933,3 +933,61 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("benford_p"),
         F.round(F.sum(chi).over(w), 6).alias("chi2_total"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH li AS (
+      SELECT count(*) AS n_child,
+             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphan
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), oc AS (
+      SELECT count(*) AS n_child,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cn AS (
+      SELECT count(*) AS n_child,
+             sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphan
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT 'lineitem->orders' AS relationship,
+           n_child::BIGINT AS n_child, n_orphan::BIGINT AS n_orphan FROM li
+    UNION ALL
+    SELECT 'orders->customer', n_child::BIGINT, n_orphan::BIGINT FROM oc
+    UNION ALL
+    SELECT 'customer->nation', n_child::BIGINT, n_orphan::BIGINT FROM cn
+    ORDER BY relationship
+    """,
+    doc="Referential-integrity audit down the fact->dim chain "
+    "(lineitem->orders->customer->nation): child row counts plus orphan "
+    "counts from LEFT-join null probes — the FK check every ingest "
+    "pipeline runs before trusting joins, and the one that must NOT be "
+    "an anti-join-per-relationship full scan pile-up. Each relationship "
+    "is one join (parent side broadcast when dim-sized, AQE otherwise) "
+    "collapsed to a 1-row aggregate; the three 1-row results union. All "
+    "outputs exact integers.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def probe(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        j = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)).distinct(), child[ck] == parent[pk], "left"
+        )
+        return j.agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(pk).isNull().cast("int")).cast("bigint").alias("n_orphan"),
+        ).select("relationship", "n_child", "n_orphan")
+
+    out = (
+        probe(cat["lineitem"], "l_orderkey", cat["orders"], "o_orderkey", "lineitem->orders")
+        .unionByName(
+            probe(cat["orders"], "o_custkey", cat["customer"], "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            probe(cat["customer"], "c_nationkey", cat["nation"], "n_nationkey", "customer->nation")
+        )
+    )
+    return out.orderBy("relationship")

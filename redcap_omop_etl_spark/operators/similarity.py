@@ -807,3 +807,108 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("err") * 1000, 6).alias("max_abs_err_milli"),
         F.round(mse * 1e6, 6).alias("mse_micro"),
     )
+
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8  # 64-dim embeddings -> 8 subspaces x 8 dims
+PQ_CODEWORDS = 4
+
+
+def _pq_oracle_sql() -> str:
+    subs = ", ".join(f"({s})" for s in range(PQ_SUBSPACES))
+    def sl(col: str, s: str) -> str:
+        return f"{col}[{s} * {PQ_SUBDIM} + 1 : {s} * {PQ_SUBDIM} + {PQ_SUBDIM}]::DOUBLE[]"
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, row_number() OVER (ORDER BY vec_id) AS codeword
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_CODEWORDS})
+    ), subs(s) AS (VALUES {subs}),
+    vs AS (
+      SELECT vec_id, s AS subspace, {sl('embedding', 's')} AS sv
+      FROM embeddings CROSS JOIN subs
+    ), cs AS (
+      SELECT codeword, s AS subspace, {sl('embedding', 's')} AS cv
+      FROM seeds CROSS JOIN subs
+    ), j AS (
+      SELECT vec_id, subspace, codeword,
+             floor((list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                    - 2 * list_dot_product(sv, cv)) * 10000 + 0.5)::BIGINT AS d2q
+      FROM vs JOIN cs USING (subspace)
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                   ORDER BY d2q, codeword) AS rk
+      FROM j
+    )
+    SELECT subspace::BIGINT AS subspace, codeword::BIGINT AS codeword,
+           count(*)::BIGINT AS n_assigned,
+           round(sum(d2q)::DOUBLE / (count(*) * 10000.0), 6) AS avg_distortion
+    FROM best WHERE rk = 1 GROUP BY 1, 2
+    """
+
+
+@register(
+    "embedding_pq_audit",
+    _pq_oracle_sql(),
+    doc=f"Product-quantization assignment audit: split the 64-dim vectors "
+    f"into {PQ_SUBSPACES} contiguous {PQ_SUBDIM}-dim subspaces, assign "
+    f"each subvector to its nearest of {PQ_CODEWORDS} codewords "
+    "(deterministic lowest-vec_id seeds — the init step of PQ codebook "
+    "training), and report per-cell occupancy + average distortion — the "
+    "memory-vs-recall audit behind every PQ/IVFPQ index. Plan: the "
+    "subspace fan-out is an in-row explode (never a crossJoin of the "
+    "vector table), codewords are a 32-row broadcast, and the argmin is "
+    "a (vec, subspace)-partitioned rank — one shuffle over rows x "
+    "subspaces. Distances quantize to integers (floor(d2·10⁴+0.5)) "
+    "before the argmin and the distortion sum, so tie-breaks and "
+    "averages are exact cross-engine.",
+)
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["embeddings"]
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(PQ_CODEWORDS)
+        .select(
+            F.row_number()
+            .over(W.partitionBy(F.lit(0)).orderBy("vec_id"))
+            .alias("codeword"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    sub_struct = lambda col, alias: F.explode(  # noqa: E731
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("bigint").alias("subspace"),
+                    F.slice(F.col(col), s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(alias),
+                )
+                for s in range(PQ_SUBSPACES)
+            ]
+        )
+    )
+    vs = e.select("vec_id", sub_struct("embedding", "sv").alias("x")).select(
+        "vec_id", "x.subspace", "x.sv"
+    )
+    cs = seeds.select("codeword", sub_struct("cvec", "cv").alias("x")).select(
+        "codeword", "x.subspace", "x.cv"
+    )
+    d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
+        F.col("sv"), F.col("cv")
+    )
+    j = vs.join(F.broadcast(cs), "subspace").select(
+        "vec_id",
+        "subspace",
+        "codeword",
+        F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
+    )
+    best = j.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("vec_id", "subspace").orderBy("d2q", "codeword")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.groupBy("subspace", F.col("codeword").cast("bigint").alias("codeword")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum("d2q").cast("double") / (F.count(F.lit(1)) * 10000.0), 6).alias(
+            "avg_distortion"
+        ),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
 from redcap_omop_etl_spark.workload import register
 from redcap_omop_etl_spark.caching import tracked_cache, tracked_persist
 
@@ -124,6 +124,73 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("quality_keep"),
+    )
+
+
+@register(
+    "text_readability",
+    """
+    WITH t AS (
+      SELECT source,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      s -> length(trim(s)) > 0)), 1) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT                    AS n_docs,
+           sum(n_words)::BIGINT                AS n_words,
+           sum(n_sents)::BIGINT                AS n_sentences,
+           sum(n_syll)::BIGINT                 AS n_syllables,
+           round(sum(n_words)::DOUBLE / sum(n_sents), 4)  AS words_per_sentence,
+           round(sum(n_syll)::DOUBLE / sum(n_words), 4)   AS syllables_per_word,
+           round(206.835 - 1.015 * (sum(n_words)::DOUBLE / sum(n_sents))
+                         - 84.6 * (sum(n_syll)::DOUBLE / sum(n_words)), 4) AS flesch
+    FROM t GROUP BY source
+    """,
+    doc="Per-source Flesch reading-ease profile — the classic readability "
+    "quality signal for corpus curation (too-hard and too-trivial sources "
+    "both get mixture-weight adjustments). Sentences = non-empty [.!?]+ "
+    "segments (floored at 1 so headline-only docs don't divide by zero), "
+    "syllables approximated by vowel-group runs — both pure regex counts, "
+    "so every per-doc stat is an exact integer and the per-source ratios "
+    "are single double expressions over exact integer sums (order-"
+    "independent cross-engine). One scan, one hash agg on source.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    n_words = F.size(ws_tokens(F.col("text")))
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0))
+    t = fan_out(d).select(
+        "source", n_words.alias("n_words"), n_sents.alias("n_sents"), n_syll.alias("n_syll")
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sw"),
+        F.sum("n_sents").alias("ss"),
+        F.sum("n_syll").alias("sy"),
+    )
+    wps = F.col("sw").cast("double") / F.col("ss")
+    spw = F.col("sy").cast("double") / F.col("sw")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sw").alias("n_words"),
+        F.col("ss").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
     )
 
 
@@ -1462,4 +1529,74 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(ratio.desc(), "w1", "w2")
         .limit(20)
         .select("w1", "w2", "n", F.round(F.log(ratio), 6).alias("pmi"))
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), bgd AS (
+      SELECT DISTINCT doc_id, source, w[u.i] || ' ' || w[u.i + 1] AS bg
+      FROM t, LATERAL unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ), per_doc AS (
+      SELECT doc_id, source, count(*) AS n_bg FROM bgd GROUP BY 1, 2
+    ), fs AS (
+      SELECT bg, min(doc_id) AS fdoc FROM bgd GROUP BY bg
+    ), novel AS (
+      SELECT fdoc AS doc_id, count(*) AS n_novel FROM fs GROUP BY fdoc
+    )
+    SELECT p.source,
+           count(*)::BIGINT                         AS n_docs,
+           sum(p.n_bg)::BIGINT                      AS n_bigrams,
+           sum(coalesce(n.n_novel, 0))::BIGINT      AS n_novel,
+           round(sum(coalesce(n.n_novel, 0))::DOUBLE / sum(p.n_bg), 6)
+                                                    AS novelty_ratio
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
+    GROUP BY p.source
+    """,
+    doc="Corpus n-gram novelty per source: a document's distinct bigrams "
+    "are 'novel' if no lower-id document contains them; the per-source "
+    "novelty ratio is the standard duplication/memorization pressure "
+    "signal (low novelty => the source mostly re-treads existing text "
+    "and should be down-weighted or deduped harder). NO bigram-level "
+    "join-back: first-seen counts re-aggregate the (bigram -> min doc) "
+    "table by its own min-doc column, so the plan is one distinct "
+    "shuffle on (doc, bigram), one vocab-bounded min-agg, and two tiny "
+    "doc-level aggs — all counts exact integers.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    bigram = F.explode(
+        F.expr(
+            "transform(sequence(1, size(__w) - 1), i -> concat(__w[i-1], ' ', __w[i]))"
+        )
+    )
+    bgd = (
+        fan_out(d)
+        .select("doc_id", "source", toks.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select("doc_id", "source", bigram.alias("bg"))
+        .distinct()
+    )
+    per_doc = bgd.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_bg"))
+    fs = bgd.groupBy("bg").agg(F.min("doc_id").alias("doc_id"))
+    novel = fs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).alias("n_novel"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("double")
+                / F.sum("n_bg"),
+                6,
+            ).alias("novelty_ratio"),
+        )
     )

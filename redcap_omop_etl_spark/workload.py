@@ -71,6 +71,15 @@ _PRIORITY = [
     # Then the longest-unchecked greens: everything whose latest driver
     # check was round 1, then round 2, then round 3 (round-4-checked
     # queries fall to the registry tail — freshest evidence last).
+    # -- round-5 net-new queries (never driver-checked by construction) --
+    "text_readability",
+    "retrieval_prf_expansion",
+    "graph_kcore_peel",
+    "curation_rep_selection",
+    "embedding_pq_audit",
+    "corpus_ngram_novelty",
+    "dq_referential_integrity",
+    "sql_api_pipe_syntax",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",

@@ -78,6 +78,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     "from bm25_scores: 1-row broadcast crossJoin",
     ("graph_degree_assortativity", "bnlj"): "graph summary scalars: two "
     "1-row broadcast crossJoins",
+    ("graph_kcore_peel", "bnlj"): "per-round edge-count scalar: 1-row "
+    "broadcast crossJoin per bounded peel round",
+    ("retrieval_prf_expansion", "bnlj"): "corpus N/avgdl scalar inherited "
+    "from bm25_scores: 1-row broadcast crossJoin",
+    ("embedding_pq_audit", "global-window"): "codeword-init row_number "
+    "over the LIMIT-4 seed vectors (4 rows by construction)",
 }
 
 
