@@ -219,6 +219,13 @@ def prefix_jaccard_pairs(
     reverted: it made PLAN CONSTRUCTION run a corpus job, which every
     plan-inspection tool and test paid), one window shuffle on doc,
     prefix-shingle equi-join, one candidate-bounded verify join.
+
+    Verify-shape note (measured, sf0.1): a collect_list + array_intersect
+    verify (one array row per doc instead of the exploded token join) was
+    tried and reverted — 8.8s vs 4.0s — because shuffling ~15 KB shingle
+    arrays per candidate side costs more than the skinny (doc, token)
+    hash join it replaced. The positional filter above is what actually
+    bounds verify cost (193k → 69k candidates at sf0.1, 2.8×).
     """
     from pyspark.sql.window import Window
 
