@@ -131,6 +131,8 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "dq_referential_integrity",
     "sql_api_pipe_syntax",
+    "text_lang_confusion",
+    "similarity_hard_negatives",
 ]
 
 

@@ -226,6 +226,18 @@ def prefix_jaccard_pairs(
     arrays per candidate side costs more than the skinny (doc, token)
     hash join it replaced. The positional filter above is what actually
     bounds verify cost (193k → 69k candidates at sf0.1, 2.8×).
+
+    Dup-density boundary (measured, SCALE_r05 mutated-replica stress):
+    on dup-DENSE corpora — near-dup families of ~m members — exact
+    prefix filtering goes superlinear (98× time at 64× data), because a
+    rare family-shared shingle lands in every member's rarest-first
+    prefix and the family contributes ~m²/2 candidates while only O(m)
+    are true positives; the positional filter can't prune an
+    early-position match. This is PPJoin's known failure mode, not a
+    plan bug. Use ``minhash_lsh_pairs`` (7.2× at the same 64×: distant
+    family members stop colliding in any band) or df-capped
+    ``ngram_jaccard_pairs`` (8.7×) when dup density is high; use this
+    operator when exact recall over moderate dup density is required.
     """
     from pyspark.sql.window import Window
 

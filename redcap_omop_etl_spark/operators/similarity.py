@@ -912,3 +912,47 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_distortion"
         ),
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id, label,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0 AND label <> (SELECT qlabel FROM q)
+    )
+    SELECT vec_id, label::BIGINT AS label, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Hard-negative mining for contrastive/embedding training: the "
+    "top-10 vectors most similar to the anchor (vec_id=0) whose LABEL "
+    "differs from the anchor's — exactly the negatives that contribute "
+    "gradient signal (easy negatives are already far). Same scale shape "
+    "as cosine_topk: one scored projection against the broadcast anchor, "
+    "label filter before the heap, TakeOrderedAndProject top-k (never a "
+    "corpus-wide window), rank added over the 10 survivors only.",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    qv = [float(x) for x in qrow[0]]
+    q = F.array(*[F.lit(v) for v in qv])
+    scored = (
+        emb.filter((F.col("vec_id") != 0) & (F.col("label") != int(qrow[1])))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
+        )
+    )
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -1600,3 +1600,55 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+def _lang_confusion_oracle_sql() -> str:
+    """Confusion-matrix oracle composed from the registered text_langid
+    oracle verbatim (registry splice, the funnel-oracle pattern — a
+    langid edit can never drift this query out of sync)."""
+    from redcap_omop_etl_spark.workload import REGISTRY
+
+    p = REGISTRY["text_langid"].oracle
+    return f"""
+    WITH pred AS ({p}),
+    j AS (
+      SELECT d.lang AS actual_lang, pred.predicted_lang
+      FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+    ), m AS (
+      SELECT actual_lang, predicted_lang, count(*) AS n,
+             sum(count(*)) OVER (PARTITION BY actual_lang) AS n_actual
+      FROM j GROUP BY actual_lang, predicted_lang
+    )
+    SELECT actual_lang, predicted_lang, n::BIGINT AS n,
+           round(n::DOUBLE / n_actual, 6) AS share_of_actual
+    FROM m
+    """
+
+
+@register(
+    "text_lang_confusion",
+    _lang_confusion_oracle_sql(),
+    doc="Language-ID confusion matrix: the marker-heuristic prediction "
+    "(text_langid, composed verbatim) against the corpus's labeled lang "
+    "column, with each cell's share of its actual-language row — the "
+    "eval every language-filter deployment needs before trusting the "
+    "classifier to route/drop documents. One scan through the langid "
+    "expressions, one hash agg on the (actual, predicted) pair (cells "
+    "bounded by langs², so the per-actual share window runs over a "
+    "domain-bounded table); all counts exact integers, the share one "
+    "double division.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir)["documents"]
+    pred = text_langid(spark, sf_dir)
+    j = d.select("doc_id", F.col("lang").alias("actual_lang")).join(pred, "doc_id")
+    m = j.groupBy("actual_lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("actual_lang")
+    return m.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share_of_actual"),
+    )

@@ -80,6 +80,8 @@ _PRIORITY = [
     "corpus_ngram_novelty",
     "dq_referential_integrity",
     "sql_api_pipe_syntax",
+    "text_lang_confusion",
+    "similarity_hard_negatives",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",

@@ -36,6 +36,9 @@ _NESTED_LOOP_OK = {
     "text_collocation_pmi",  # corpus bigram-total scalar: 1-row broadcast cross join
     "retrieval_rrf_fusion",  # inherits bm25's 1-row corpus-stats cross join
     "graph_degree_assortativity",  # graph summary scalars: 1-row cross joins
+    "retrieval_prf_expansion",  # inherits bm25's 1-row corpus-stats cross join
+    "graph_kcore_peel",  # per-round edge-count scalar: 1-row cross joins
+    "join_bloom_prune",  # build-key-count scalar: 1-row broadcast cross join
 }
 
 

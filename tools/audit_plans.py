@@ -84,6 +84,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "from bm25_scores: 1-row broadcast crossJoin",
     ("embedding_pq_audit", "global-window"): "codeword-init row_number "
     "over the LIMIT-4 seed vectors (4 rows by construction)",
+    ("similarity_hard_negatives", "global-window"): "rank over the "
+    "LIMIT-k survivors (10 rows)",
 }
 
 

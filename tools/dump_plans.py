@@ -84,7 +84,17 @@ SHOWCASE: dict[str, str] = {
     "self-join keys only on each document's RAREST "
     "|d|-ceil(t|d|)+1 shingles (global df ascending) — exact recall "
     "with bucket sizes bounded where hot-shingle blocking explodes; "
-    "the verify join touches candidates only.",
+    "the length + positional filters (match-position overlap upper "
+    "bound, 2.8x candidate cut at sf0.1) prune before the verify join, "
+    "which touches survivors only.",
+    "retrieval_zipf_fit": "Two-phase range-partitioned frequency rank "
+    "(with_global_index): range exchange on (cf DESC, term), "
+    "per-partition row_number + broadcast offsets — the registry's last "
+    "unpartitioned global window, now gone; a web-scale vocabulary "
+    "never crosses one task.",
+    "graph_kcore_peel": "Bounded iterative peel as ONE unrolled plan: "
+    "per round a degree hash-agg and two joins against the bounded "
+    "keep set; no per-round driver collect.",
     "embedding_covariance": "Distributed Gram covariance: mapInPandas "
     "emits batch-local int64 Q^T Q partials, so the exchange carries "
     "batches x d^2 summary rows — never corpus x d^2; marginal joins are "
