@@ -49,3 +49,22 @@ class TestCacheOwnership:
         assert unpersist_operator_caches() == 0  # second call: nothing left
         # the returned frame still computes (recompute, not failure)
         assert df.count() == 10
+
+
+def test_operators_only_cache_through_tracked_helpers():
+    """Convention lint: operator/source/function modules must not call raw
+    .cache()/.persist() — every internal cache goes through tracked_cache/
+    tracked_persist so unpersist_operator_caches() can release it."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "redcap_omop_etl_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name == "caching.py":
+            continue
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".cache()" in code or ".persist(" in code:
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "raw cache/persist outside caching.py:\n" + "\n".join(offenders)
