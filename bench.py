@@ -133,6 +133,9 @@ HEADLINE = [
     "sql_api_pipe_syntax",
     "text_lang_confusion",
     "similarity_hard_negatives",
+    "graph_label_propagation",
+    "join_asof_tolerance",
+    "embedding_norm_arrow",
 ]
 
 

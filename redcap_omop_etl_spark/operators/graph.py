@@ -520,3 +520,98 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corr_row))
         .select("n_nodes", "n_edges", "mean_degree", "max_degree", "assortativity")
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled synchronous label-propagation oracle (every stage
+    MATERIALIZED — edges feeds two branches per round)."""
+    parts = [
+        """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), l0 AS MATERIALIZED (
+      SELECT x, x AS lab FROM (
+        SELECT u AS x FROM edges UNION SELECT v FROM edges
+      )
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    nb{i} AS MATERIALIZED (
+      SELECT e.u AS x, l.lab FROM edges e JOIN l{p} l ON e.v = l.x
+      UNION ALL
+      SELECT e.v AS x, l.lab FROM edges e JOIN l{p} l ON e.u = l.x
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT x, lab FROM (
+        SELECT x, lab,
+               row_number() OVER (PARTITION BY x
+                                  ORDER BY count(*) DESC, lab) AS rk
+        FROM nb{i} GROUP BY x, lab
+      ) WHERE rk = 1
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT lab AS community, count(*)::BIGINT AS size
+    FROM l{rounds} GROUP BY lab
+    ORDER BY size DESC, community LIMIT 20"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle_sql(),
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} rounds) on the "
+    "co-purchase graph: every node adopts its neighbors' most frequent "
+    "label each round (ties -> min label, so the fixed-iteration "
+    "recurrence is fully deterministic and the oracle unrolls it), then "
+    "the top-20 communities by size — the lightweight community-"
+    "detection primitive next to connected components (CC merges "
+    "everything reachable; LPA finds denser cores). Per round: ONE "
+    "shuffle shipping labels across edges + a (node, label) hash agg + "
+    "a node-partitioned argmax window; localCheckpoint per round keeps "
+    "lineage flat, exactly the pagerank/components template.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .select("x", F.col("x").alias("lab"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_LPA_ROUNDS):
+        nb = edges.join(labels, edges.v == labels.x).select(
+            F.col("u").alias("x"), "lab"
+        ).unionByName(
+            edges.join(labels, edges.u == labels.x).select(F.col("v").alias("x"), "lab")
+        )
+        cnt = nb.groupBy("x", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("x").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("x", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )

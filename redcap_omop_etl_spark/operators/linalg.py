@@ -249,3 +249,57 @@ def pca_top_components(cov_df: DataFrame, top: int = 5) -> dict:
         "eigenvalues": [float(v) for v in vals[:top]],
         "explained_variance_ratio": [float(v / vals.sum()) for v in vals[:top]],
     }
+
+
+@register(
+    "embedding_norm_arrow",
+    """
+    SELECT vec_id,
+           list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 10000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 10000 + 0.5)::BIGINT))::BIGINT AS ssq,
+           floor(sqrt(list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 10000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 10000 + 0.5)::BIGINT))::DOUBLE)
+                 / 10000.0 * 1000 + 0.5)::BIGINT AS norm_milli
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norm via ``mapInArrow`` — the zero-copy PyArrow "
+    "RecordBatch path (the remaining Python-vectorized API surface next "
+    "to pandas_udf / applyInPandas / mapInPandas): batches arrive as "
+    "Arrow arrays, components quantize to 4dp integers and square-sum in "
+    "exact Python ints, so the result is bit-identical to the DuckDB "
+    "list-lambda mirror REGARDLESS of numpy/BLAS accumulation order "
+    "(np.dot's pairwise/SIMD summation would NOT match a sequential "
+    "double sum — the quantize-first discipline sidesteps it). No "
+    "shuffle: one scan, one Arrow-native projection.",
+)
+def embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["embeddings"]
+
+    def norms(batches):
+        import math
+
+        import pyarrow as pa
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            ssqs, norm_millis = [], []
+            for v in vecs:
+                q = [math.floor(float(x) * 10000 + 0.5) for x in v]
+                ssq = sum(c * c for c in q)
+                ssqs.append(ssq)
+                norm_millis.append(math.floor(math.sqrt(float(ssq)) / 10000.0 * 1000 + 0.5))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(ssqs, type=pa.int64()),
+                    pa.array(norm_millis, type=pa.int64()),
+                ],
+                names=["vec_id", "ssq", "norm_milli"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, ssq long, norm_milli long"
+    )

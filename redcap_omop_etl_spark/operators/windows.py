@@ -887,3 +887,57 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direction"),
         F.when(pick_back, F.col("db")).otherwise(F.col("df")).alias("gap_us"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN s.ts IS NOT NULL AND p.ts - s.ts <= INTERVAL 30 DAY
+                THEN s.event_id END AS signup_event_id,
+           CASE WHEN s.ts IS NOT NULL AND p.ts - s.ts <= INTERVAL 30 DAY
+                THEN floor(epoch(p.ts)) - floor(epoch(s.ts)) END::BIGINT AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="Bounded-staleness as-of join (pandas merge_asof's `tolerance`): "
+    "the latest same-user signup at-or-before each purchase counts only "
+    "when it is at most 30 days stale — the join every feature-store "
+    "lookup actually wants (a 3-year-old profile row should NOT enrich "
+    "today's event). Same single-shuffle union+window plan as join_asof "
+    "— the matched right timestamp rides the carried struct, and the "
+    "tolerance is a post-window null-out, NOT a range join. Oracle: "
+    "DuckDB native ASOF + the same staleness CASE.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "signup")
+    unioned = _asof_tag_union(
+        left,
+        right,
+        on="user_id",
+        ts_col="ts",
+        rv=F.struct(F.col("event_id").alias("rid"), F.col("ts").alias("rts")),
+        rv_type="struct<rid:bigint,rts:timestamp>",
+        left_extra=["event_id"],
+    )
+    w = _asof_order("user_id", "ts").rowsBetween(W.unboundedPreceding, 0)
+    carried = (
+        unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    within = F.col("__m").isNotNull() & (
+        F.col("ts").cast("long") - F.col("__m.rts").cast("long") <= 30 * 86400
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(within, F.col("__m.rid")).alias("signup_event_id"),
+        F.when(within, F.col("ts").cast("long") - F.col("__m.rts").cast("long"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

@@ -82,6 +82,9 @@ _PRIORITY = [
     "sql_api_pipe_syntax",
     "text_lang_confusion",
     "similarity_hard_negatives",
+    "graph_label_propagation",
+    "join_asof_tolerance",
+    "embedding_norm_arrow",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",
