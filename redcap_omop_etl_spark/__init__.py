@@ -26,9 +26,15 @@ semantics, and then always Arrow-vectorized (pandas_udf / applyInPandas).
 __version__ = "0.1.0"
 
 from redcap_omop_etl_spark.caching import (  # noqa: E402
+    clear_session_memos,
     tracked_cache,
     tracked_persist,
     unpersist_operator_caches,
 )
 
-__all__ = ["tracked_cache", "tracked_persist", "unpersist_operator_caches"]
+__all__ = [
+    "clear_session_memos",
+    "tracked_cache",
+    "tracked_persist",
+    "unpersist_operator_caches",
+]

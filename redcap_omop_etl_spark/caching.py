@@ -46,6 +46,31 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+_MEMO_REGISTRIES: list[dict] = []
+
+
+def register_memo(registry: dict) -> dict:
+    """Register a module-level session memo (localCheckpoint-backed
+    materialized projections like the co-purchase edge list or a trained
+    IVF index) for ``clear_session_memos``. Returns the registry so the
+    call composes with the declaration site."""
+    _MEMO_REGISTRIES.append(registry)
+    return registry
+
+
+def clear_session_memos() -> int:
+    """Drop every registered session memo; returns how many entries were
+    dropped. The checkpointed RDD blocks are released once the memoized
+    DataFrames are garbage-collected (ContextCleaner); the next operator
+    call simply re-materializes. Complements ``unpersist_operator_caches``
+    for sessions that switch corpora or want a clean storage footprint."""
+    n = 0
+    for reg in _MEMO_REGISTRIES:
+        n += len(reg)
+        reg.clear()
+    return n
+
+
 def unpersist_operator_caches(blocking: bool = False) -> int:
     """Unpersist every operator-internal cache; returns how many.
 

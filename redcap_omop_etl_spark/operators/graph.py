@@ -137,7 +137,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session, corpus), not once per query invocation — exactly the shared
 # materialized projection a production deployment would persist. Keyed by
 # applicationId so a stopped session's checkpoints are never reused.
-_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+from redcap_omop_etl_spark.caching import register_memo
+
+_EDGE_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

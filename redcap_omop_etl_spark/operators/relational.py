@@ -656,13 +656,17 @@ def sql_api_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API_RECURSIVE_HIERARCHY)
 
 
+# decimal-exact sums (the q1 discipline): double summation accumulates in
+# engine/partition-dependent order and can flip a 2dp rounding boundary
 _SQL_API_PIPE = """
     FROM lineitem
     |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     |> AGGREGATE
          count(*) AS n_rows,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+           AS disc_revenue
        GROUP BY l_returnflag, l_linestatus
     |> ORDER BY l_returnflag, l_linestatus
 """
@@ -670,8 +674,9 @@ _SQL_API_PIPE = """
 _SQL_API_PIPE_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            count(*)::BIGINT AS n_rows,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+           round(sum(l_quantity::DECIMAL(6,2))::DOUBLE, 2) AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(10,2)
+                     * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS disc_revenue
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus

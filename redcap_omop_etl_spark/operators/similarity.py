@@ -463,7 +463,9 @@ def _sq_dist(a: Column, b: Column) -> Column:
 # (ivf_write_index is the persisted-to-disk variant); within a session the
 # deterministic k-means retrain for the same corpus+params is pure waste.
 # Keyed by applicationId so a stopped session's checkpoints never leak.
-_IVF_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+from redcap_omop_etl_spark.caching import register_memo
+
+_IVF_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = register_memo({})
 
 
 def ivf_build(

@@ -68,3 +68,18 @@ def test_operators_only_cache_through_tracked_helpers():
             if ".cache()" in code or ".persist(" in code:
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "raw cache/persist outside caching.py:\n" + "\n".join(offenders)
+
+
+def test_session_memos_clear(spark):
+    from redcap_omop_etl_spark.caching import clear_session_memos
+    from redcap_omop_etl_spark.operators import graph
+
+    clear_session_memos()
+    # populate the co-purchase edge memo, then clear it
+    graph._copurchase_edges(spark, SF_SMOKE).count()
+    assert len(graph._EDGE_MEMO) == 1
+    assert clear_session_memos() >= 1
+    assert len(graph._EDGE_MEMO) == 0
+    # re-materializes transparently on next use
+    assert graph._copurchase_edges(spark, SF_SMOKE).count() > 0
+    clear_session_memos()
