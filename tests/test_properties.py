@@ -453,3 +453,61 @@ class TestAsofNearest:
         assert got[3] == (1, "forward", 20_000_000)
         assert got[4] == (0, "backward", 45_000_000)  # tie -> backward
         assert got[5] == (None, None, None)
+
+
+class TestPrefixJaccardRecallProperty:
+    """The PPJoin prefix + length + positional filters must lose ZERO
+    recall vs the unfiltered exact pair join on arbitrary corpora — the
+    guarantee the round-5 positional filter must never break."""
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=12).map(
+                lambda cs: " ".join(cs)
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        thr=st.sampled_from([0.4, 0.6, 0.8]),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    def test_prefix_equals_exact(self, spark, docs, thr):
+        from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        exact = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in ngram_jaccard_pairs(df, threshold=thr, df_cap=None).collect()
+        }
+        prefix = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(df, threshold=thr).collect()
+        }
+        assert prefix == exact
+
+
+class TestGlobalIndexDescending:
+    """with_global_index with Column sort expressions (the Zipf-rank
+    path) must equal the naive global-window rank."""
+
+    @given(vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    def test_matches_sorted_order(self, spark, vals):
+        from redcap_omop_etl_spark.sinks.chunked import with_global_index
+
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+        got = {
+            r["id"]: r["__idx"]
+            for r in with_global_index(df, [F.desc("v"), F.asc("id")]).collect()
+        }
+        want = {
+            row_id: idx
+            for idx, (row_id, _) in enumerate(
+                sorted(enumerate(vals), key=lambda t: (-t[1], t[0]))
+            )
+        }
+        assert got == want
