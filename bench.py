@@ -136,6 +136,7 @@ HEADLINE = [
     "graph_label_propagation",
     "join_asof_tolerance",
     "embedding_norm_arrow",
+    "stream_two_level_rollup",
 ]
 
 

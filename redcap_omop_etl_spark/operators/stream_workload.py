@@ -157,3 +157,29 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = interval_join_views_purchases(Catalog(spark, sf_dir)["events"], how="left_outer")
     return out.withColumn("converted", F.col("purchase_id").isNotNull())
+
+
+@register(
+    "stream_two_level_rollup",
+    """
+    WITH m AS (
+      SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS mb, event_type,
+             count(*) AS n, sum(round(value * 100)::BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, mb), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           sum(n)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_minutes,
+           round(sum(cents)::DOUBLE / 100.0, 2) AS total_value
+    FROM m GROUP BY 1, 2
+    """,
+    doc="Streaming §2.9: CHAINED stateful aggregation (minute pre-agg -> "
+    "hour rollup in one query, SPARK-40925 multiple-stateful-operators) "
+    "— batch-equivalent form; tests/test_streaming.py runs the true "
+    "append-mode stream and pins finalized-window equivalence.",
+)
+def stream_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import two_level_rollup
+
+    return two_level_rollup(Catalog(spark, sf_dir)["events"])

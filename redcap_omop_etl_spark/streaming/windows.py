@@ -96,6 +96,45 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def two_level_rollup(
+    events: DataFrame,
+    fine: str = "1 minute",
+    coarse: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful aggregation: minute-grain tumbling window agg,
+    re-aggregated to hour grain in the SAME query — the multi-stateful-
+    operator pipeline (SPARK-40925) behind every streaming metrics rollup
+    (raw events → minutely pre-agg → hourly dashboard tiles, one query,
+    no intermediate topic). The level-2 group key is
+    ``window(window_time(w1), coarse)``: ``window_time`` exposes the
+    level-1 window's event time (end − 1µs) so the second windowed agg is
+    watermark-aware and state for BOTH levels evicts as the watermark
+    advances. Streaming requires Append mode (level-2 rows finalize when
+    the watermark passes their window end); the batch form of the same
+    plan is the oracle. Integer-cents sums keep every level exact.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cents = F.round(F.col("value") * 100).cast("long")
+    lvl1 = src.groupBy(F.window("ts", fine).alias("w1"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+    )
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w1"), coarse).alias("w2"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("total_value"),
+    )
+    return lvl2.select(
+        F.date_format("w2.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_minutes").cast("bigint").alias("n_minutes"),
+        "total_value",
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Bounded-state streaming dedup: duplicates arriving within the
     watermark horizon are dropped (A1's streaming generalization)."""

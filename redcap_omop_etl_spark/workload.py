@@ -85,6 +85,7 @@ _PRIORITY = [
     "graph_label_propagation",
     "join_asof_tolerance",
     "embedding_norm_arrow",
+    "stream_two_level_rollup",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",

@@ -411,3 +411,33 @@ class TestTransformWithState:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
             else:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class TestTwoLevelRollup:
+    """Chained stateful aggregation (SPARK-40925): minute pre-agg → hour
+    rollup in ONE streaming query, Append mode. Append emits a level-2
+    window only after the watermark passes its end, so with availableNow
+    input the tail windows (within the 2h watermark of the corpus max
+    event time) stay in state: stream rows must be a SUBSET of batch rows
+    and EXACTLY equal on finalized windows."""
+
+    def test_stream_matches_batch_on_finalized_windows(self, spark, batch_events, stream_events):
+        batch = sw.two_level_rollup(batch_events)
+        stream = _run_stream_to_memory(
+            spark, sw.two_level_rollup(stream_events), "t_two_level", "append"
+        )
+        b = {tuple(r) for r in batch.collect()}
+        s = {tuple(r) for r in stream.collect()}
+        assert s, "no level-2 window finalized — watermark never advanced"
+        assert s <= b
+        # every batch window ending before (max_ts − watermark − 1h span)
+        # must have been emitted by the stream
+        max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+        import datetime
+
+        horizon = max_ts - datetime.timedelta(hours=3)  # 2h watermark + 1h window
+        finalized = {
+            t for t in b
+            if datetime.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") < horizon - datetime.timedelta(hours=1)
+        }
+        assert finalized <= s
