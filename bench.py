@@ -137,6 +137,8 @@ HEADLINE = [
     "join_asof_tolerance",
     "embedding_norm_arrow",
     "stream_two_level_rollup",
+    "sql_api_parameterized",
+    "arrow_grouped_scale",
 ]
 
 

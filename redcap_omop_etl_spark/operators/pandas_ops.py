@@ -199,3 +199,68 @@ def penny_allocation_cogrouped(orders: DataFrame, lineitem: DataFrame) -> DataFr
 def pandas_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     return penny_allocation(c["orders"], c["lineitem"])
+
+
+@register(
+    "arrow_grouped_scale",
+    """
+    WITH b AS (
+      SELECT source, n_chars,
+             min(n_chars) OVER (PARTITION BY source) AS mn,
+             max(n_chars) OVER (PARTITION BY source) AS mx
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars,
+           sum(CASE WHEN mx = mn THEN 0
+                    ELSE floor((n_chars - mn) * 10000.0 / (mx - mn) + 0.5) END)::BIGINT
+             AS scaled_sum_q
+    FROM b GROUP BY source
+    """,
+    doc="Grouped ``applyInArrow`` (Spark 4's zero-copy grouped-map "
+    "surface, completing the Python-vectorized matrix next to grouped "
+    "applyInPandas and mapInArrow): per-source min-max scaling of "
+    "n_chars with the scaled values checksummed as 4dp-quantized exact "
+    "integer sums — the floor((x−min)·10⁴/(max−min)+0.5) chain is the "
+    "same IEEE ops on the same exact operands in Python and the oracle, "
+    "so the checksum is accumulation-order-proof. One shuffle on "
+    "source (the grouped-map exchange).",
+)
+def arrow_grouped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+
+    def scale(key, table):
+        import math
+
+        import pyarrow as pa
+
+        vals = table.column("n_chars").to_pylist()
+        mn, mx = min(vals), max(vals)
+        if mx == mn:
+            ssum = 0
+        else:
+            ssum = sum(math.floor((x - mn) * 10000.0 / (mx - mn) + 0.5) for x in vals)
+        return pa.table(
+            {
+                "source": [key[0]],
+                "n_docs": [len(vals)],
+                "min_chars": [mn],
+                "max_chars": [mx],
+                "scaled_sum_q": [ssum],
+            },
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("min_chars", pa.int64()),
+                    ("max_chars", pa.int64()),
+                    ("scaled_sum_q", pa.int64()),
+                ]
+            ),
+        )
+
+    return d.select("source", "n_chars").groupBy("source").applyInArrow(
+        scale, "source string, n_docs long, min_chars long, max_chars long, scaled_sum_q long"
+    )

@@ -707,3 +707,42 @@ def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("disc_revenue").cast("double").alias("disc_revenue"),
     )
+
+
+_SQL_API_PARAM = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_api_parameterized",
+    """
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice::DECIMAL(10,2))::DOUBLE, 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00' AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Named-parameter SQL (spark.sql(..., args={...}), Spark 3.4+): "
+    "the injection-safe templating surface — parameter markers bind as "
+    "typed literals inside the parse, so Catalyst still constant-folds "
+    "and pushes the predicate to the scan exactly like the inlined form "
+    "the oracle runs. Decimal-exact money sum (q1 discipline).",
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    out = spark.sql(_SQL_API_PARAM, args={"cutoff": "1995-06-01 00:00:00", "status": "O"})
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+    )

@@ -86,6 +86,8 @@ _PRIORITY = [
     "join_asof_tolerance",
     "embedding_norm_arrow",
     "stream_two_level_rollup",
+    "sql_api_parameterized",
+    "arrow_grouped_scale",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",
