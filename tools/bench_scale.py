@@ -87,6 +87,12 @@ QUERIES = [
     # embeddings + graph
     "similarity_cosine_topk",
     "graph_pagerank",
+    # round-5 additions: bounded k-core peel, label propagation,
+    # readability scan, first-seen novelty
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "text_readability",
+    "corpus_ngram_novelty",
 ]
 
 
