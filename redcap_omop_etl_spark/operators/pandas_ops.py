@@ -18,7 +18,7 @@ express (SURVEY §2.10; the batch counterparts of the streaming
   the API surface is demonstrated without shipping the anti-pattern as
   the production plan.
 
-Discipline (see ``.claude/skills/verify``): the pandas functions are
+Discipline (external-driver portability): the pandas functions are
 LOCAL closures using only importable libraries, never module-level
 helpers — pickled closures referencing this module die with
 ModuleNotFoundError when the external driver runs from a foreign cwd.
