@@ -1576,6 +1576,13 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, size(__w) - 1), i -> concat(__w[i-1], ' ', __w[i]))"
         )
     )
+    # NOT cached (measured): per_doc and the first-seen agg are separate
+    # branches, so the tokenize→explode→distinct chain runs twice — but
+    # pinning the corpus-sized (doc, source, bigram) string table costs
+    # MORE than the rescan (3.2s cached vs 1.8s uncached at sf0.1), and a
+    # corpus-sized cache is the wrong shape at 100 TB regardless (memory
+    # pressure for a one-query win). The cache discipline is for
+    # VOCAB-bounded intermediates, not corpus-sized ones.
     bgd = (
         fan_out(d)
         .select("doc_id", "source", toks.alias("__w"))
