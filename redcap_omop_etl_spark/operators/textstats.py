@@ -1578,11 +1578,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NOT cached (measured): per_doc and the first-seen agg are separate
     # branches, so the tokenize→explode→distinct chain runs twice — but
-    # pinning the corpus-sized (doc, source, bigram) string table costs
-    # MORE than the rescan (3.2s cached vs 1.8s uncached at sf0.1), and a
-    # corpus-sized cache is the wrong shape at 100 TB regardless (memory
-    # pressure for a one-query win). The cache discipline is for
-    # VOCAB-bounded intermediates, not corpus-sized ones.
+    # with only TWO consumers, pinning this corpus-sized string table
+    # costs more than the rescan (3.2s cached vs 1.8s uncached at sf0.1).
+    # Contrast the shingle tables in dedup.py, which cache because 3-4
+    # branches (sizes + both self-join sides) re-run a much heavier
+    # interpreted-HOF chain per pass — the call is per-operator and
+    # empirical, not a blanket rule.
     bgd = (
         fan_out(d)
         .select("doc_id", "source", toks.alias("__w"))
