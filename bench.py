@@ -139,6 +139,7 @@ HEADLINE = [
     "stream_two_level_rollup",
     "sql_api_parameterized",
     "arrow_grouped_scale",
+    "sampling_poisson_bootstrap",
 ]
 
 

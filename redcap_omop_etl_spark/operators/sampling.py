@@ -991,3 +991,109 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("relationship")
+
+
+# Poisson(1) CDF cutoffs at 1e-6 resolution, Python-materialized once and
+# inlined as identical integer literals in both engines (math.exp in each
+# engine would race libm ulps): P(W<=k) for k=0..3; u >= the last cutoff
+# draws w=4 (P ~ 0.0019 covers the tail well enough for CI work).
+_POISSON1_CUTS = (367879, 735758, 919698, 981011)
+N_BOOTSTRAP = 20
+
+
+@register(
+    "sampling_poisson_bootstrap",
+    f"""
+    WITH reps(b) AS (SELECT unnest(range(1, {N_BOOTSTRAP + 1}))),
+    w AS (
+      SELECT d.source, d.n_chars, reps.b,
+             (CASE WHEN u < {_POISSON1_CUTS[0]} THEN 0
+                   WHEN u < {_POISSON1_CUTS[1]} THEN 1
+                   WHEN u < {_POISSON1_CUTS[2]} THEN 2
+                   WHEN u < {_POISSON1_CUTS[3]} THEN 3
+                   ELSE 4 END) AS wt
+      FROM (SELECT source, n_chars, doc_id,
+                   ('0x' || substring(md5(doc_id::VARCHAR || ':' || reps2.b::VARCHAR), 1, 15))::BIGINT
+                     % 1000000 AS u, reps2.b
+            FROM documents CROSS JOIN (SELECT unnest(range(1, {N_BOOTSTRAP + 1})) AS b) reps2
+           ) d JOIN reps ON d.b = reps.b
+    ), means AS (
+      SELECT source, b,
+             sum(wt * n_chars)::DOUBLE / nullif(sum(wt), 0) AS mean_b
+      FROM w GROUP BY source, b
+    ), ranked AS (
+      SELECT source, mean_b,
+             row_number() OVER (PARTITION BY source ORDER BY mean_b, b) AS rk
+      FROM means
+    ), base AS (
+      SELECT source, count(*) AS n_docs,
+             sum(n_chars)::DOUBLE / count(*) AS mean_chars
+      FROM documents GROUP BY source
+    )
+    SELECT base.source, base.n_docs::BIGINT AS n_docs,
+           round(base.mean_chars, 4) AS mean_chars,
+           round(min(CASE WHEN rk = 2 THEN mean_b END), 4) AS ci_lo,
+           round(min(CASE WHEN rk = {N_BOOTSTRAP - 1} THEN mean_b END), 4) AS ci_hi
+    FROM base JOIN ranked USING (source)
+    GROUP BY base.source, base.n_docs, base.mean_chars
+    """,
+    doc=f"Deterministic Poisson bootstrap ({N_BOOTSTRAP} resamples): the "
+    "large-scale resampling technique — each row's weight in resample b "
+    "is a Poisson(1) draw inverted from a portable hash of (doc_id, b), "
+    "so the WHOLE bootstrap is one pass over rows x B with NO sampling "
+    "state, reproducible across runs/engines/layouts, and the CI for "
+    "each source's mean doc length falls out of the 2nd/19th ranked "
+    "resample means (10%-90%). Cutoffs are Python-materialized integer "
+    "literals (no engine exp()); resample means are single double "
+    "divisions of exact integer sums. Shuffle: one (source, b) hash agg "
+    "over rows x B, then a B-bounded rank window per source.",
+)
+def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir)["documents"]
+    reps = F.explode(F.sequence(F.lit(1), F.lit(N_BOOTSTRAP))).alias("b")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 15), 16, 10
+        ).cast("bigint")
+        % 1000000
+    )
+    wt = (
+        F.when(u < _POISSON1_CUTS[0], 0)
+        .when(u < _POISSON1_CUTS[1], 1)
+        .when(u < _POISSON1_CUTS[2], 2)
+        .when(u < _POISSON1_CUTS[3], 3)
+        .otherwise(4)
+    )
+    w = d.select("source", "n_chars", "doc_id", reps).select(
+        "source", "b", wt.alias("wt"), F.col("n_chars").alias("x")
+    )
+    means = w.groupBy("source", "b").agg(
+        (F.sum(F.col("wt") * F.col("x")).cast("double") / F.nullif(F.sum("wt"), F.lit(0))).alias(
+            "mean_b"
+        )
+    )
+    rk = F.row_number().over(W.partitionBy("source").orderBy("mean_b", "b"))
+    ranked = means.select("source", "mean_b", rk.alias("rk"))
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+    )
+    return (
+        base.join(ranked, "source")
+        .groupBy("source", "n_docs", "mean_chars")
+        .agg(
+            F.round(F.min(F.when(F.col("rk") == 2, F.col("mean_b"))), 4).alias("ci_lo"),
+            F.round(
+                F.min(F.when(F.col("rk") == N_BOOTSTRAP - 1, F.col("mean_b"))), 4
+            ).alias("ci_hi"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("mean_chars", 4).alias("mean_chars"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -88,6 +88,7 @@ _PRIORITY = [
     "stream_two_level_rollup",
     "sql_api_parameterized",
     "arrow_grouped_scale",
+    "sampling_poisson_bootstrap",
     "retrieval_zipf_fit",
     "dedup_prefix_jaccard",
     "curation_winsorized_stats",
