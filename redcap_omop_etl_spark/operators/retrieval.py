@@ -382,9 +382,11 @@ def retrieval_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the "
     "term-frequency table (cf ≥ 5). The frequency rank is the two-phase "
     "range-partitioned rank (with_global_index): range-repartition on "
-    "(cf DESC, term), per-partition row_number, broadcast cumulative "
-    "offsets — NO unpartitioned window, so a web-scale (10⁸–10⁹ term) "
-    "vocabulary never funnels through one task. regr_slope/regr_r2 run "
+    "(cf DESC, term), per-partition row_number, lazily-derived cumulative "
+    "offsets broadcast-joined back — NO unpartitioned window over data, "
+    "so a web-scale (10⁸–10⁹ term) vocabulary never funnels through one "
+    "task, and NO driver collect at plan construction (the rank is a "
+    "pure plan; building it runs zero jobs). regr_slope/regr_r2 run "
     "on both engines over identical integer-derived inputs, rounded 6dp.",
 )
 def retrieval_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

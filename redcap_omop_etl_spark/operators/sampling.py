@@ -1024,7 +1024,7 @@ N_BOOTSTRAP = 20
     ), ranked AS (
       SELECT source, mean_b,
              row_number() OVER (PARTITION BY source ORDER BY mean_b, b) AS rk
-      FROM means
+      FROM means WHERE mean_b IS NOT NULL
     ), base AS (
       SELECT source, count(*) AS n_docs,
              sum(n_chars)::DOUBLE / count(*) AS mean_chars
@@ -1074,8 +1074,12 @@ def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_b"
         )
     )
+    # NULL mean_b (an all-zero-weight resample — probability e^-n, real
+    # for tiny sources) is dropped BEFORE ranking on both sides: Spark's
+    # row_number puts NULLS FIRST, DuckDB's NULLS LAST, so an unfiltered
+    # NULL would shift rk and flip ci_lo/ci_hi cross-engine.
     rk = F.row_number().over(W.partitionBy("source").orderBy("mean_b", "b"))
-    ranked = means.select("source", "mean_b", rk.alias("rk"))
+    ranked = means.filter(F.col("mean_b").isNotNull()).select("source", "mean_b", rk.alias("rk"))
     base = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),

@@ -859,8 +859,11 @@ def _pq_oracle_sql() -> str:
     "memory-vs-recall audit behind every PQ/IVFPQ index. Plan: the "
     "subspace fan-out is an in-row explode (never a crossJoin of the "
     "vector table), codewords are a 32-row broadcast, and the argmin is "
-    "a (vec, subspace)-partitioned rank — one shuffle over rows x "
-    "subspaces. Distances quantize to integers (floor(d2·10⁴+0.5)) "
+    "a min(struct(d2q, codeword)) hash AGGREGATE — partial-aggregated "
+    "map-side so only rows x subspaces single-struct rows shuffle (the "
+    "row_number-window form it replaced exchanged and sorted rows x "
+    "subspaces x 32 candidates). Distances quantize to integers "
+    "(floor(d2·10⁴+0.5)) "
     "before the argmin and the distortion sum, so tie-breaks and "
     "averages are exact cross-engine.",
 )
@@ -902,15 +905,21 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codeword",
         F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
     )
-    best = j.withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("vec_id", "subspace").orderBy("d2q", "codeword")
-        ),
-    ).filter(F.col("rk") == 1)
-    return best.groupBy("subspace", F.col("codeword").cast("bigint").alias("codeword")).agg(
+    # argmin as a min-struct AGGREGATE, not a row_number window: the
+    # window shape shuffled rows×subspaces×32 codeword candidates and
+    # sorted each (vec, subspace) partition; min(struct(d2q, codeword))
+    # partial-aggregates map-side, so only rows×subspaces one-struct
+    # rows cross the wire — 32× less exchanged data, no sort, and the
+    # (d2q, codeword) lexicographic struct order reproduces the window's
+    # orderBy('d2q', 'codeword') tie-break exactly.
+    best = j.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d2q", "codeword")).alias("m")
+    )
+    return best.groupBy(
+        "subspace", F.col("m.codeword").cast("bigint").alias("codeword")
+    ).agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.sum("d2q").cast("double") / (F.count(F.lit(1)) * 10000.0), 6).alias(
+        F.round(F.sum("m.d2q").cast("double") / (F.count(F.lit(1)) * 10000.0), 6).alias(
             "avg_distortion"
         ),
     )

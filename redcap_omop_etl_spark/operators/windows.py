@@ -894,9 +894,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.event_id, p.user_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           CASE WHEN s.ts IS NOT NULL AND p.ts - s.ts <= INTERVAL 30 DAY
+           CASE WHEN s.ts IS NOT NULL
+                 AND floor(epoch(p.ts)) - floor(epoch(s.ts)) <= 2592000
                 THEN s.event_id END AS signup_event_id,
-           CASE WHEN s.ts IS NOT NULL AND p.ts - s.ts <= INTERVAL 30 DAY
+           CASE WHEN s.ts IS NOT NULL
+                 AND floor(epoch(p.ts)) - floor(epoch(s.ts)) <= 2592000
                 THEN floor(epoch(p.ts)) - floor(epoch(s.ts)) END::BIGINT AS gap_s
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
@@ -909,7 +911,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "today's event). Same single-shuffle union+window plan as join_asof "
     "— the matched right timestamp rides the carried struct, and the "
     "tolerance is a post-window null-out, NOT a range join. Oracle: "
-    "DuckDB native ASOF + the same staleness CASE.",
+    "DuckDB native ASOF + the same staleness CASE over FLOORED epoch "
+    "seconds on both sides — events carry microsecond precision, so an "
+    "exact-interval oracle predicate would disagree with the emitted "
+    "integer gap_s for true gaps in (30d, 30d+1s] at the boundary.",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["events"]

@@ -32,33 +32,43 @@ from redcap_omop_etl_spark.operators.eav import pivot_from_eav
 
 def with_global_index(df: DataFrame, order_cols: list, index_col: str = "__idx") -> DataFrame:
     """0-based global row index in ``order_cols`` order, computed without a
-    global sort bottleneck.
+    global sort bottleneck — and FULLY LAZY (building the plan never runs
+    a job; an earlier version collected per-partition counts at plan
+    construction, which made every plan-inspection tool and caller pay a
+    full corpus evaluation before the first action, and then the action
+    recomputed it).
 
     ``order_cols`` entries are column names or Column sort expressions
     (``F.desc("cf")``), so descending rank orders (frequency ranks) reuse
     the same two-phase machinery as ascending chunk assignment.
 
-    Plan: range-repartition on the key (so partitions hold contiguous key
-    ranges), sort within partitions, count rows per partition (tiny job,
-    one long per partition), broadcast the cumulative offsets, and add
-    ``offset + local row_number``. Two passes over the data, no
-    single-reducer stage.
+    Plan: range-repartition on the key (RangePartitioner assigns ascending
+    key ranges — in the requested sort direction — to ascending partition
+    ids), derive per-partition counts as a #partitions-row aggregate,
+    turn them into cumulative offsets with a window over that TINY frame
+    (bounded by ``spark.sql.shuffle.partitions``, never by data), then
+    broadcast-join the offsets back and add ``offset + local row_number``.
+    The row_number window partitions by ``__pid``, so parallelism equals
+    the partition count throughout — no single-reducer stage over data.
+    The range exchange feeds both the counts branch and the main branch;
+    Spark's exchange reuse (``spark.sql.exchange.reuse``, on by default)
+    computes it once, and range boundaries are deterministically sampled,
+    so even a recompute assigns identical pids.
     """
-    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    parted = df.repartitionByRange(*order_cols)
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    counts = {r["__pid"]: r["n"] for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offsets: a window over the #partitions-row counts frame —
+    # a bounded global window (rows = partition count), not a data window.
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
     )
     w = W.partitionBy("__pid").orderBy(*order_cols)
     return (
-        with_pid.withColumn(index_col, offset_col + F.row_number().over(w) - 1)
-        .drop("__pid")
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(index_col, F.col("__off") + F.row_number().over(w) - 1)
+        .drop("__pid", "__off")
     )
 
 

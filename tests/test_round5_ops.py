@@ -24,7 +24,9 @@ class TestKcorePeel:
         # peeling only ever removes nodes of degree < k, so every survivor
         # of round r has degree >= k in round r-1's edge set — the round-3
         # node count can never exceed the round-1 edge bound 2*E/k
-        assert rows[3]["n_nodes"] <= rows[1]["n_edges"] * 2 // 2 + 1
+        from redcap_omop_etl_spark.operators.graph import _KCORE_K
+
+        assert rows[3]["n_nodes"] <= rows[1]["n_edges"] * 2 // _KCORE_K + 1
 
 
 class TestPqAudit:

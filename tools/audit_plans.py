@@ -86,6 +86,14 @@ ALLOWED: dict[tuple[str, str], str] = {
     "over the LIMIT-4 seed vectors (4 rows by construction)",
     ("similarity_hard_negatives", "global-window"): "rank over the "
     "LIMIT-k survivors (10 rows)",
+    ("retrieval_zipf_fit", "global-window"): "with_global_index cumulative "
+    "partition offsets: a window over the #shuffle-partitions-row counts "
+    "frame (bounded by partition count, never by data) — the price of "
+    "making the two-phase rank fully lazy (no driver collect at plan "
+    "construction); the data-sized rank window stays partitioned by __pid",
+    ("sink_chunk_assignment", "global-window"): "same with_global_index "
+    "partition-offset window: #partitions rows, bounded; chunk assignment "
+    "itself is per-partition row_number + broadcast offset join",
 }
 
 
