@@ -140,6 +140,10 @@ HEADLINE = [
     "sql_api_parameterized",
     "arrow_grouped_scale",
     "sampling_poisson_bootstrap",
+    # round-6 additions: dup-density-capped PPJoin (overflow side-channel),
+    # structure-aware offset-preserving chunk splitter.
+    "dedup_prefix_jaccard_capped",
+    "text_chunk_structured",
 ]
 
 

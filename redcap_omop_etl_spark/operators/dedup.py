@@ -199,6 +199,10 @@ def prefix_jaccard_pairs(
 ) -> DataFrame:
     """All shingle-SET pairs with Jaccard ≥ threshold via PPJoin-style
     prefix filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin).
+    Uncapped: exact recall over the WHOLE corpus, with the dup-density
+    boundary documented below; ``prefix_jaccard_pairs_capped`` is the
+    scale-safe variant that bounds the worst case with an overflow
+    side-channel.
 
     Order every document's distinct shingles by ascending global document
     frequency (rarest first, shingle string as tie-break). A pair with
@@ -239,6 +243,63 @@ def prefix_jaccard_pairs(
     ``ngram_jaccard_pairs`` (8.7×) when dup density is high; use this
     operator when exact recall over moderate dup density is required.
     """
+    pairs, _ = _prefix_jaccard_pipeline(df, threshold, n, text_col, id_col, None)
+    return pairs
+
+
+def prefix_jaccard_pairs_capped(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """PPJoin with a per-prefix-shingle candidate cap — the scale-safe
+    answer to the dup-density cliff measured in SCALE_r05 (98× time at
+    64× data on dup-dense corpora).
+
+    A prefix shingle shared by m documents contributes ~m²/2 candidate
+    pairs; one pathological near-dup family can quadratically dominate a
+    100 TB run. Here, any prefix shingle whose prefix-bucket size exceeds
+    ``bucket_cap`` is declared HOT, and every document carrying a hot
+    shingle in its prefix is routed whole to the ``overflow`` side-channel
+    instead of candidate generation. Candidate buckets are then ≤
+    ``bucket_cap`` by construction, so candidates are bounded by
+    #prefix-shingles × cap²/2 — linear in corpus size for fixed cap.
+
+    Recall contract (exact below the cap): for any pair of NON-overflow
+    docs with Jaccard ≥ t, PPJoin guarantees a shared prefix shingle; if
+    that shingle were hot, BOTH docs would be overflow — contradiction —
+    so every qualifying clean pair survives. Every missed pair therefore
+    has ≥1 endpoint in ``overflow``; callers route overflow docs through
+    ``minhash_lsh_pairs`` (7.2× at 64× on the same stress), which is
+    exactly the regime LSH is good at. Pinned by the recall-completeness
+    test in tests/test_llm_ops.py: in-cap pairs + pairs-touching-overflow
+    ≡ uncapped pairs.
+
+    Returns ``(pairs, overflow)``: pairs = (d1, d2, jaccard) among clean
+    docs; overflow = (doc) one row per routed document. Joins against
+    ``hot``/``overflow`` carry no broadcast hint — AQE broadcasts them
+    when small and degrades to shuffle joins on adversarial corpora where
+    the overflow set itself is large.
+    """
+    pairs, overflow = _prefix_jaccard_pipeline(
+        df, threshold, n, text_col, id_col, bucket_cap
+    )
+    return pairs, overflow
+
+
+def _prefix_jaccard_pipeline(
+    df: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    id_col: str,
+    bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared PPJoin pipeline: (pairs, overflow) — overflow is None when
+    uncapped. Plan notes live on the two public wrappers."""
     from pyspark.sql.window import Window
 
     # cache: the shingle table feeds the df count, the ranked window, AND
@@ -259,6 +320,23 @@ def prefix_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
     ).select("doc", "t", "rn", "sz")
+    overflow = None
+    if bucket_cap is not None:
+        # cap the per-prefix-shingle candidate bucket: docs whose prefix
+        # contains a HOT shingle (prefix bucket > cap) route whole to the
+        # overflow channel; remaining buckets are <= cap, so candidates
+        # are linear in corpus size. prefix feeds three consumers here
+        # (bucket counts, overflow, the anti-join) — pin it so the
+        # join+window chain above runs once.
+        prefix = tracked_cache(prefix)
+        hot = (
+            prefix.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > bucket_cap)
+            .select("t")
+        )
+        overflow = prefix.join(hot, "t", "left_semi").select("doc").distinct()
+        prefix = prefix.join(overflow, "doc", "left_anti")
     # length filter (canonical PPJoin companion to the prefix filter):
     # Jaccard >= t forces t*|a| <= |b| <= |a|/t, so size-mismatched
     # collisions die before the verify join. Result-preserving — the
@@ -306,13 +384,14 @@ def prefix_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    return (
+    pairs = (
         inter.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")), "d1")
         .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")), "d2")
         .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+    return pairs, overflow
 
 
 def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -597,6 +676,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(Catalog(spark, sf_dir)["documents"], threshold=0.6, n=3)
+
+
+# Cap used by the REGISTERED capped query: deliberately tiny so the driver's
+# sf0.01 corpus (max prefix bucket = 3) actually exercises BOTH channels —
+# hot-shingle detection, overflow routing, and exact pairs among clean docs
+# all get cross-engine-hashed. Production callers use the signature default
+# (bucket_cap=64); the recall-completeness property is pinned at realistic
+# caps by tests/test_llm_ops.py on a dup-dense synthetic corpus.
+_PPJOIN_GATE_CAP = 2
+
+
+@register(
+    "dedup_prefix_jaccard_capped",
+    f"""
+    WITH {shingle_sql_cte(gram="t", materialized=True)}, toks AS MATERIALIZED (
+      SELECT doc_id AS doc, t FROM __sh
+    ), dfreq AS MATERIALIZED (
+      SELECT t, count(*) AS dfr FROM toks GROUP BY t
+    ), ranked AS MATERIALIZED (
+      SELECT doc, toks.t,
+             row_number() OVER (PARTITION BY doc ORDER BY dfr, toks.t) AS rn,
+             count(*) OVER (PARTITION BY doc) AS sz
+      FROM toks JOIN dfreq ON toks.t = dfreq.t
+    ), prefix AS MATERIALIZED (
+      SELECT doc, t FROM ranked WHERE rn <= sz - ceil(sz * 0.6) + 1
+    ), hot AS MATERIALIZED (
+      SELECT t FROM prefix GROUP BY t HAVING count(*) > {_PPJOIN_GATE_CAP}
+    ), overflow AS MATERIALIZED (
+      SELECT DISTINCT doc FROM prefix WHERE t IN (SELECT t FROM hot)
+    ), cprefix AS MATERIALIZED (
+      SELECT doc, t FROM prefix WHERE doc NOT IN (SELECT doc FROM overflow)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      FROM cprefix a JOIN cprefix b ON a.t = b.t AND a.doc < b.doc
+    ), inter AS (
+      SELECT d1, d2, count(*) AS i
+      FROM cand JOIN toks x ON x.doc = d1 JOIN toks y ON y.doc = d2 AND y.t = x.t
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT doc, count(*) AS sz FROM toks GROUP BY doc
+    )
+    SELECT 'pair' AS kind, d1, d2,
+           round(i * 1.0 / (a.sz + b.sz - i), 6) AS jaccard
+    FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+    WHERE i * 1.0 / (a.sz + b.sz - i) >= 0.6
+    UNION ALL
+    SELECT 'overflow' AS kind, doc AS d1, NULL::BIGINT AS d2,
+           NULL::DOUBLE AS jaccard
+    FROM overflow
+    """,
+    doc="Scale-capped PPJoin (the SCALE_r05 dup-density-cliff fix): prefix "
+    f"shingles whose candidate bucket exceeds the cap ({_PPJOIN_GATE_CAP} "
+    "here so the sf0.01 gate data exercises the channel; 64 is the "
+    "production default) mark their documents as 'overflow' rows — the "
+    "caller routes those through MinHash-LSH — while pairs among the "
+    "remaining docs keep PPJoin's EXACT recall (a qualifying clean pair "
+    "must share a prefix shingle, and a hot shared shingle would have "
+    "routed both docs). Candidate buckets are ≤ cap by construction, so "
+    "candidate count is linear in corpus size — one pathological near-dup "
+    "family can no longer go quadratic on a 100 TB run.",
+)
+def dedup_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, overflow = prefix_jaccard_pairs_capped(
+        Catalog(spark, sf_dir)["documents"],
+        threshold=0.6,
+        n=3,
+        bucket_cap=_PPJOIN_GATE_CAP,
+    )
+    return pairs.select(
+        F.lit("pair").alias("kind"), "d1", "d2", "jaccard"
+    ).unionByName(
+        overflow.select(
+            F.lit("overflow").alias("kind"),
+            F.col("doc").alias("d1"),
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
 
 
 @register(

@@ -736,6 +736,12 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Diagnostics from the most recent bpe_learn call: driver rounds taken and
+# merges accepted per round — the numbers that size the 30k-merge budget
+# (see DEPLOY.md "BPE training at production merge counts").
+BPE_LAST_STATS: dict = {"rounds": 0, "accepted_per_round": []}
+
+
 def bpe_learn(
     docs: DataFrame, n_merges: int = 5, text_col: str = "text", batch_m: int = 1
 ) -> DataFrame:
@@ -774,7 +780,10 @@ def bpe_learn(
     seqs = words.select("cnt", F.split("w", "").alias("sym")).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    BPE_LAST_STATS["rounds"] = 0
+    BPE_LAST_STATS["accepted_per_round"] = []
     while len(merges) < n_merges:
+        BPE_LAST_STATS["rounds"] += 1
         bigram = F.zip_with(
             F.col("sym"),
             F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
@@ -808,6 +817,7 @@ def bpe_learn(
                 break
         for a, b, merged, n in accepted:
             merges.append((len(merges) + 1, a, b, merged, n))
+        BPE_LAST_STATS["accepted_per_round"].append(len(accepted))
 
         # greedy left-to-right application of every accepted merge in one
         # fold pass (disjoint symbols → at most one WHEN fires per step);
@@ -1375,6 +1385,186 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") / stride).cast("bigint").alias("chunk_id"),
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+# Structure markers for the registered structured-split query. Real corpora
+# split on markdown headings / blank lines / sentence ends; the synthetic
+# driver corpus is single-line unpunctuated word soup, so two common content
+# words stand in as section markers. The operator itself takes any marker
+# list — the boundary PREDICATE is the parameter, the plan is the product.
+_STRUCT_MARKERS = ("table", "line")
+_STRUCT_MAX_TOKENS = 32
+
+
+def split_structured(
+    df: DataFrame,
+    markers: list[str] | tuple[str, ...] = _STRUCT_MARKERS,
+    max_tokens: int = _STRUCT_MAX_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Structure-aware, offset-preserving document splitter (the chunking
+    step every RAG / pretrain pipeline runs BEFORE dedup + embedding).
+
+    A new section starts at position 0 and at every token matching the
+    ``markers`` boundary predicate (the stand-in for headings / blank
+    lines / sentence starts); sections longer than ``max_tokens`` are
+    re-split into fixed-width sub-chunks — the same windowing
+    ``text_chunk_windows`` applies corpus-wide, here scoped INSIDE a
+    structural section so a chunk never straddles a section boundary.
+
+    Offset preservation is the contract: each chunk carries
+    ``(start_idx, end_idx)`` token offsets into the ORIGINAL document,
+    chunks tile the document exactly (sum of n_tokens = doc token count,
+    end_i + 1 = start_{i+1}), so downstream spans (dedup hits, citation
+    offsets, PII redaction spans) map back to source positions. Pinned by
+    tests/test_round6_ops.py; the registered boundary AUDIT query proves
+    the tiling cross-engine.
+
+    Plan: posexplode of the token array (one scan, in-row fan-out), a
+    cumulative boundary count per document (ONE window shuffle,
+    partitioned by doc — never global), then a hash aggregate on
+    (doc, section, sub). The chunk hash is md5 over the pos-sorted token
+    list, computed from collect_list(struct(pos, tok)) + array_sort —
+    JVM-side, no Python.
+    """
+    keep = keep_cols or []
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in keep],
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    is_boundary = (
+        F.when(F.col("tok").isin(*markers) | (F.col("pos") == 0), 1).otherwise(0)
+    )
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    sec = toks.withColumn(
+        "section_id",
+        F.sum(is_boundary).over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wsec = Window.partitionBy("doc", "section_id")
+    sub = sec.withColumn(
+        "sub_id",
+        F.floor((F.col("pos") - F.min("pos").over(wsec)) / F.lit(max_tokens)).cast(
+            "bigint"
+        ),
+    )
+    ordered_toks = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return sub.groupBy("doc", *keep, "section_id", "sub_id").agg(
+        F.min("pos").cast("bigint").alias("start_idx"),
+        F.max("pos").cast("bigint").alias("end_idx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered_toks, " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "text_chunk_structured",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, u.i - 1 AS pos, w[u.i] AS tok
+      FROM t, unnest(range(1, len(w) + 1)) u(i)
+    ), sec AS (
+      SELECT doc_id, source, pos, tok,
+             sum(CASE WHEN tok IN ('table', 'line') OR pos = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS section_id
+      FROM p
+    ), sub AS (
+      SELECT *, (pos - min(pos) OVER (PARTITION BY doc_id, section_id))
+                  // {_STRUCT_MAX_TOKENS} AS sub_id
+      FROM sec
+    ), ch AS (
+      SELECT doc_id, source, section_id, sub_id,
+             min(pos) AS start_idx, max(pos) AS end_idx, count(*) AS n_tokens
+      FROM sub GROUP BY 1, 2, 3, 4
+    ), audit AS (
+      SELECT doc_id, source, n_tokens,
+             end_idx - start_idx + 1 - n_tokens AS span_minus_n,
+             start_idx
+               - coalesce(lag(end_idx) OVER (PARTITION BY doc_id ORDER BY start_idx),
+                          -1) - 1 AS gap
+      FROM ch
+    ), per_doc AS (
+      SELECT doc_id, source,
+             count(*) AS n_chunks, sum(n_tokens) AS n_toks,
+             max(n_tokens) AS max_chunk,
+             sum(CASE WHEN gap <> 0 OR span_minus_n <> 0 THEN 1 ELSE 0 END) AS n_bad
+      FROM audit GROUP BY 1, 2
+    ), dlen AS (
+      SELECT doc_id, len(w) AS doc_tokens FROM t
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chunks)::BIGINT AS n_chunks,
+           max(max_chunk)::BIGINT AS max_chunk_tokens,
+           sum(CASE WHEN n_toks = doc_tokens THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_exact_coverage,
+           sum(n_bad)::BIGINT AS n_noncontiguous
+    FROM per_doc JOIN dlen USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Chunk-boundary AUDIT of the structure-aware splitter: per source, "
+    "the number of chunks, the widest chunk (must be ≤ max_tokens + the "
+    "marker token), how many documents are tiled EXACTLY (sum of chunk "
+    "n_tokens = document token count), and how many chunks violate "
+    "contiguity (gap to the previous chunk ≠ 0, or internal span ≠ "
+    "n_tokens). n_noncontiguous must be 0 and exact-coverage must equal "
+    "n_docs — the oracle proves offset preservation cross-engine, which "
+    "is what lets downstream spans (dedup hits, citations, PII redaction) "
+    "map back to source positions after a 100 TB chunking pass.",
+)
+def text_chunk_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    ch = split_structured(d, keep_cols=["source"])
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc").orderBy("start_idx")
+    audit = ch.select(
+        "doc",
+        "source",
+        "n_tokens",
+        (F.col("end_idx") - F.col("start_idx") + 1 - F.col("n_tokens")).alias(
+            "span_minus_n"
+        ),
+        (
+            F.col("start_idx")
+            - F.coalesce(F.lag("end_idx").over(wdoc), F.lit(-1))
+            - 1
+        ).alias("gap"),
+    )
+    per_doc = audit.groupBy("doc", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_toks"),
+        F.max("n_tokens").alias("max_chunk"),
+        F.sum(
+            F.when((F.col("gap") != 0) | (F.col("span_minus_n") != 0), 1).otherwise(0)
+        ).alias("n_bad"),
+    )
+    dlen = d.select(
+        F.col("doc_id").alias("doc"), F.size(ws_tokens(F.col("text"))).alias("doc_tokens")
+    )
+    return (
+        per_doc.join(dlen, "doc")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.max("max_chunk").cast("bigint").alias("max_chunk_tokens"),
+            F.sum(F.when(F.col("n_toks") == F.col("doc_tokens"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_exact_coverage"),
+            F.sum("n_bad").cast("bigint").alias("n_noncontiguous"),
+        )
+        .orderBy("source")
     )
 
 

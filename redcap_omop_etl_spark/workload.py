@@ -63,65 +63,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-5 rotation. Leads: the 11 queries whose BEHAVIOR changed
-    # this round (two-phase Zipf rank, PPJoin positional filter, exact
-    # integer-moment statistics, relational Bloom build count, Benford
-    # outer join, ln-free PMI ranking, batched-capable BPE learner) —
-    # driver evidence must be refreshed for refactored queries first.
-    # Then the longest-unchecked greens: everything whose latest driver
-    # check was round 1, then round 2, then round 3 (round-4-checked
-    # queries fall to the registry tail — freshest evidence last).
-    # -- round-5 net-new queries (never driver-checked by construction) --
-    "text_readability",
-    "retrieval_prf_expansion",
-    "graph_kcore_peel",
-    "curation_rep_selection",
-    "embedding_pq_audit",
-    "corpus_ngram_novelty",
-    "dq_referential_integrity",
-    "sql_api_pipe_syntax",
-    "text_lang_confusion",
-    "similarity_hard_negatives",
-    "graph_label_propagation",
-    "join_asof_tolerance",
-    "embedding_norm_arrow",
-    "stream_two_level_rollup",
-    "sql_api_parameterized",
-    "arrow_grouped_scale",
-    "sampling_poisson_bootstrap",
-    "retrieval_zipf_fit",
+    # -- round-6 rotation. Leads: the 8 queries whose behavior or plan
+    # changed this round (capped PPJoin overflow channel + its refactored
+    # shared pipeline, min-struct PQ argmin, fully-lazy two-phase global
+    # rank and both sinks built on it, asof-tolerance oracle boundary,
+    # bootstrap NULL-rank filter) — driver evidence must be refreshed for
+    # refactored queries first. Then oldest-evidence-first: the cohorts
+    # whose latest driver check is round 1, then 2, 3, 4, 5 — so the
+    # ~50-slot gate lands on the leads + all of round-1's 24 + the oldest
+    # round-2 greens.
+    "dedup_prefix_jaccard_capped",
+    "text_chunk_structured",
     "dedup_prefix_jaccard",
-    "curation_winsorized_stats",
-    "ts_seasonal_strength",
-    "ts_cross_correlation",
-    "graph_degree_assortativity",
-    "join_bloom_prune",
-    "dq_benford_audit",
-    "text_collocation_pmi",
-    "bpe_learn_merges",
-    "bpe_encode_counts",
-    "agg_cube",
-    "agg_distinct_keys",
-    "agg_rollup",
-    "bpe_pair_counts",
-    "case_dispatch",
-    "checkbox_explode_outer",
-    "checkbox_to_array",
-    "date_calendar_suite",
-    "date_granularities",
-    "date_shift_constant",
-    "date_total_seconds",
-    "decontaminate_overlap",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_winnow",
-    "docs_prep_pipeline",
-    "eav_pivot_roundtrip",
-    "eav_unpivot",
-    "fuzzy_blocked_levenshtein",
-    "graph_triangle_count",
-    "join_anti",
+    "embedding_pq_audit",
+    "retrieval_zipf_fit",
+    "sink_chunk_assignment",
+    "sink_json_map_export",
+    "join_asof_tolerance",
+    "sampling_poisson_bootstrap",
     "join_broadcast_lookup",
     "join_key_overlap",
     "join_merge_update",
@@ -226,8 +185,6 @@ _PRIORITY = [
     "similarity_ann_lsh",
     "similarity_cosine_topk",
     "similarity_topk_per_label",
-    "sink_chunk_assignment",
-    "sink_json_map_export",
     "skew_key_stats",
     "state_durations",
     "stream_static_enrich",
@@ -240,6 +197,92 @@ _PRIORITY = [
     "udaf_geo_mean",
     "udtf_eav_emit",
     "window_moving_median",
+    "agg_approx",
+    "agg_listagg_ordered",
+    "agg_sketch_reaggregation",
+    "anomaly_mad",
+    "corpus_cross_contamination",
+    "corpus_quality_funnel",
+    "corpus_source_divergence",
+    "corpus_temperature_mixture",
+    "curation_curriculum_order",
+    "curation_quantile_normalize",
+    "dedup_chunk_level",
+    "dedup_containment",
+    "dedup_incremental",
+    "dq_distribution_drift",
+    "embedding_covariance",
+    "embedding_quantize_error",
+    "embedding_random_projection",
+    "event_pattern_regex",
+    "graph_pagerank",
+    "join_asof_nearest",
+    "json_variant_extract",
+    "pandas_penny_allocation",
+    "retrieval_bm25_topk",
+    "retrieval_heavy_hitters",
+    "retrieval_inverted_index",
+    "retrieval_rrf_fusion",
+    "sampling_stratified_quota",
+    "sampling_weighted_topk",
+    "sketch_countmin",
+    "sql_api_lateral_topn",
+    "sql_api_recursive_hierarchy",
+    "stream_interval_join_outer",
+    "text_chunk_windows",
+    "ts_autocorr",
+    "ts_cusum_changepoint",
+    "ts_decay_features",
+    "ts_forecast_backtest",
+    "ts_markov_transitions",
+    "ts_ols_trend",
+    "udtf_sessionize_tvf",
+    "window_sliding_distinct",
+    "agg_cube",
+    "agg_distinct_keys",
+    "agg_rollup",
+    "arrow_grouped_scale",
+    "bpe_encode_counts",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "case_dispatch",
+    "checkbox_explode_outer",
+    "checkbox_to_array",
+    "corpus_ngram_novelty",
+    "curation_rep_selection",
+    "curation_winsorized_stats",
+    "date_calendar_suite",
+    "date_granularities",
+    "date_shift_constant",
+    "date_total_seconds",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_winnow",
+    "docs_prep_pipeline",
+    "dq_benford_audit",
+    "dq_referential_integrity",
+    "eav_pivot_roundtrip",
+    "eav_unpivot",
+    "embedding_norm_arrow",
+    "fuzzy_blocked_levenshtein",
+    "graph_degree_assortativity",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "join_anti",
+    "join_bloom_prune",
+    "retrieval_prf_expansion",
+    "similarity_hard_negatives",
+    "sql_api_parameterized",
+    "sql_api_pipe_syntax",
+    "stream_two_level_rollup",
+    "text_collocation_pmi",
+    "text_lang_confusion",
+    "text_readability",
+    "ts_cross_correlation",
+    "ts_seasonal_strength",
 ]
 
 

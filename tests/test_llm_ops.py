@@ -380,3 +380,69 @@ class TestBpeLearn:
         sequential = [tuple(r) for r in bpe_learn(docs, n_merges=6, batch_m=1).collect()]
         batched = [tuple(r) for r in bpe_learn(docs, n_merges=6, batch_m=4).collect()]
         assert batched == sequential
+
+
+class TestPrefixJaccardCapped:
+    """Recall-completeness contract of the dup-density cap (the SCALE_r05
+    cliff fix): in-cap pairs + pairs-touching-overflow == uncapped pairs,
+    on a dup-DENSE corpus where the cap actually fires."""
+
+    @pytest.fixture(scope="class")
+    def dense(self, spark):
+        # 3 near-dup families x 12 members: each member mutates one word of
+        # the family base text, so every pair within a family has high
+        # Jaccard AND the family's shared shingles are globally rare —
+        # exactly the regime where a family-shared shingle lands in every
+        # member's rarest-first prefix and candidates go ~m^2/2.
+        rows = []
+        did = 0
+        for fam in range(3):
+            base = [f"w{fam}x{i}" for i in range(14)]
+            for m in range(12):
+                words = list(base)
+                words[m % 14] = f"mut{fam}x{m}"
+                rows.append((did, " ".join(words)))
+                did += 1
+        for s in range(20):  # singleton background docs
+            rows.append((did, " ".join(f"solo{s}x{i}" for i in range(14))))
+            did += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_recall_complete_and_exact_below_cap(self, spark, dense):
+        thr = 0.5
+        uncapped = _pair_set(dedup.prefix_jaccard_pairs(dense, thr))
+        pairs, overflow = dedup.prefix_jaccard_pairs_capped(
+            dense, thr, bucket_cap=4
+        )
+        capped = _pair_set(pairs)
+        odocs = {r.doc for r in overflow.collect()}
+        assert odocs, "cap must fire on a dup-dense corpus"
+        assert capped <= uncapped, "capped pairs must be a subset (no false pairs)"
+        # every missed pair has >=1 endpoint routed to overflow
+        missed = uncapped - capped
+        assert all(a in odocs or b in odocs for a, b in missed)
+        # exact recall below the cap: capped == uncapped restricted to clean docs
+        assert capped == {
+            (a, b) for a, b in uncapped if a not in odocs and b not in odocs
+        }
+        # the caller recipe closes the recall gap: re-running a pair finder
+        # on JUST the overflow subset recovers every missed pair whose both
+        # endpoints overflowed (family cores). With the exact operator the
+        # identity is deterministic; MinHash-LSH (the at-scale choice) is
+        # probabilistic per band — assert it at least fires here, not that
+        # it is exhaustive at threshold-grazing similarity.
+        over_docs = dense.join(
+            overflow.withColumnRenamed("doc", "doc_id"), "doc_id", "left_semi"
+        )
+        both_over = {(a, b) for a, b in missed if a in odocs and b in odocs}
+        recovered_exact = _pair_set(dedup.ngram_jaccard_pairs(over_docs, thr))
+        assert both_over <= recovered_exact
+        recovered_lsh = _pair_set(dedup.minhash_lsh_pairs(over_docs, threshold=thr))
+        assert recovered_lsh & both_over
+
+    def test_uncapped_wrapper_unchanged(self, spark, dense):
+        # prefix_jaccard_pairs (public, uncapped) still returns bare pairs
+        # equal to the exact all-pairs ground truth on this corpus
+        thr = 0.5
+        exact = _pair_set(dedup.ngram_jaccard_pairs(dense, thr))
+        assert _pair_set(dedup.prefix_jaccard_pairs(dense, thr)) == exact

@@ -441,3 +441,125 @@ class TestTwoLevelRollup:
             if datetime.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") < horizon - datetime.timedelta(hours=1)
         }
         assert finalized <= s
+
+
+class TestCrashRestartRecovery:
+    """Kill-and-restart from checkpoint — the exactly-once property a
+    100 TB deployment actually relies on. A crash is injected in the
+    foreachBatch sink AFTER several micro-batches have committed; the
+    query dies mid-stream, is restarted against the SAME checkpoint, and
+    the final output must be exactly-once: committed batches never
+    reprocess (their rows appear once), the failed batch replays once
+    (it never wrote), and stateful operators (dedup state, window state)
+    resume from the state store instead of restarting cold."""
+
+    @pytest.fixture(scope="class")
+    def split_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("evsplit_crash"))
+        raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+        raw.repartition(8).write.parquet(d + "/events.parquet")
+        return d
+
+    @pytest.fixture(scope="class")
+    def split_dir_ordered(self, spark, tmp_path_factory):
+        # time-range-partitioned split: file k holds a contiguous ts range,
+        # and the file source consumes part files in order — so the
+        # watermark advances monotonically and append-mode windows never
+        # drop late data (a RANDOM split would let an early file carry the
+        # corpus max ts, jump the watermark, and silently drop the rest —
+        # a watermark-semantics artifact, not a recovery bug; the dedup
+        # test below keeps the random split because its 40-day watermark
+        # exceeds the corpus span).
+        d = str(tmp_path_factory.mktemp("evsplit_crash_ord"))
+        raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+        raw.repartitionByRange(8, "ts").write.parquet(d + "/events.parquet")
+        # FileStreamSource orders new files by MODIFICATION TIME and the
+        # whole write job lands within one mtime tick, so tie-break order
+        # is undefined — a late-range part consumed early jumps the
+        # watermark and silently late-drops entire earlier files. Stamp
+        # strictly increasing mtimes in part order (range order = ts
+        # order) so maxFilesPerTrigger=1 consumes in event-time order.
+        parts = sorted(glob.glob(d + "/events.parquet/part-*.parquet"))
+        assert len(parts) == 8
+        for i, p in enumerate(parts):
+            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        return d
+
+    def _run(self, spark, split_dir, build, ckpt, outdir, crash_at=None):
+        stream = sw.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+
+        def sink(batch_df, epoch_id):
+            if crash_at is not None and epoch_id >= crash_at:
+                raise RuntimeError("injected mid-stream crash")
+            batch_df.write.mode("append").parquet(outdir)
+
+        q = (
+            build(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception:  # noqa: BLE001 - injected StreamingQueryException
+            pass
+        return q
+
+    def test_dedup_exactly_once_across_crash(self, spark, split_dir, tmp_path):
+        ckpt, out = str(tmp_path / "ck_dd"), str(tmp_path / "out_dd")
+        build = lambda s: sw.stream_dedup(s, ["user_id"], watermark="40 days")  # noqa: E731
+
+        q1 = self._run(spark, split_dir, build, ckpt, out, crash_at=3)
+        assert q1.exception() is not None, "crash must have killed the query"
+        committed = sum(p["numInputRows"] for p in q1.recentProgress[:3])
+        assert committed > 0, "some batches must commit before the crash"
+
+        q2 = self._run(spark, split_dir, build, ckpt, out, crash_at=None)
+        assert q2.exception() is None
+        # restart resumed from the checkpoint: it read strictly less than
+        # the full corpus (committed batches are not re-read)
+        total = spark.read.parquet(SF_SMOKE + "/events.parquet").count()
+        replayed = sum(p["numInputRows"] for p in q2.recentProgress)
+        assert 0 < replayed < total
+
+        # exactly-once: every user exactly once across BOTH runs' output —
+        # dedup state recovered from the state store, committed batches
+        # not re-emitted, the crashed batch emitted exactly once
+        got = spark.read.parquet(out)
+        n_users = Catalog(spark, SF_SMOKE)["events"].select("user_id").distinct().count()
+        assert got.count() == n_users
+        assert got.select("user_id").distinct().count() == n_users
+
+    def test_tumbling_windows_exactly_once_across_crash(self, spark, split_dir_ordered, tmp_path, batch_events):
+        ckpt, out = str(tmp_path / "ck_tw"), str(tmp_path / "out_tw")
+        build = sw.tumbling_window_agg
+
+        q1 = self._run(spark, split_dir_ordered, build, ckpt, out, crash_at=2)
+        assert q1.exception() is not None
+        q2 = self._run(spark, split_dir_ordered, build, ckpt, out, crash_at=None)
+        assert q2.exception() is None
+
+        got = spark.read.parquet(out)
+        rows = [tuple(r) for r in got.collect()]
+        # exactly-once: append-mode finalized windows are emitted ONCE —
+        # no (window, event_type) key appears twice across the crash
+        keys = [(r[0], r[1]) for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate finalized windows across restart"
+        # and the union of both runs' emissions matches batch on every
+        # window the watermark finalized (same subset logic as the
+        # stream≡batch suite)
+        b = {tuple(r) for r in sw.tumbling_window_agg(batch_events).collect()}
+        s = set(rows)
+        assert s, "no window finalized across the crash/restart"
+        assert s <= b
+        import datetime
+
+        max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+        horizon = max_ts - datetime.timedelta(hours=3)  # 2h watermark + 1h width
+        finalized = {
+            t for t in b
+            if datetime.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") < horizon
+        }
+        assert finalized <= s

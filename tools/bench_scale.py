@@ -93,16 +93,45 @@ QUERIES = [
     "graph_label_propagation",
     "text_readability",
     "corpus_ngram_novelty",
+    # round-6 additions: PQ argmin (now a min-struct aggregate) and the
+    # structure-aware splitter.
+    "embedding_pq_audit",
+    "text_chunk_structured",
 ]
 
 
 NEARDUP_QUERIES = [
     "dedup_prefix_jaccard",
+    "dedup_prefix_jaccard_cap64",
     "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
 ]
+
+
+def _extra_queries():
+    """Scale-only callables not in the registry. The REGISTERED capped
+    PPJoin uses cap=2 so the sf0.01 gate corpus exercises the overflow
+    channel; the scale question is about the PRODUCTION default (cap=64),
+    so the stress times that configuration — pairs and overflow both
+    materialized, like a real caller would."""
+    from redcap_omop_etl_spark.operators.dedup import prefix_jaccard_pairs_capped
+    from redcap_omop_etl_spark.sources.readers import Catalog
+
+    def cap64(spark, sf_dir):
+        pairs, overflow = prefix_jaccard_pairs_capped(
+            Catalog(spark, sf_dir)["documents"], threshold=0.6, n=3, bucket_cap=64
+        )
+        return pairs.unionByName(
+            overflow.select(
+                F.col("doc").alias("d1"),
+                F.lit(None).cast("bigint").alias("d2"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+        )
+
+    return {"dedup_prefix_jaccard_cap64": cap64}
 
 # token-mutation granularity for --neardup: replica r mutates the tokens
 # with u(t, i) < r/MUT_K, so replicas r, r' differ on (r-r')/MUT_K of
@@ -169,7 +198,7 @@ def main() -> None:
         names = NEARDUP_QUERIES
     ms = ms_args or [1, 4, 16]
     spark = build_session("bench_scale")
-    qs = workload.queries()
+    qs = {**workload.queries(), **_extra_queries()}
     dirs = {m: materialize(spark, m, neardup) for m in ms}
     results: dict[str, dict[int, float]] = {}
     for name in names:

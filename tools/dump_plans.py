@@ -89,9 +89,27 @@ SHOWCASE: dict[str, str] = {
     "which touches survivors only.",
     "retrieval_zipf_fit": "Two-phase range-partitioned frequency rank "
     "(with_global_index): range exchange on (cf DESC, term), "
-    "per-partition row_number + broadcast offsets — the registry's last "
-    "unpartitioned global window, now gone; a web-scale vocabulary "
+    "per-partition row_number + LAZILY-derived broadcast offsets (the "
+    "cumulative-offset window runs over the #partitions-row counts "
+    "frame, bounded by partition count) — no data-sized global window "
+    "AND no driver collect at plan construction; a web-scale vocabulary "
     "never crosses one task.",
+    "dedup_prefix_jaccard_capped": "Dup-density-capped PPJoin: prefix "
+    "buckets above the cap route their docs whole to the overflow "
+    "side-channel (one semi + one anti join), so candidate count is "
+    "bounded by #prefix-shingles x cap^2/2 — linear in corpus size; "
+    "exact recall among clean docs is provable (a qualifying clean "
+    "pair's shared prefix shingle cannot be hot).",
+    "text_chunk_structured": "Structure-aware splitter: posexplode "
+    "in-row fan-out, ONE doc-partitioned window for the cumulative "
+    "boundary count, hash aggregate per (doc, section, sub) — offsets "
+    "preserved so spans map back to source positions; no global window, "
+    "no Python.",
+    "embedding_pq_audit": "PQ assignment argmin as min(struct(d2q, "
+    "codeword)) hash AGGREGATE: partial-aggregates map-side so only "
+    "rows x subspaces single-struct rows shuffle — the row_number "
+    "window it replaced exchanged and sorted rows x subspaces x 32 "
+    "candidates.",
     "graph_kcore_peel": "Bounded iterative peel as ONE unrolled plan: "
     "per round a degree hash-agg and two joins against the bounded "
     "keep set; no per-round driver collect.",
