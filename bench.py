@@ -144,6 +144,13 @@ HEADLINE = [
     # structure-aware offset-preserving chunk splitter.
     "dedup_prefix_jaccard_capped",
     "text_chunk_structured",
+    "retrieval_ndcg_eval",
+    "similarity_mmr_rerank",
+    "curation_pareto_frontier",
+    "graph_link_prediction",
+    "embedding_matryoshka_audit",
+    "text_bigram_logprob",
+    "sql_api_group_by_all",
 ]
 
 

@@ -262,3 +262,88 @@ def curation_rep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qk").cast("bigint").alias("n_quality_reps"),
         )
     )
+
+
+@register(
+    "curation_pareto_frontier",
+    """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, n_chars,
+             (len(list_distinct(w)) * 1000000) // len(w) AS q_int
+      FROM t
+    ), m AS (
+      SELECT source, doc_id, n_chars, q_int,
+             max(n_chars) OVER (
+               PARTITION BY source ORDER BY q_int DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS m1,
+             max(n_chars) OVER (PARTITION BY source, q_int) AS m2
+      FROM q
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN (m1 IS NULL OR m1 < n_chars) AND n_chars = m2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_frontier,
+           round(sum(CASE WHEN (m1 IS NULL OR m1 < n_chars) AND n_chars = m2
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS frontier_share
+    FROM m GROUP BY source ORDER BY source
+    """,
+    doc="Pareto-frontier document selection (multi-objective curation): "
+    "per source, the documents not DOMINATED on the (lexical-diversity, "
+    "length) plane — d' dominates d iff q' >= q AND n' >= n with one "
+    "strict. The frontier is what a curator keeps when two quality "
+    "axes can't be collapsed into one score. Plan: diversity is an exact "
+    "INTEGER ratio (distinct_tokens*1e6 // tokens — no double race), and "
+    "domination is two source-partitioned windows (a strictly-better-"
+    "quality running max via a RANGE frame excluding ties, plus a "
+    "same-quality group max) — never a pairwise self-join, so the "
+    "frontier costs two window passes at any corpus size.",
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.textstats import ws_tokens
+
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    # q_int via `div` (exact BIGINT floor division, mirroring DuckDB //)
+    # — a double `/` + cast could truncate n−ε to n−1 on exact quotients
+    q = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("dt"),
+        F.size(toks).cast("bigint").alias("nt"),
+    ).select(
+        "doc_id", "source", "n_chars", F.expr("dt * 1000000 div nt").alias("q_int")
+    )
+    w1 = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_int"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w2 = Window.partitionBy("source", "q_int")
+    m = q.select(
+        "source",
+        "n_chars",
+        F.max("n_chars").over(w1).alias("m1"),
+        F.max("n_chars").over(w2).alias("m2"),
+    )
+    on_front = (F.col("m1").isNull() | (F.col("m1") < F.col("n_chars"))) & (
+        F.col("n_chars") == F.col("m2")
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(on_front, 1).otherwise(0)).cast("bigint").alias("n_frontier"),
+            F.round(
+                F.sum(F.when(on_front, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frontier_share"),
+        )
+        .orderBy("source")
+    )

@@ -746,3 +746,43 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("total").cast("double").alias("total"),
     )
+
+
+# One ANSI string, run VERBATIM by spark.sql AND DuckDB — GROUP BY ALL /
+# ORDER BY ALL are supported natively by both engines, so this query has a
+# single source of truth with zero dialect translation.
+_SQL_API_GROUP_BY_ALL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "sql_api_group_by_all",
+    _SQL_API_GROUP_BY_ALL,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4.x SQL surface): the "
+    "analyst shorthand that infers grouping keys from the non-aggregate "
+    "select list and orders by every output column. ONE ANSI string runs "
+    "verbatim on both engines (DuckDB pioneered the syntax), so the "
+    "oracle is the same text — zero translation to drift. Catalyst "
+    "resolves it to the identical partial-agg -> exchange -> final-agg "
+    "plan as the explicit GROUP BY; decimal-exact money sum (q1 "
+    "discipline), and the count is cast BIGINT on the Spark side to "
+    "match DuckDB's count(*) type.",
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    out = spark.sql(_SQL_API_GROUP_BY_ALL)
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+    )

@@ -472,3 +472,110 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+NDCG_K = 10
+# 1/log2(rank+1) discounts as PYTHON-materialized double literals injected
+# into BOTH engines — no engine libm log2 in the kernel at all (the BM25
+# ln() 1-ulp caveat above does not get a second instance here). repr()
+# round-trips doubles exactly; DuckDB parses the decimal literal to the
+# same nearest double.
+import math as _math
+
+_NDCG_INV_DISC = [1.0 / _math.log2(r + 1) for r in range(1, NDCG_K + 1)]
+_NDCG_CASE = " ".join(
+    f"WHEN {r} THEN {v!r}" for r, v in enumerate(_NDCG_INV_DISC, start=1)
+)
+
+
+@register(
+    "retrieval_ndcg_eval",
+    f"""
+    WITH {_BM25_CHAIN_CTE}, rel AS MATERIALIZED (
+      SELECT doc_id, count(DISTINCT term)::BIGINT AS rel FROM toks
+      WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id
+    ), top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s_int DESC, doc_id) AS rnk
+      FROM bm ORDER BY s_int DESC, doc_id LIMIT {NDCG_K}
+    ), g AS (
+      SELECT rnk, coalesce(rel, 0) AS rel FROM top LEFT JOIN rel USING (doc_id)
+    ), itop AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM rel ORDER BY rel DESC, doc_id LIMIT {NDCG_K}
+    ), contribs AS (
+      SELECT 'dcg' AS k,
+             floor(((1 << rel) - 1) * (CASE rnk {_NDCG_CASE} END)
+                   * 1000000 + 0.5)::BIGINT AS c
+      FROM g
+      UNION ALL
+      SELECT 'idcg',
+             floor(((1 << rel) - 1) * (CASE rnk {_NDCG_CASE} END)
+                   * 1000000 + 0.5)::BIGINT
+      FROM itop
+    )
+    SELECT sum(CASE WHEN k = 'dcg' THEN c END)::BIGINT AS dcg_micro,
+           sum(CASE WHEN k = 'idcg' THEN c END)::BIGINT AS idcg_micro,
+           round(sum(CASE WHEN k = 'dcg' THEN c END) * 1.0
+                 / sum(CASE WHEN k = 'idcg' THEN c END), 6) AS ndcg
+    FROM contribs
+    """,
+    doc=f"Ranking-quality EVALUATION: nDCG@{NDCG_K} of the BM25 ranking "
+    "against a graded relevance label (distinct query terms present, "
+    "0-3) — the offline metric every retrieval pipeline reports before "
+    "swapping rankers. DCG contributions are exact integers: gain "
+    "(2^rel - 1) is an integer, the rank discount is a Python-"
+    "materialized literal identical in both engines, and each "
+    "gain x discount is quantized to integer micro-units BEFORE the sum "
+    "(order-exact), so dcg/idcg hash-match bit-for-bit. Plan: the ideal "
+    "ranking is a TakeOrderedAndProject over the relevance table, the "
+    "observed one over BM25 scores; rank windows run over the "
+    f"{NDCG_K}-row survivors only, and the two integer sums meet in one "
+    "hash aggregate (a union with a tag — no 1-row crossJoin).",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    rel = (
+        _tokens(d)
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+        .transform(tracked_cache)
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(v) for v in _NDCG_INV_DISC]), F.col("rnk").cast("int")
+    )
+    gain = F.expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+    contrib = F.floor(gain * disc * 1000000 + F.lit(0.5)).cast("bigint")
+
+    w_bm = Window.orderBy(F.desc("s_int"), F.asc("doc_id"))
+    top = (
+        bm25_scores(d, BM25_QUERY_TERMS)
+        .orderBy(F.desc("s_int"), F.asc("doc_id"))
+        .limit(NDCG_K)
+        .select("doc_id", F.row_number().over(w_bm).alias("rnk"))
+    )
+    g = top.join(rel, "doc_id", "left").select(
+        "rnk", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    w_rel = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    itop = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(NDCG_K)
+        .select("rel", F.row_number().over(w_rel).alias("rnk"))
+    )
+    contribs = g.select(F.lit("dcg").alias("k"), contrib.alias("c")).unionByName(
+        itop.select(F.lit("idcg").alias("k"), contrib.alias("c"))
+    )
+    return contribs.agg(
+        F.sum(F.when(F.col("k") == "dcg", F.col("c"))).cast("bigint").alias("dcg_micro"),
+        F.sum(F.when(F.col("k") == "idcg", F.col("c")))
+        .cast("bigint")
+        .alias("idcg_micro"),
+        F.round(
+            F.sum(F.when(F.col("k") == "dcg", F.col("c"))).cast("double")
+            / F.sum(F.when(F.col("k") == "idcg", F.col("c"))),
+            6,
+        ).alias("ndcg"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from redcap_omop_etl_spark.caching import tracked_cache
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
@@ -967,3 +968,184 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
     w = W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+MMR_POOL = 20  # candidate pool (top-k by relevance; the corpus-scale cut)
+MMR_K = 5  # reranked results
+# lambda = 0.7 as integer tenths: mmr = 7*rel_q - 3*max_sim_q. Both terms
+# are 1e4-quantized cosines, so the whole selection is integer arithmetic.
+_MMR_L10, _MMR_L10C = 7, 3
+
+
+def _mmr_oracle_sql(k: int = MMR_K, pool: int = MMR_POOL) -> str:
+    cos_q = (
+        "floor(list_dot_product(embedding::DOUBLE[], qv)"
+        " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(qv, qv))) * 10000 + 0.5)::BIGINT"
+    )
+    cos_ab = (
+        "floor(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        " * 10000 + 0.5)::BIGINT"
+    )
+    parts = [
+        f"""
+    WITH q AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), pool AS MATERIALIZED (
+      SELECT vec_id, {cos_q} AS rel_q, embedding::DOUBLE[] AS v
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY rel_q DESC, vec_id LIMIT {pool}
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS x, b.vec_id AS y, {cos_ab} AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ), sel1 AS MATERIALIZED (
+      SELECT 1 AS step, vec_id, {_MMR_L10} * rel_q AS mmr
+      FROM pool ORDER BY rel_q DESC, vec_id LIMIT 1
+    ), selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    cand{i} AS MATERIALIZED (
+      SELECT p.vec_id, {_MMR_L10} * p.rel_q - {_MMR_L10C} * max(s.s) AS mmr
+      FROM pool p JOIN sims s ON s.x = p.vec_id
+      WHERE s.y IN (SELECT vec_id FROM selall{i - 1})
+        AND p.vec_id NOT IN (SELECT vec_id FROM selall{i - 1})
+      GROUP BY p.vec_id, p.rel_q
+    ), sel{i} AS MATERIALIZED (
+      SELECT {i} AS step, vec_id, mmr FROM cand{i}
+      ORDER BY mmr DESC, vec_id LIMIT 1
+    ), selall{i} AS MATERIALIZED (
+      SELECT * FROM selall{i - 1} UNION ALL SELECT * FROM sel{i}
+    )""")
+    parts.append(f"""
+    SELECT step::BIGINT AS step, vec_id, mmr::BIGINT AS mmr
+    FROM selall{k} ORDER BY step""")
+    return "".join(parts)
+
+
+@register(
+    "similarity_mmr_rerank",
+    _mmr_oracle_sql(),
+    doc=f"Maximal Marginal Relevance reranking (lambda=0.7): pick "
+    f"{MMR_K} results from the top-{MMR_POOL} relevance pool, each step "
+    "maximizing 7*rel - 3*max_sim_to_already_selected — THE standard "
+    "diversification pass between retrieval and a RAG context window "
+    "(near-duplicate hits waste prompt tokens). Scale split: relevance "
+    "scoring + the pool cut are corpus-scale plan work (one scored scan, "
+    "TakeOrderedAndProject on the 1e4-QUANTIZED integer score so the "
+    "pool boundary is deterministic cross-engine); the greedy selection "
+    "is inherently sequential but runs on the pool's pairwise-sim table "
+    f"(≤ {MMR_POOL}x{MMR_POOL} integers, computed in-plan and collected "
+    "once — the bounded-collect discipline of k-means centroid init). "
+    "All selection arithmetic is integer, so the oracle's "
+    f"{MMR_K} unrolled CTE rounds replay it bit-for-bit.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    rel_q = F.floor(cosine(F.col("embedding"), q) * 10000 + F.lit(0.5)).cast("bigint")
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", rel_q.alias("rel_q"), "embedding")
+        .orderBy(F.desc("rel_q"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .transform(tracked_cache)
+    )
+    s = F.floor(
+        cosine(F.col("a.embedding"), F.col("b.embedding")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    sims = (
+        pool.alias("a")
+        .join(pool.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"), s.alias("s"))
+    )
+    rels = {r["vec_id"]: r["rel_q"] for r in pool.select("vec_id", "rel_q").collect()}
+    sim = {(r["x"], r["y"]): r["s"] for r in sims.collect()}
+    selected: list[tuple[int, int, int]] = []
+    chosen: set = set()
+    for step in range(1, MMR_K + 1):
+        best = None
+        for vid in sorted(rels):
+            if vid in chosen:
+                continue
+            pen = max((sim[(vid, c)] for c in chosen), default=0)
+            mmr = _MMR_L10 * rels[vid] - _MMR_L10C * pen
+            if best is None or mmr > best[2] or (mmr == best[2] and vid < best[1]):
+                best = (step, vid, mmr)
+        selected.append(best)
+        chosen.add(best[1])
+    return spark.createDataFrame(selected, "step bigint, vec_id bigint, mmr bigint")
+
+
+MRL_K = 20  # audited retrieval depth
+MRL_HALF = 32  # truncated prefix dimensions (of 64)
+
+
+@register(
+    "embedding_matryoshka_audit",
+    f"""
+    WITH q AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), full_k AS MATERIALIZED (
+      SELECT vec_id,
+             floor(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))) * 10000 + 0.5)::BIGINT AS s
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY s DESC, vec_id LIMIT {MRL_K}
+    ), half_k AS MATERIALIZED (
+      SELECT vec_id,
+             floor(list_dot_product(embedding[1:{MRL_HALF}]::DOUBLE[], qv[1:{MRL_HALF}])
+                   / (sqrt(list_dot_product(embedding[1:{MRL_HALF}]::DOUBLE[],
+                                            embedding[1:{MRL_HALF}]::DOUBLE[]))
+                      * sqrt(list_dot_product(qv[1:{MRL_HALF}], qv[1:{MRL_HALF}])))
+                   * 10000 + 0.5)::BIGINT AS s
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY s DESC, vec_id LIMIT {MRL_K}
+    )
+    SELECT {MRL_K}::BIGINT AS k,
+           (SELECT count(*) FROM full_k JOIN half_k USING (vec_id))::BIGINT
+             AS n_overlap,
+           round((SELECT count(*) FROM full_k JOIN half_k USING (vec_id))
+                 * 1.0 / {MRL_K}, 6) AS overlap_at_k
+    """,
+    doc=f"Matryoshka / truncated-dimension retrieval audit: overlap@{MRL_K} "
+    f"between full-dim (64) and prefix-dim ({MRL_HALF}) cosine top-{MRL_K} "
+    "for the anchor query — the measurement behind serving embeddings at "
+    "truncated dimension (MRL): if overlap stays high, the half-width "
+    "index answers at half the memory/flops. Plan: two scored "
+    "projections over ONE scan each, 1e4-quantized scores so both LIMIT "
+    "cuts are deterministic cross-engine, TakeOrderedAndProject for both "
+    f"top-{MRL_K}s, and the overlap is a {MRL_K}x{MRL_K}-bounded join — "
+    "corpus cost is exactly two brute-force scoring passes, never a "
+    "pairwise join.",
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qfull = [float(x) for x in qrow[0]]
+    q = F.array(*[F.lit(v) for v in qfull])
+    qh = F.array(*[F.lit(v) for v in qfull[:MRL_HALF]])
+
+    def topk(score_col):
+        return (
+            emb.filter(F.col("vec_id") != 0)
+            .select(
+                "vec_id",
+                F.floor(score_col * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(MRL_K)
+            .select("vec_id")
+        )
+
+    full_k = topk(cosine(F.col("embedding"), q))
+    half_k = topk(cosine(F.slice(F.col("embedding"), 1, MRL_HALF), qh))
+    overlap = full_k.join(half_k, "vec_id")
+    return overlap.agg(
+        F.lit(MRL_K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.round(F.count(F.lit(1)).cast("double") / MRL_K, 6).alias("overlap_at_k"),
+    )

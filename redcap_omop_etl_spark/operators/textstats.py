@@ -1850,3 +1850,55 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share_of_actual"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, w[u.i] AS w1, w[u.i] || ' ' || w[u.i + 1] AS g
+      FROM t, unnest(range(1, len(w))) u(i)
+    ), c2 AS MATERIALIZED (
+      SELECT g, count(*) AS c2 FROM bg GROUP BY g
+    ), c1 AS MATERIALIZED (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(c2.c2) - ln(c1.c1)), 6) AS avg_logprob
+    FROM bg JOIN c2 USING (g) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring (the order-2 KenLM-filter shape, "
+    "LM trained on the corpus itself): per-document mean "
+    "ln P(w2 | w1) = ln c(w1 w2) - ln c(w1 ·), where the prefix counts "
+    "re-aggregate from the bigram table (no second corpus pass). The "
+    "order-2 model catches scrambled-word-salad documents whose UNIGRAM "
+    "distribution looks normal — exactly what text_unigram_logprob "
+    "cannot see. Plan: one bigram explode, one bigram-vocab count "
+    "shuffle, prefix counts as a vocab-sized re-agg, both joined back "
+    "WITHOUT a broadcast hint (bigram vocabulary grows faster than "
+    "Heaps' unigram curve — AQE broadcasts while it fits and degrades "
+    "to a shuffle join at web scale instead of OOMing the driver), one "
+    "per-doc agg. Same ln/round-6 discipline as the unigram oracle.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    bg = fan_out(d).select(
+        "doc_id", F.explode(grams_with_repeats(toks, 2)).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ")[0])
+    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(c2, "g")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("c2") - F.log("c1")), 6).alias("avg_logprob"),
+        )
+    )

@@ -74,6 +74,13 @@ _PRIORITY = [
     # round-2 greens.
     "dedup_prefix_jaccard_capped",
     "text_chunk_structured",
+    "retrieval_ndcg_eval",
+    "similarity_mmr_rerank",
+    "curation_pareto_frontier",
+    "graph_link_prediction",
+    "embedding_matryoshka_audit",
+    "text_bigram_logprob",
+    "sql_api_group_by_all",
     "dedup_prefix_jaccard",
     "embedding_pq_audit",
     "retrieval_zipf_fit",

@@ -39,6 +39,7 @@ _NESTED_LOOP_OK = {
     "retrieval_prf_expansion",  # inherits bm25's 1-row corpus-stats cross join
     "graph_kcore_peel",  # per-round edge-count scalar: 1-row cross joins
     "join_bloom_prune",  # build-key-count scalar: 1-row broadcast cross join
+    "retrieval_ndcg_eval",  # inherits bm25's 1-row corpus-stats cross join
 }
 
 

@@ -90,3 +90,89 @@ class TestSplitStructured:
             for prev, nxt in zip(cs, cs[1:]):
                 assert nxt["start_idx"] == prev["end_idx"] + 1, (doc, prev, nxt)
             assert sum(r["n_tokens"] for r in cs) == cs[0]["doc_tokens"]
+
+
+from redcap_omop_etl_spark import workload
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    return workload.queries()[name]
+
+
+class TestNdcgEval:
+    def test_bounds_and_ideal_dominates(self, spark):
+        row = _q("retrieval_ndcg_eval")(spark, SF_SMOKE).collect()[0]
+        assert 0 < row["dcg_micro"] <= row["idcg_micro"]
+        assert 0.0 < row["ndcg"] <= 1.0
+
+
+class TestMmrRerank:
+    def test_selection_properties(self, spark):
+        rows = _q("similarity_mmr_rerank")(spark, SF_SMOKE).orderBy("step").collect()
+        assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == 5, "MMR must never reselect"
+        # greedy argmax over a shrinking candidate set with a growing
+        # penalty: the chosen mmr score is non-increasing step over step
+        scores = [r["mmr"] for r in rows]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+
+
+class TestParetoFrontier:
+    def test_matches_naive_domination(self, spark):
+        # handcrafted (q_int, n_chars) points covering every dominance case:
+        # strict domination on both axes, same-q higher-n domination, and
+        # a same-(q, n) tie (neither dominates — both stay on the frontier)
+        rows = [
+            (1, "s", 100, "a a a a"),  # q=250000, n=100: dominated on both axes
+            (2, "s", 300, "a b c d"),  # q=1000000, n=300: frontier (max q)
+            (3, "s", 400, "a a b b"),  # q=500000, n=400: frontier
+            (4, "s", 200, "a b a b"),  # q=500000, n=200: same-q as 3, lower n
+            (5, "s", 400, "a a a b"),  # q=500000, n=400: exact tie with 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long, text string")
+        from redcap_omop_etl_spark.operators.textstats import ws_tokens
+        from pyspark.sql import functions as F, Window
+
+        toks = ws_tokens(F.col("text"))
+        q = df.select(
+            "doc_id", "source", "n_chars",
+            F.size(F.array_distinct(toks)).cast("bigint").alias("dt"),
+            F.size(toks).cast("bigint").alias("nt"),
+        ).select("doc_id", "source", "n_chars", F.expr("dt * 1000000 div nt").alias("q_int"))
+        pts = [(r["doc_id"], r["q_int"], r["n_chars"]) for r in q.collect()]
+        naive_frontier = {
+            d for d, qq, nn in pts
+            if not any(
+                (q2 >= qq and n2 >= nn and (q2 > qq or n2 > nn))
+                for d2, q2, n2 in pts if d2 != d
+            )
+        }
+        w1 = (Window.partitionBy("source").orderBy(F.desc("q_int"))
+              .rangeBetween(Window.unboundedPreceding, -1))
+        w2 = Window.partitionBy("source", "q_int")
+        m = q.select(
+            "doc_id", "n_chars",
+            F.max("n_chars").over(w1).alias("m1"),
+            F.max("n_chars").over(w2).alias("m2"),
+        )
+        got = {
+            r["doc_id"] for r in m.collect()
+            if (r["m1"] is None or r["m1"] < r["n_chars"]) and r["n_chars"] == r["m2"]
+        }
+        assert got == naive_frontier
+
+
+class TestLinkPrediction:
+    def test_candidates_are_nonedges_with_shared_neighbors(self, spark):
+        from redcap_omop_etl_spark.operators.graph import _copurchase_edges
+
+        out = _q("graph_link_prediction")(spark, SF_SMOKE).collect()
+        assert out, "expected distance-2 candidates"
+        edges = {(r["u"], r["v"]) for r in _copurchase_edges(spark, SF_SMOKE).collect()}
+        for r in out:
+            assert (r["u"], r["v"]) not in edges
+            assert r["u"] < r["v"]
+            assert r["common_neighbors"] >= 1
+            assert 0.0 < r["jaccard"] <= 1.0

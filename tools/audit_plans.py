@@ -86,6 +86,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "over the LIMIT-4 seed vectors (4 rows by construction)",
     ("similarity_hard_negatives", "global-window"): "rank over the "
     "LIMIT-k survivors (10 rows)",
+    ("retrieval_ndcg_eval", "global-window"): "rank windows over the two "
+    "LIMIT-10 survivor sets (observed + ideal rankings)",
+    ("retrieval_ndcg_eval", "bnlj"): "corpus N/avgdl scalar inherited "
+    "from bm25_scores: 1-row broadcast crossJoin",
     ("retrieval_zipf_fit", "global-window"): "with_global_index cumulative "
     "partition offsets: a window over the #shuffle-partitions-row counts "
     "frame (bounded by partition count, never by data) — the price of "

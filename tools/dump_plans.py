@@ -110,6 +110,23 @@ SHOWCASE: dict[str, str] = {
     "rows x subspaces single-struct rows shuffle — the row_number "
     "window it replaced exchanged and sorted rows x subspaces x 32 "
     "candidates.",
+    "retrieval_ndcg_eval": "nDCG@10: both rankings are "
+    "TakeOrderedAndProject cuts (observed by integer BM25 score, ideal "
+    "by integer relevance); gains x Python-literal discounts quantize "
+    "to integer micro-units before order-exact sums; the two sums meet "
+    "in one tagged-union hash aggregate — no 1-row crossJoin.",
+    "curation_pareto_frontier": "Pareto domination via two "
+    "source-partitioned windows (strictly-better-quality RANGE-frame "
+    "running max + same-quality group max) — never a pairwise "
+    "self-join; diversity ratio is exact integer `div`.",
+    "graph_link_prediction": "Wedge enumeration = adjacency self-join "
+    "on the MIDDLE vertex (triangle-count shape), anti-join drops "
+    "existing edges, memoized degree table joins back, integer-keyed "
+    "TakeOrderedAndProject top-20.",
+    "embedding_matryoshka_audit": "Two scored scans (full-dim + "
+    "32-prefix slice), 1e4-quantized scores for deterministic LIMIT "
+    "cuts, overlap as a k x k-bounded join — corpus cost is exactly "
+    "two brute-force passes.",
     "graph_kcore_peel": "Bounded iterative peel as ONE unrolled plan: "
     "per round a degree hash-agg and two joins against the bounded "
     "keep set; no per-round driver collect.",
