@@ -151,6 +151,7 @@ HEADLINE = [
     "embedding_matryoshka_audit",
     "text_bigram_logprob",
     "sql_api_group_by_all",
+    "chunk_prep_pipeline",
 ]
 
 

@@ -1902,3 +1902,116 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log("c2") - F.log("c1")), 6).alias("avg_logprob"),
         )
     )
+
+
+_CHUNK_BIN_TOKENS = 128  # context-window budget for the packing stage
+
+
+@register(
+    "chunk_prep_pipeline",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, u.i - 1 AS pos, w[u.i] AS tok
+      FROM t, unnest(range(1, len(w) + 1)) u(i)
+    ), sec AS (
+      SELECT doc_id, source, pos, tok,
+             sum(CASE WHEN tok IN ('table', 'line') OR pos = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS section_id
+      FROM p
+    ), sub AS (
+      SELECT *, (pos - min(pos) OVER (PARTITION BY doc_id, section_id))
+                  // {_STRUCT_MAX_TOKENS} AS sub_id
+      FROM sec
+    ), ch AS MATERIALIZED (
+      SELECT doc_id, source, section_id, sub_id, count(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM sub GROUP BY 1, 2, 3, 4
+    ), uniq AS MATERIALIZED (
+      SELECT source, chunk_hash, min(n_tokens) AS n_tokens
+      FROM ch GROUP BY source, chunk_hash
+    ), packed AS (
+      SELECT source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY chunk_hash
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {_CHUNK_BIN_TOKENS} AS bin
+      FROM uniq
+    )
+    SELECT ch.source,
+           count(*)::BIGINT AS n_chunks,
+           (SELECT count(*) FROM uniq u WHERE u.source = ch.source)::BIGINT
+             AS n_unique_chunks,
+           ((count(*) - (SELECT count(*) FROM uniq u WHERE u.source = ch.source))
+             * 1000000 // count(*))::BIGINT AS dup_ppm,
+           (SELECT count(DISTINCT bin) FROM packed pk WHERE pk.source = ch.source)::BIGINT
+             AS n_bins,
+           round((SELECT sum(n_tokens) FROM uniq u WHERE u.source = ch.source) * 1.0
+                 / (SELECT count(DISTINCT bin) FROM packed pk WHERE pk.source = ch.source)
+                 / {_CHUNK_BIN_TOKENS}, 6) AS bin_utilization
+    FROM ch GROUP BY ch.source ORDER BY ch.source
+    """,
+    doc="RAG-prep capstone: structure-aware chunking -> chunk-level exact "
+    "dedup -> context-window packing, composed in ONE plan per source — "
+    "the pipeline every retrieval corpus runs between raw documents and "
+    f"an embedding job. Chunks come from split_structured (markers + "
+    f"{_STRUCT_MAX_TOKENS}-token re-split), dedup keys on the chunk "
+    "content hash (one hash-agg), and packing assigns unique chunks to "
+    f"{_CHUNK_BIN_TOKENS}-token bins via a source-partitioned running "
+    "sum over the deterministic hash order (exact integer arithmetic, "
+    "explicit ROWS frame so the cumsum is identical cross-engine). "
+    "Reports per-source chunk counts, dup ppm (integer floor-div), bin "
+    "count, and utilization — the numbers that size the embedding job "
+    "and the index.",
+)
+def chunk_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir)["documents"]
+    ch = split_structured(d, keep_cols=["source"]).transform(tracked_cache)
+    uniq = ch.groupBy("source", "chunk_hash").agg(
+        F.min("n_tokens").alias("n_tokens")
+    ).transform(tracked_cache)
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("chunk_hash")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = uniq.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"coalesce(sum(n_tokens) over (partition by source order by chunk_hash "
+            f"rows between unbounded preceding and 1 preceding), 0) div {_CHUNK_BIN_TOKENS}"
+        ).alias("bin"),
+    )
+    per_chunks = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
+    per_uniq = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("n_tokens").alias("uniq_tokens"),
+    )
+    per_bins = packed.groupBy("source").agg(
+        F.countDistinct("bin").alias("n_bins")
+    )
+    return (
+        per_chunks.join(per_uniq, "source")
+        .join(per_bins, "source")
+        .select(
+            "source",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_unique_chunks").cast("bigint").alias("n_unique_chunks"),
+            F.expr("(n_chunks - n_unique_chunks) * 1000000 div n_chunks")
+            .cast("bigint")
+            .alias("dup_ppm"),
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.round(
+                F.col("uniq_tokens").cast("double")
+                / F.col("n_bins")
+                / _CHUNK_BIN_TOKENS,
+                6,
+            ).alias("bin_utilization"),
+        )
+        .orderBy("source")
+    )

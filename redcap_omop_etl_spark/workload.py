@@ -81,6 +81,7 @@ _PRIORITY = [
     "embedding_matryoshka_audit",
     "text_bigram_logprob",
     "sql_api_group_by_all",
+    "chunk_prep_pipeline",
     "dedup_prefix_jaccard",
     "embedding_pq_audit",
     "retrieval_zipf_fit",

@@ -224,3 +224,43 @@ def test_q21_single_lineitem_scan(spark):
     # form scans it twice and rejoins a fact-sized aggregate)
     plan = _plan(spark, "q21_waiting_suppliers")
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_pq_audit_argmin_is_aggregate_not_window(spark):
+    # round-6 rewrite pin: the PQ assignment argmin must stay a
+    # min(struct(d2q, codeword)) hash aggregate — the row_number-window
+    # form exchanged and sorted rows x subspaces x 32 candidates. The only
+    # permitted Window is the 32-row codeword-seed init.
+    plan = _plan(spark, "embedding_pq_audit")
+    assert plan.count("Window") <= 1, plan
+    assert "min(struct" in plan.replace(" ", "").lower() or "min(named_struct" in plan.lower() or "partial_min" in plan.lower(), plan
+
+
+def test_global_index_is_lazy():
+    # round-6 rewrite pin: building a with_global_index plan must run ZERO
+    # jobs (an earlier version collected per-partition counts at plan
+    # construction — every plan-inspection tool paid a corpus job).
+    import inspect
+
+    from redcap_omop_etl_spark.sinks import chunked
+
+    src = inspect.getsource(chunked.with_global_index)
+    assert ".collect()" not in src, "with_global_index must not collect at plan construction"
+
+
+def test_structured_chunker_single_doc_window(spark):
+    # the splitter's only window work is doc-partitioned (boundary cumsum
+    # + section min); no global window, and the audit output aggregates
+    # per source
+    plan = _plan(spark, "text_chunk_structured")
+    assert "PartitionBy" not in plan  # guard against API drift in toString
+    import re
+
+    # every Window operator line must carry a non-empty partition spec
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ")
+        if s.startswith("Window ") and "windowspecdefinition" in s.lower():
+            continue
+        if s.startswith("Window "):
+            groups = re.findall(r"\[(.*?)\]", s)
+            assert len(groups) >= 2 and groups[1].strip(), line
