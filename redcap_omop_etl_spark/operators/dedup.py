@@ -1005,6 +1005,19 @@ def containment_pairs(
     count, so asymmetry costs nothing extra. Emitted per unordered pair
     with both directions; integer count / integer size divisions are
     bit-exact cross-engine.
+
+    Dup-density boundary (measured, SCALE_r06 mutated-replica stress,
+    registered configuration df_cap=100): 16.1× time at 64× data — the
+    steepest slope of the "safe" near-dup family (MinHash 4.8×, SimHash
+    ~6×). Mechanism: a near-dup family of m ≤ df_cap members still
+    contributes ~m²/2 candidate pairs from every family-shared shingle
+    below the cap (PPJoin's cliff mechanism, bounded here because the
+    cap kills blocking above df_cap docs). The dial is ``df_cap``:
+    lowering it bounds candidates harder, trading recall only for pairs
+    whose entire overlap is cap-hot boilerplate — the standard
+    stop-shingle deal. For dup-dense corpora where exact containment
+    recall matters, apply ``prefix_jaccard_pairs_capped``'s
+    route-to-MinHash overflow pattern at the caller.
     """
     c12 = F.col("i") / F.col("sz1")
     c21 = F.col("i") / F.col("sz2")
