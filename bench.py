@@ -152,6 +152,8 @@ HEADLINE = [
     "text_bigram_logprob",
     "sql_api_group_by_all",
     "chunk_prep_pipeline",
+    "sampling_group_kfold",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -1101,3 +1101,57 @@ def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+N_FOLDS = 5
+
+
+@register(
+    "sampling_group_kfold",
+    f"""
+    WITH f AS (
+      SELECT user_id, event_type,
+             cast(('0x' || substring(md5(cast(user_id AS varchar)), 1, 8)) AS BIGINT)
+               % {N_FOLDS} AS fold
+      FROM events
+    )
+    SELECT fold,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchases
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+    doc=f"Leakage-safe grouped {N_FOLDS}-fold assignment (GroupKFold): the "
+    "fold is a deterministic md5 bucket of the GROUP key (user_id), so "
+    "every event of a user lands in exactly one fold BY CONSTRUCTION — "
+    "the property that keeps cross-validation honest when rows within a "
+    "group are correlated (per-row random splits leak a user's behavior "
+    "across train and eval). No RNG, no state: the assignment replays "
+    "identically across runs, engines, and partitionings, and adding "
+    "data never reassigns an existing user. One hash agg on fold; the "
+    "per-fold class balance (purchases) rides the same pass. Group "
+    "exclusivity is pinned by tests/test_round6_ops.py.",
+)
+def sampling_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    f = e.select(
+        "user_id",
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % N_FOLDS
+        ).alias("fold"),
+    )
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .orderBy("fold")
+    )

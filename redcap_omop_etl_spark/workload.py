@@ -82,6 +82,8 @@ _PRIORITY = [
     "text_bigram_logprob",
     "sql_api_group_by_all",
     "chunk_prep_pipeline",
+    "sampling_group_kfold",
+    "graph_clustering_coefficient",
     "dedup_prefix_jaccard",
     "embedding_pq_audit",
     "retrieval_zipf_fit",

@@ -176,3 +176,23 @@ class TestLinkPrediction:
             assert r["u"] < r["v"]
             assert r["common_neighbors"] >= 1
             assert 0.0 < r["jaccard"] <= 1.0
+
+
+class TestGroupKfold:
+    def test_groups_are_fold_exclusive(self, spark):
+        from redcap_omop_etl_spark.operators.sampling import N_FOLDS, hash_bucket
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        e = Catalog(spark, SF_SMOKE)["events"]
+        per_user = (
+            e.select("user_id", (hash_bucket(F.col("user_id"), N_FOLDS)).alias("fold"))
+            .groupBy("user_id")
+            .agg(F.countDistinct("fold").alias("nf"), F.min("fold").alias("f"))
+        )
+        rows = per_user.collect()
+        assert all(r["nf"] == 1 for r in rows), "a user leaked across folds"
+        assert all(0 <= r["f"] < N_FOLDS for r in rows)
+        # every fold is populated on the fixture corpus
+        out = _q("sampling_group_kfold")(spark, SF_SMOKE).collect()
+        assert [r["fold"] for r in out] == list(range(N_FOLDS))
+        assert all(r["n_users"] > 0 for r in out)
