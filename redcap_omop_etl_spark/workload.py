@@ -63,15 +63,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-6 rotation. Leads: the 8 queries whose behavior or plan
-    # changed this round (capped PPJoin overflow channel + its refactored
-    # shared pipeline, min-struct PQ argmin, fully-lazy two-phase global
-    # rank and both sinks built on it, asof-tolerance oracle boundary,
-    # bootstrap NULL-rank filter) — driver evidence must be refreshed for
-    # refactored queries first. Then oldest-evidence-first: the cohorts
-    # whose latest driver check is round 1, then 2, 3, 4, 5 — so the
-    # ~50-slot gate lands on the leads + all of round-1's 24 + the oldest
-    # round-2 greens.
+    # -- round-6 rotation. Leads: the 12 never-driver-checked round-6
+    # queries (capped PPJoin, structured splitter, nDCG eval, MMR rerank,
+    # Pareto frontier, link prediction, Matryoshka audit, bigram LM,
+    # GROUP BY ALL, chunk-prep capstone, grouped K-fold, clustering
+    # coefficient) plus the 7 whose behavior or plan changed this round
+    # (refactored PPJoin pipeline, min-struct PQ argmin, fully-lazy
+    # two-phase global rank and both sinks built on it, asof-tolerance
+    # oracle boundary, bootstrap NULL-rank filter). Then
+    # oldest-evidence-first: the cohorts whose latest driver check is
+    # round 1, then 2, 3, 4, 5 — so the ~50-slot gate lands on the leads
+    # + all of round-1's 24 + the oldest round-2 greens.
     "dedup_prefix_jaccard_capped",
     "text_chunk_structured",
     "retrieval_ndcg_eval",
