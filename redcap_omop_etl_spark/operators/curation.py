@@ -8,9 +8,14 @@ re-expressed as partitioned-window + hash-agg plans so nothing needs a
 global sort or a driver round-trip.
 
 Scale notes (100 TB):
-- Every window here is PARTITIONED (by source, or by source × decile) —
-  no single-partition global window anywhere. The global artifacts
-  (per-tile reference means) are tile-count-bounded small-table broadcasts.
+- ``source`` is a LOW-cardinality dimension (~20 values on the test
+  corpus), so a plain ``Window.partitionBy("source")`` would cap every
+  data-sized sort at #sources tasks no matter the cluster width — a
+  ~5 TB single-task sort per source at 100 TB. Every per-source rank /
+  ntile here therefore goes through the two-phase partition-offset
+  primitives in ``scalable_windows`` (range-partition on (source, order),
+  per-(pid, source) summary offsets, local ``(__pid, source)`` windows):
+  parallelism = partition count, bit-identical results.
 - Quantile normalization uses the bucketed (ntile) formulation rather
   than exact rank-matching: at corpus scale the reference distribution is
   a fixed small vector (one mean per tile), which is the form that ships
@@ -52,15 +57,22 @@ N_DECILES = 10
     "sources: each doc maps to its within-source quantile tile "
     "(ntile(20), tie-broken by doc_id), then takes the cross-source mean "
     "of its tile — the bucketed quantile-normalization used to make "
-    "heterogeneous source score distributions comparable. Partitioned "
-    "window + 20-row broadcast reference; exact long sums make the tile "
-    "means bit-identical cross-engine.",
+    "heterogeneous source score distributions comparable. The per-source "
+    "ntile runs through the two-phase keyed_ntile primitive (the "
+    "data-sized sort is partitioned by (__pid, source), not the 20-value "
+    "source key) + 20-row broadcast reference; exact long sums make the "
+    "tile means bit-identical cross-engine.",
 )
 def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_ntile
+
     d = Catalog(spark, sf_dir)["documents"]
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    t = d.select(
-        "doc_id", "source", "n_chars", F.ntile(N_TILES).over(w).cast("bigint").alias("tile")
+    t = keyed_ntile(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        ["n_chars", "doc_id"],
+        N_TILES,
+        "tile",
     )
     ref = t.groupBy("tile").agg(
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("qnorm_chars")
@@ -83,19 +95,32 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Curriculum ordering: difficulty deciles (n_chars proxy) within "
     "each source shard, interleaved round-robin — shard position "
-    "(rn−1)·10 + (decile−1) cycles easy→hard repeatedly, computed purely "
-    "arithmetically from partitioned windows (no global row_number, which "
-    "would be a single-partition exchange at corpus scale).",
+    "(rn−1)·10 + (decile−1) cycles easy→hard repeatedly. Both keyed "
+    "ranks (the per-source ntile and the per-(source, decile) "
+    "row_number) run through the two-phase partition-offset primitives: "
+    "source has ~20 values and (source, decile) ~200, so naive keyed "
+    "windows would cap the corpus sorts at that many tasks; here every "
+    "data-sized sort is partitioned by (__pid, key).",
 )
 def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir)["documents"]
-    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    t = d.select(
-        "doc_id", "source", F.ntile(N_DECILES).over(w_src).cast("bigint").alias("decile")
+    from redcap_omop_etl_spark.operators.scalable_windows import (
+        keyed_ntile,
+        with_keyed_index,
     )
-    w_dec = Window.partitionBy("source", "decile").orderBy("doc_id")
-    shard_pos = (F.row_number().over(w_dec) - 1) * N_DECILES + F.col("decile") - 1
-    return t.select("doc_id", "source", "decile", shard_pos.cast("bigint").alias("shard_pos"))
+
+    d = Catalog(spark, sf_dir)["documents"]
+    t = keyed_ntile(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        ["n_chars", "doc_id"],
+        N_DECILES,
+        "decile",
+    ).select("doc_id", "source", "decile")
+    t2 = with_keyed_index(t, ["source", "decile"], ["doc_id"], "__rn")
+    shard_pos = F.col("__rn") * N_DECILES + F.col("decile") - 1
+    return t2.select(
+        "doc_id", "source", "decile", shard_pos.cast("bigint").alias("shard_pos")
+    )
 
 
 @register(
@@ -298,10 +323,13 @@ def curation_rep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strict. The frontier is what a curator keeps when two quality "
     "axes can't be collapsed into one score. Plan: diversity is an exact "
     "INTEGER ratio (distinct_tokens*1e6 // tokens — no double race), and "
-    "domination is two source-partitioned windows (a strictly-better-"
-    "quality running max via a RANGE frame excluding ties, plus a "
-    "same-quality group max) — never a pairwise self-join, so the "
-    "frontier costs two window passes at any corpus size.",
+    "domination never touches a pairwise self-join OR a corpus-sized "
+    "keyed window: the corpus collapses through two hash aggregates to "
+    "one row per (source, q_int) — carrying the group max length, the "
+    "count of rows AT that max (max_by over per-length counts), and the "
+    "group size — and the strictly-better-quality running max is a "
+    "window over THAT frame, whose size is bounded by q_int's value "
+    "domain (≤ 1e6+1 rows per source by construction), not by row count.",
 )
 def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.operators.textstats import ws_tokens
@@ -319,29 +347,39 @@ def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", "n_chars", F.expr("dt * 1000000 div nt").alias("q_int")
     )
+    # collapse the corpus BEFORE any window: one row per distinct
+    # (source, q_int, n_chars), then per (source, q_int) keep the max
+    # length, the row count achieving it (frontier candidates — ties all
+    # qualify), and the group size. max_by is deterministic here because
+    # n_chars is the grouping key of the inner aggregate (unique per row).
+    g2 = q.groupBy("source", "q_int", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    gm = g2.groupBy("source", "q_int").agg(
+        F.max("n_chars").alias("gmax"),
+        F.max_by("c", "n_chars").alias("c_at_max"),
+        F.sum("c").alias("n_rows"),
+    )
+    # strictly-better-quality running max over the AGGREGATED frame: gm
+    # is unique on (source, q_int), so the 1-PRECEDING rows frame in
+    # q_int-descending order is exactly "all strictly higher q_int" —
+    # the RANGE-frame semantics of the naive formulation, now over a
+    # value-domain-bounded input instead of the corpus.
     w1 = (
         Window.partitionBy("source")
         .orderBy(F.desc("q_int"))
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w2 = Window.partitionBy("source", "q_int")
-    m = q.select(
-        "source",
-        "n_chars",
-        F.max("n_chars").over(w1).alias("m1"),
-        F.max("n_chars").over(w2).alias("m2"),
-    )
-    on_front = (F.col("m1").isNull() | (F.col("m1") < F.col("n_chars"))) & (
-        F.col("n_chars") == F.col("m2")
-    )
+    m = gm.withColumn("m1", F.max("gmax").over(w1))
+    on_front = F.col("m1").isNull() | (F.col("m1") < F.col("gmax"))
     return (
         m.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.when(on_front, 1).otherwise(0)).cast("bigint").alias("n_frontier"),
+            F.sum("n_rows").cast("bigint").alias("n_docs"),
+            F.sum(F.when(on_front, F.col("c_at_max")).otherwise(0))
+            .cast("bigint")
+            .alias("n_frontier"),
             F.round(
-                F.sum(F.when(on_front, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(F.when(on_front, F.col("c_at_max")).otherwise(0)).cast("double")
+                / F.sum("n_rows"),
                 6,
             ).alias("frontier_share"),
         )

@@ -648,13 +648,16 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Context-window sequence packing: documents packed into ~512-token "
     "training bins. Greedy packing is inherently sequential, so the "
     "scalable form shards into pack_groups (hash of the key) and packs "
-    "within each by running token count — one window per group (one "
-    "shuffle), deterministic bin assignment under any layout, parallel "
-    "across groups. Start-offset binning bounds overflow to one document "
-    "per bin boundary.",
+    "within each by running token count. The shard count here is a fixed "
+    "16, so the per-group running sum goes through the two-phase "
+    "keyed_running_sum primitive (data-sized sort partitioned by "
+    "(__pid, pack_group), offsets from a tiny per-(pid, group) summary) "
+    "— parallelism stays at partition count even with few groups. "
+    "Deterministic bin assignment under any layout; start-offset binning "
+    "bounds overflow to one document per bin boundary.",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_running_sum
     from redcap_omop_etl_spark.operators.textstats import ws_tokens
 
     d = Catalog(spark, sf_dir)["documents"]
@@ -663,11 +666,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 16).cast("int").alias("pack_group"),
         F.size(ws_tokens(F.col("text"))).alias("n_tok"),
     )
-    w = W.partitionBy("pack_group").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("int"),
-    )
+    packed = keyed_running_sum(
+        toks, ["pack_group"], ["doc_id"], "n_tok", "__ps"
+    ).withColumn("bin_id", F.floor(F.col("__ps") / 512.0).cast("int"))
     return packed.groupBy("pack_group", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
@@ -713,13 +714,16 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Capstone composition: deterministic mixture (100%/50%) → quality "
     "gate → per-source exact dedup → sequence packing → per-source "
     "corpus stats, ONE declarative plan. The mixture and gate are "
-    "scan-time filters; dedup and packing share the source-keyed "
-    "shuffle; every stage is an operator demonstrated standalone "
+    "scan-time filters; dedup is a (source, fp) hash agg; packing's "
+    "per-source running sum goes through the two-phase "
+    "keyed_running_sum primitive (source has ~20 values — a naive "
+    "source-keyed window would cap the sort at 20 tasks at any cluster "
+    "size); every stage is an operator demonstrated standalone "
     "elsewhere in the registry — this query pins that they compose "
     "without materialization barriers.",
 )
 def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_running_sum
     from redcap_omop_etl_spark.operators.textstats import (
         fingerprint_md5,
         ws_tokens,
@@ -740,10 +744,9 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "fp")
         .agg(F.min("doc_id").alias("keep_id"), F.min("n_tok").alias("n_tok"))
     )
-    w = W.partitionBy("source").orderBy("keep_id").rowsBetween(W.unboundedPreceding, 0)
-    packed = deduped.withColumn(
-        "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("int")
-    )
+    packed = keyed_running_sum(
+        deduped, ["source"], ["keep_id"], "n_tok", "__ps"
+    ).withColumn("bin_id", F.floor(F.col("__ps") / 512.0).cast("int"))
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
@@ -771,22 +774,31 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-source document quota (training-mixture enforcement): rank "
     "each source's documents by a deterministic priority (length desc, "
     "doc_id tie-break), cap at K=10, and report the kept/dropped audit "
-    "per source in the same pass. One shuffle on source for the window, "
-    "re-used by the aggregate (same key, no second exchange). The filter "
-    "variant (return the kept rows) is the same plan minus the agg.",
+    "per source. Plan: the kept side is the two-phase keyed_topk — a "
+    "local top-K inside every EXISTING scan partition (no corpus "
+    "shuffle at all), then an exact per-source rank over the "
+    "≤ #partitions×K-row candidate frame — and the totals are one "
+    "map-side-combined hash agg; the two dim-sized results broadcast-"
+    "join. A naive source-keyed rank window would shuffle the whole "
+    "corpus onto ~20 source values and sort each inside one task.",
 )
 def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
 
     d = Catalog(spark, sf_dir)["documents"]
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
-    kept = F.col("rk") <= 10
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
-        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+    docs = d.select("source", "n_chars", "doc_id")
+    top = keyed_topk(docs, ["source"], [F.col("n_chars").desc(), "doc_id"], 10)
+    kept = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(F.broadcast(kept), "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_chars",
     )
 
 

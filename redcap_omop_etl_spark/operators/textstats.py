@@ -1959,33 +1959,32 @@ _CHUNK_BIN_TOKENS = 128  # context-window budget for the packing stage
     f"an embedding job. Chunks come from split_structured (markers + "
     f"{_STRUCT_MAX_TOKENS}-token re-split), dedup keys on the chunk "
     "content hash (one hash-agg), and packing assigns unique chunks to "
-    f"{_CHUNK_BIN_TOKENS}-token bins via a source-partitioned running "
-    "sum over the deterministic hash order (exact integer arithmetic, "
-    "explicit ROWS frame so the cumsum is identical cross-engine). "
+    f"{_CHUNK_BIN_TOKENS}-token bins via the two-phase keyed running "
+    "sum over the deterministic hash order (exact integer arithmetic; "
+    "the data-sized sort is partitioned by (__pid, source), never by "
+    "the ~20-value source key alone). "
     "Reports per-source chunk counts, dup ppm (integer floor-div), bin "
     "count, and utilization — the numbers that size the embedding job "
     "and the index.",
 )
 def chunk_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_running_sum
 
     d = Catalog(spark, sf_dir)["documents"]
     ch = split_structured(d, keep_cols=["source"]).transform(tracked_cache)
     uniq = ch.groupBy("source", "chunk_hash").agg(
         F.min("n_tokens").alias("n_tokens")
     ).transform(tracked_cache)
-    wrun = (
-        Window.partitionBy("source")
-        .orderBy("chunk_hash")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = uniq.select(
+    # packing's per-source running sum goes through the two-phase
+    # keyed_running_sum primitive: source has ~20 values, so the naive
+    # source-partitioned window this replaces capped the unique-chunk
+    # sort at 20 tasks at any cluster size.
+    packed = keyed_running_sum(
+        uniq, ["source"], ["chunk_hash"], "n_tokens", "__ps"
+    ).select(
         "source",
         "n_tokens",
-        F.expr(
-            f"coalesce(sum(n_tokens) over (partition by source order by chunk_hash "
-            f"rows between unbounded preceding and 1 preceding), 0) div {_CHUNK_BIN_TOKENS}"
-        ).alias("bin"),
+        F.expr(f"__ps div {_CHUNK_BIN_TOKENS}").alias("bin"),
     )
     per_chunks = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
     per_uniq = uniq.groupBy("source").agg(
