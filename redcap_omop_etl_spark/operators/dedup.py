@@ -1016,8 +1016,9 @@ def containment_pairs(
     lowering it bounds candidates harder, trading recall only for pairs
     whose entire overlap is cap-hot boilerplate — the standard
     stop-shingle deal. For dup-dense corpora where exact containment
-    recall matters, apply ``prefix_jaccard_pairs_capped``'s
-    route-to-MinHash overflow pattern at the caller.
+    recall matters, use ``containment_pairs_capped``: the in-repo port
+    of ``prefix_jaccard_pairs_capped``'s route-to-MinHash overflow
+    pattern.
     """
     c12 = F.col("i") / F.col("sz1")
     c21 = F.col("i") / F.col("sz2")
@@ -1031,6 +1032,95 @@ def containment_pairs(
             F.round(c21, 6).alias("cont_2in1"),
         )
     )
+
+
+def containment_pairs_capped(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 100,
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Containment with a hot-shingle candidate cap + overflow channel —
+    the ``prefix_jaccard_pairs_capped`` pattern ported to the asymmetric
+    metric (the round-6 verdict's ask: containment was the steepest
+    remaining safe-family slope at 16.1× time on 64× dup-dense data,
+    SCALE_r06, because a near-dup family of m ≤ df_cap members still
+    contributes ~m²/2 candidates from every family-shared shingle).
+
+    Three shingle tiers by global document frequency ``dfr``:
+
+    - ``dfr > df_cap``: boilerplate — EXCLUDED from the metric itself,
+      exactly as in uncapped ``containment_pairs(df_cap=...)`` (dropping
+      them changes what "containment" measures; that trade is this
+      operator family's existing, documented semantics).
+    - ``bucket_cap < dfr ≤ df_cap``: WARM — in-metric but
+      candidate-explosive. Every document carrying a warm shingle routes
+      whole to the ``overflow`` side-channel (callers re-run those docs
+      through ``minhash_lsh_pairs``, the bounded-slope operator).
+    - ``dfr ≤ bucket_cap``: cool — candidate generation proceeds.
+
+    Recall contract (exact below the cap, mirroring the PPJoin cap): for
+    any clean-doc pair with capped-metric containment ≥ t, every shared
+    in-metric shingle is carried by both docs and neither doc holds a
+    warm shingle, so all shared shingles are cool and the pair survives
+    candidate generation with its EXACT containment (clean docs carry no
+    warm shingles, hence their in-metric shingle sets — sizes and
+    intersections — are untouched by the routing). Every missed pair
+    therefore has ≥ 1 endpoint in ``overflow``. Pinned by
+    ``TestContainmentCapped`` (tests/test_llm_ops.py).
+
+    Candidate volume: every joined shingle has ``dfr ≤ bucket_cap``, so
+    candidates ≤ #shingles × cap²/2 — linear in corpus size for fixed
+    cap, killing the m²/2 family cliff (a family of m > bucket_cap
+    members shares shingles with dfr ≥ m, which are warm or boilerplate).
+    Joins against ``warm``/``overflow`` carry no broadcast hint — AQE
+    broadcasts them when small and degrades to shuffle joins on
+    adversarial corpora where the overflow set itself is large.
+
+    Returns ``(pairs, overflow)``: pairs = (d1, d2, cont_1in2,
+    cont_2in1) among clean docs; overflow = (doc), one row per routed
+    document.
+    """
+    sh_all = fan_out(df).select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).transform(tracked_cache)
+    dfreq = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
+    boiler = dfreq.filter(F.col("dfr") > df_cap).select("s")
+    sh = sh_all.join(boiler, "s", "left_anti").transform(tracked_cache)
+    warm = dfreq.filter(
+        (F.col("dfr") <= df_cap) & (F.col("dfr") > bucket_cap)
+    ).select("s")
+    overflow = sh.join(warm, "s", "left_semi").select("doc").distinct()
+    clean = sh.join(overflow, "doc", "left_anti").transform(tracked_cache)
+    sizes = clean.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        clean.alias("a")
+        .join(
+            clean.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    c12 = F.col("i") / F.col("sz1")
+    c21 = F.col("i") / F.col("sz2")
+    pairs = (
+        inter.join(
+            sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1"
+        )
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .filter(F.greatest(c12, c21) >= threshold)
+        .select(
+            "d1",
+            "d2",
+            F.round(c12, 6).alias("cont_1in2"),
+            F.round(c21, 6).alias("cont_2in1"),
+        )
+    )
+    return pairs, overflow
 
 
 @register(
@@ -1053,4 +1143,78 @@ def containment_pairs(
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         Catalog(spark, sf_dir)["documents"], threshold=0.5, n=3, df_cap=100
+    )
+
+
+# Cap used by the REGISTERED capped-containment query: tiny (like
+# _PPJOIN_GATE_CAP) so the driver's sf0.01 corpus exercises BOTH channels
+# — warm-shingle detection, overflow routing, and exact containment among
+# clean docs all get cross-engine-hashed. Production callers use the
+# signature default (bucket_cap=64); the recall-completeness property is
+# pinned at realistic caps by TestContainmentCapped on a dup-dense
+# synthetic corpus.
+_CONTAIN_GATE_CAP = 2
+
+
+@register(
+    "dedup_containment_capped",
+    f"""
+    WITH {shingle_sql_cte(materialized=True)}, dfreq AS MATERIALIZED (
+      SELECT s, count(*) AS dfr FROM __sh GROUP BY s
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, __sh.s FROM __sh JOIN dfreq ON __sh.s = dfreq.s
+      WHERE dfr <= 100
+    ), warm AS MATERIALIZED (
+      SELECT s FROM dfreq WHERE dfr <= 100 AND dfr > {_CONTAIN_GATE_CAP}
+    ), overflow AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM warm)
+    ), clean AS MATERIALIZED (
+      SELECT doc_id, s FROM sh
+      WHERE doc_id NOT IN (SELECT doc_id FROM overflow)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM clean GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM clean a JOIN clean b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT 'pair' AS kind, d1, d2,
+           round(i * 1.0 / x.sz, 6) AS cont_1in2,
+           round(i * 1.0 / y.sz, 6) AS cont_2in1
+    FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE greatest(i * 1.0 / x.sz, i * 1.0 / y.sz) >= 0.5
+    UNION ALL
+    SELECT 'overflow' AS kind, doc_id AS d1, NULL::BIGINT AS d2,
+           NULL::DOUBLE AS cont_1in2, NULL::DOUBLE AS cont_2in1
+    FROM overflow
+    """,
+    doc="Scale-capped containment (the SCALE_r06 16.1×-slope fix, "
+    "porting the capped-PPJoin overflow pattern): in-metric shingles "
+    f"whose document frequency exceeds the cap ({_CONTAIN_GATE_CAP} "
+    "here so the sf0.01 gate data exercises the channel; 64 is the "
+    "production default) mark their documents as 'overflow' rows — the "
+    "caller routes those through MinHash-LSH — while containment among "
+    "the remaining docs is EXACT (clean docs carry no warm shingles, so "
+    "their in-metric sizes and intersections are untouched). Every "
+    "joined shingle has df ≤ cap, so candidate volume is linear in "
+    "corpus size — a near-dup family can no longer go quadratic.",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, overflow = containment_pairs_capped(
+        Catalog(spark, sf_dir)["documents"],
+        threshold=0.5,
+        n=3,
+        df_cap=100,
+        bucket_cap=_CONTAIN_GATE_CAP,
+    )
+    return pairs.select(
+        F.lit("pair").alias("kind"), "d1", "d2", "cont_1in2", "cont_2in1"
+    ).unionByName(
+        overflow.select(
+            F.lit("overflow").alias("kind"),
+            F.col("doc").alias("d1"),
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("double").alias("cont_1in2"),
+            F.lit(None).cast("double").alias("cont_2in1"),
+        )
     )

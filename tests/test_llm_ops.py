@@ -446,3 +446,84 @@ class TestPrefixJaccardCapped:
         thr = 0.5
         exact = _pair_set(dedup.ngram_jaccard_pairs(dense, thr))
         assert _pair_set(dedup.prefix_jaccard_pairs(dense, thr)) == exact
+
+
+class TestContainmentCapped:
+    """Recall-completeness contract of the containment cap (the SCALE_r06
+    16.1x-slope fix, porting the PPJoin overflow pattern): in-cap pairs +
+    pairs-touching-overflow == uncapped(df_cap) pairs, and surviving
+    pairs keep their EXACT containment values, on a dup-dense corpus
+    where the cap actually fires."""
+
+    @pytest.fixture(scope="class")
+    def dense(self, spark):
+        # Same regime as TestPrefixJaccardCapped's corpus: 3 near-dup
+        # families x 12 members (one mutated word each) whose shared
+        # shingles have df ~ 12 — in-metric under df_cap=100 but above
+        # bucket_cap=4 — plus singleton background docs, plus one
+        # quote-containment pair (short doc embedded in a long one) built
+        # from family-free vocabulary so it stays in the clean channel.
+        rows = []
+        did = 0
+        for fam in range(3):
+            base = [f"w{fam}x{i}" for i in range(14)]
+            for m in range(12):
+                words = list(base)
+                words[m % 14] = f"mut{fam}x{m}"
+                rows.append((did, " ".join(words)))
+                did += 1
+        for s in range(20):
+            rows.append((did, " ".join(f"solo{s}x{i}" for i in range(14))))
+            did += 1
+        quote = [f"q0x{i}" for i in range(8)]
+        rows.append((did, " ".join(quote))); did += 1
+        rows.append((did, " ".join([f"art0x{i}" for i in range(10)] + quote))); did += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_recall_complete_and_exact_below_cap(self, spark, dense):
+        thr = 0.5
+        uncapped_df = dedup.containment_pairs(dense, thr, df_cap=100)
+        uncapped = _pair_set(uncapped_df)
+        pairs, overflow = dedup.containment_pairs_capped(
+            dense, thr, df_cap=100, bucket_cap=4
+        )
+        capped = _pair_set(pairs)
+        odocs = {r.doc for r in overflow.collect()}
+        assert odocs, "cap must fire on a dup-dense corpus"
+        assert capped <= uncapped, "capped pairs must be a subset (no false pairs)"
+        missed = uncapped - capped
+        assert all(a in odocs or b in odocs for a, b in missed)
+        # exact recall below the cap: capped == uncapped restricted to clean
+        assert capped == {
+            (a, b) for a, b in uncapped if a not in odocs and b not in odocs
+        }
+        # surviving pairs keep their EXACT containment values (clean docs
+        # carry no warm shingles, so sizes/intersections are untouched)
+        ref = {
+            (r.d1, r.d2): (r.cont_1in2, r.cont_2in1)
+            for r in uncapped_df.collect()
+            if r.d1 not in odocs and r.d2 not in odocs
+        }
+        got = {(r.d1, r.d2): (r.cont_1in2, r.cont_2in1) for r in pairs.collect()}
+        assert got == ref
+        # the quote-containment pair must be in the clean channel (its
+        # vocabulary is family-free, so the cap cannot have routed it)
+        quote_pair = (dense.count() - 2 + 0, dense.count() - 1)
+        assert (quote_pair[0], quote_pair[1]) in capped
+        # caller recipe closes the gap: both-overflow pairs are recovered
+        # by re-running a finder on just the overflow subset
+        over_docs = dense.join(
+            overflow.withColumnRenamed("doc", "doc_id"), "doc_id", "left_semi"
+        )
+        both_over = {(a, b) for a, b in missed if a in odocs and b in odocs}
+        recovered = _pair_set(dedup.containment_pairs(over_docs, thr, df_cap=100))
+        assert both_over <= recovered
+
+    def test_family_above_cap_routes_whole_family(self, spark, dense):
+        # every family member carries family-shared shingles with df~12 > 4,
+        # so all 36 family docs must be in overflow
+        _, overflow = dedup.containment_pairs_capped(
+            dense, 0.5, df_cap=100, bucket_cap=4
+        )
+        odocs = {r.doc for r in overflow.collect()}
+        assert set(range(36)) <= odocs

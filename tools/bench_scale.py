@@ -104,6 +104,7 @@ NEARDUP_QUERIES = [
     "dedup_prefix_jaccard",
     "dedup_prefix_jaccard_cap64",
     "dedup_containment",
+    "dedup_containment_cap64",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -116,7 +117,10 @@ def _extra_queries():
     channel; the scale question is about the PRODUCTION default (cap=64),
     so the stress times that configuration — pairs and overflow both
     materialized, like a real caller would."""
-    from redcap_omop_etl_spark.operators.dedup import prefix_jaccard_pairs_capped
+    from redcap_omop_etl_spark.operators.dedup import (
+        containment_pairs_capped,
+        prefix_jaccard_pairs_capped,
+    )
     from redcap_omop_etl_spark.sources.readers import Catalog
 
     def cap64(spark, sf_dir):
@@ -131,7 +135,27 @@ def _extra_queries():
             )
         )
 
-    return {"dedup_prefix_jaccard_cap64": cap64}
+    def contain_cap64(spark, sf_dir):
+        pairs, overflow = containment_pairs_capped(
+            Catalog(spark, sf_dir)["documents"],
+            threshold=0.5,
+            n=3,
+            df_cap=100,
+            bucket_cap=64,
+        )
+        return pairs.unionByName(
+            overflow.select(
+                F.col("doc").alias("d1"),
+                F.lit(None).cast("bigint").alias("d2"),
+                F.lit(None).cast("double").alias("cont_1in2"),
+                F.lit(None).cast("double").alias("cont_2in1"),
+            )
+        )
+
+    return {
+        "dedup_prefix_jaccard_cap64": cap64,
+        "dedup_containment_cap64": contain_cap64,
+    }
 
 # token-mutation granularity for --neardup: replica r mutates the tokens
 # with u(t, i) < r/MUT_K, so replicas r, r' differ on (r-r')/MUT_K of
