@@ -915,6 +915,146 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(Catalog(spark, sf_dir)["documents"], n_merges=5)
 
 
+def _local_bpe(
+    word_counts: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Classic driver-local BPE with incremental pair-count maintenance
+    (the Sennrich ``learn_bpe`` shape, public algorithm): pair counts and
+    a pair→words inverted index are updated only for the words a merge
+    actually touches, so 30k merges over a bounded vocabulary run in
+    seconds of pure Python instead of 30k distributed rounds.
+
+    Semantics match ``bpe_learn(batch_m=1)`` exactly (pinned by
+    ``test_bpe_local_matches_distributed``): pair counts are OVERLAPPING
+    adjacencies weighted by word frequency, the winner breaks ties on
+    (count DESC, "a b" string ASC), and the merge applies greedily
+    left-to-right non-overlapping — the same contract as the distributed
+    fold and the replace-based DuckDB oracle.
+    """
+    import heapq
+    from collections import defaultdict
+
+    def apply_merge(sym: list[str], a: str, b: str, merged: str) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    words = [[list(sym), cnt] for sym, cnt in word_counts]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (sym, cnt) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            stats[p] += cnt
+            index[p].add(wi)
+
+    # Lazy-invalidation heap for the per-round argmax: a linear scan of
+    # the pair table per merge is O(#pairs × n_merges) — minutes at 30k
+    # merges over a 50k-word vocab — while popping a heap whose stale
+    # entries are discarded on sight amortizes to (pushes + pops) log n.
+    # Entry order (-count, "a b") == ORDER BY n DESC, pair ASC, the same
+    # tie-break as the distributed learner and the DuckDB oracle.
+    heap: list[tuple[int, str, tuple[str, str]]] = [
+        (-n, f"{p[0]} {p[1]}", p) for p, n in stats.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negn, _, (a, b) = heapq.heappop(heap)
+        if stats.get((a, b), 0) != -negn:  # stale entry (count changed)
+            continue
+        n = -negn
+        merged = a + b
+        merges.append((len(merges) + 1, a, b, merged, n))
+        touched: set[tuple[str, str]] = set()
+        for wi in list(index[(a, b)]):
+            sym, cnt = words[wi]
+            new_sym = apply_merge(sym, a, b, merged)
+            for p in zip(sym, sym[1:]):
+                stats[p] -= cnt
+                if stats[p] <= 0:
+                    del stats[p]
+                index[p].discard(wi)
+                touched.add(p)
+            for p in zip(new_sym, new_sym[1:]):
+                stats[p] += cnt
+                index[p].add(wi)
+                touched.add(p)
+            words[wi][0] = new_sym
+        for p in touched:
+            if p in stats:
+                heapq.heappush(heap, (-stats[p], f"{p[0]} {p[1]}", p))
+    return merges
+
+
+def bpe_learn_sampled(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    vocab_top_k: int | None = None,
+) -> DataFrame:
+    """Sample-based BPE learner — the production alternative documented in
+    DEPLOY.md ("BPE training at production merge counts") that removes the
+    per-merge driver-round budget entirely.
+
+    Key fact: the deduplicated (word, count) frequency table is BPE's
+    SUFFICIENT STATISTIC — the merge table depends on the corpus only
+    through it. So instead of running ~n_merges distributed rounds (each
+    a vocab-sized shuffle + bounded collect, 0.44 s/round measured), this
+    learner does ONE distributed word-count aggregation, collects the
+    frequency table (bounded: vocabulary grows ~Heaps' law, and
+    ``vocab_top_k`` hard-caps the collect via TakeOrdered — ORDER BY cnt
+    DESC, w LIMIT K — for adversarial corpora; tail words contribute
+    near-zero pair mass, the standard sampling trade), and learns all
+    merges driver-locally with incremental pair-count updates. Encoding
+    the corpus with the learned table (``bpe_encode``) stays distributed
+    and single-pass.
+
+    With ``vocab_top_k=None`` (or K ≥ vocabulary) the merge table is
+    IDENTICAL to ``bpe_learn(batch_m=1)`` — same sufficient statistic,
+    same tie-breaks (pinned by test + the shared DuckDB oracle).
+    """
+    words = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if vocab_top_k is not None:
+        # TakeOrderedAndProject: bounded collect regardless of corpus size
+        words = words.orderBy(F.desc("cnt"), F.asc("w")).limit(vocab_top_k)
+    rows = words.collect()
+    merges = _local_bpe([(list(r["w"]), int(r["cnt"])) for r in rows], n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, frequency long"
+    )
+
+
+@register(
+    "bpe_learn_sampled",
+    _bpe_oracle_sql(5),
+    doc="Sample-based BPE learner: ONE distributed word-frequency "
+    "aggregation (BPE's sufficient statistic), a bounded TakeOrdered "
+    "collect of the top-50k-by-count vocabulary, then all merges learned "
+    "driver-locally with incremental pair-count maintenance — removing "
+    "the per-merge driver-round budget of the iterative learner "
+    "(~470 rounds for a 30k natural-corpus vocab) entirely. Merge table "
+    "identical to bpe_learn_merges at any K covering the vocabulary; "
+    "shares its oracle verbatim.",
+)
+def bpe_learn_sampled_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn_sampled(
+        Catalog(spark, sf_dir)["documents"], n_merges=5, vocab_top_k=50_000
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-level repetition / boilerplate analysis (Gopher + RefinedWeb style)
 # --------------------------------------------------------------------------

@@ -527,3 +527,51 @@ class TestContainmentCapped:
         )
         odocs = {r.doc for r in overflow.collect()}
         assert set(range(36)) <= odocs
+
+
+class TestBpeLearnSampled:
+    """The driver-local sample-based learner (DEPLOY.md production
+    alternative) must reproduce the distributed loop exactly when the
+    sample covers the vocabulary — word counts are BPE's sufficient
+    statistic — and must bound its collect via TakeOrdered when not."""
+
+    def test_local_matches_distributed(self, spark, docs):
+        from redcap_omop_etl_spark.operators.textstats import (
+            bpe_learn,
+            bpe_learn_sampled,
+        )
+
+        want = [tuple(r) for r in bpe_learn(docs, n_merges=6, batch_m=1).collect()]
+        got = [tuple(r) for r in bpe_learn_sampled(docs, n_merges=6).collect()]
+        assert got == want
+        got_k = [
+            tuple(r)
+            for r in bpe_learn_sampled(docs, n_merges=6, vocab_top_k=10_000).collect()
+        ]
+        assert got_k == want  # K >= vocab: identical by construction
+
+    def test_top_k_restricts_vocabulary(self, spark):
+        from redcap_omop_etl_spark.operators.textstats import bpe_learn_sampled
+
+        # 'zz' is the most frequent word; K=1 must learn only from it
+        df = spark.createDataFrame(
+            [(1, "zz zz zz ab ab cd")], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_learn_sampled(df, n_merges=3, vocab_top_k=1).collect()]
+        assert got == [(1, "z", "z", "zz", 3)]
+
+    def test_incremental_stats_stay_consistent(self, spark):
+        # a merge chain that repeatedly touches the same words exercises
+        # the decrement/delete/re-add bookkeeping of the inverted index
+        from redcap_omop_etl_spark.operators.textstats import bpe_learn_sampled
+
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaa ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_learn_sampled(df, n_merges=4).collect()]
+        # rank 1: ('a','a') count = 3*3(aaaa) + 2(aaa) + 0(ab) = 11
+        assert got[0] == (1, "a", "a", "aa", 11)
+        # after merge: aaaa->[aa,aa], aaa->[aa,a], ab untouched
+        # pairs: (aa,aa): 3, (aa,a): 1, (a,b): 3 -> tie-break picks 'a b'? counts: (aa,aa)=3,(a,b)=3 -> 'a b' < 'aa aa'
+        assert got[1] == (2, "a", "b", "ab", 3)
+        assert got[2] == (3, "aa", "aa", "aaaa", 3)
