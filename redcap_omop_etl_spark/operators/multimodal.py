@@ -6,13 +6,16 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` stages so the heavy bytes never leave the
 executor and Python sees whole record batches, not rows.
 
-The actual codec work is STUBBED (this container ships no image/audio
-libs): ``decode_media`` falls back to a clearly-marked deterministic fake
-when PIL/torchvision-style decoders are absent, and ``resize_media``
-raises ``NotImplementedError`` without a real decoder. The Spark-side
-contract — schemas, batch iteration, partition sizing, UDF signatures — is
-real and tested; swapping in a real codec changes only the inner
-``_decode_bytes`` function.
+Codec status (round 7): UNCOMPRESSED containers are decoded for real —
+pure-Python/numpy BMP (24-bit BI_RGB, bottom-up rows, 4-byte padding) and
+WAV (RIFF chunk walk, PCM16) parsers live in ``_media_codecs`` and run
+inside the Arrow ``mapInPandas`` stages; ``resize_media`` does a real
+nearest-neighbor resize + re-encode for BMP payloads. The
+``multimodal_decode_stats`` oracle verifies DECODED pixel/sample values
+positionally (padding stripped, bottom-up rows re-flipped, little-endian
+int16 samples), not just byte counts. Compressed formats (PNG/JPEG/FLAC…)
+still require external libs absent from this container and keep the
+clearly-marked fallback in ``_decode_bytes``.
 
 Scale notes: payload columns dominate row size, so stages that don't need
 bytes must ``select`` them away BEFORE shuffling (column pruning does not
@@ -77,14 +80,113 @@ def synth_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _decode_bytes(payload: bytes) -> "object":
-    """Decode payload → pixel array. STUB: with no codec libs in this
-    container, returns the raw byte buffer as the 'decoded' array — a
-    deterministic fake with the same downstream interface."""
+def _media_codecs():
+    """Pure-Python/numpy codecs for UNCOMPRESSED containers — the honest
+    no-pip decode path (VERDICT r6 item 6). Returned as plain nested
+    functions so mapInPandas closures can capture them BY VALUE
+    (cloudpickle serializes nested functions wholesale; a module-level
+    reference would break under foreign-cwd drivers whose Python workers
+    can't import this package).
+
+    Formats follow the public specs only:
+    - BMP: BITMAPFILEHEADER ('BM', data offset at byte 10) +
+      BITMAPINFOHEADER (40 bytes: int32 width, int32 height — positive
+      height means bottom-up row order — uint16 bpp, uint32 compression;
+      only bpp=24 / BI_RGB=0 supported), pixel rows padded to 4-byte
+      multiples. Decode returns the LOGICAL top-down row-major byte
+      stream (padding stripped, rows re-flipped).
+    - WAV: RIFF/'WAVE' container walked chunk-by-chunk (chunks may appear
+      in any order and carry odd-length pad bytes); 'fmt ' must declare
+      PCM (format tag 1) 16-bit; 'data' payload parsed as little-endian
+      int16 samples.
+    """
+    import struct
+
     import numpy as np
 
-    if _HAS_PIL:
-        raise NotImplementedError("real PIL decode path not wired in this container")
+    def encode_bmp(width: int, height: int, logical: bytes) -> bytes:
+        row = width * 3
+        pad = (-row) % 4
+        body = b"".join(
+            logical[y * row : (y + 1) * row] + b"\x00" * pad
+            for y in reversed(range(height))
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        return header + info + body
+
+    def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+        if len(data) < 54 or data[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        (offset,) = struct.unpack_from("<I", data, 10)
+        hdr_sz, width, height, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", data, 14
+        )
+        if hdr_sz < 40 or bpp != 24 or comp != 0 or width <= 0 or height == 0:
+            raise ValueError("unsupported BMP variant (need 24-bit BI_RGB)")
+        bottom_up = height > 0
+        height = abs(height)
+        row = width * 3
+        stride = row + ((-row) % 4)
+        if len(data) < offset + stride * height:
+            raise ValueError("truncated BMP pixel data")
+        arr = np.frombuffer(
+            data, dtype=np.uint8, count=stride * height, offset=offset
+        ).reshape(height, stride)[:, :row]
+        if bottom_up:
+            arr = arr[::-1]
+        return width, height, arr.tobytes()
+
+    def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+        body = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(body), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", len(fmt))
+            + fmt
+            + struct.pack("<4sI", b"data", len(body))
+            + body
+        )
+
+    def decode_wav(data: bytes) -> "np.ndarray":
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt_ok, samples = 12, False, None
+        while pos + 8 <= len(data):
+            cid, sz = struct.unpack_from("<4sI", data, pos)
+            body = data[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                tag, channels, _rate, _bps, _align, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+                if tag != 1 or bits != 16 or channels != 1:
+                    raise ValueError("unsupported WAV variant (need PCM16 mono)")
+                fmt_ok = True
+            elif cid == b"data":
+                samples = np.frombuffer(body, dtype="<i2")
+            pos += 8 + sz + (sz % 2)  # chunks are word-aligned
+        if not fmt_ok or samples is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        return samples
+
+    return encode_bmp, decode_bmp, encode_wav, decode_wav
+
+
+def _decode_bytes(payload: bytes) -> "object":
+    """Decode payload → pixel/sample array. Real for uncompressed
+    containers (BMP via ``_media_codecs``; WAV likewise); compressed
+    formats fall back to the raw byte buffer as a clearly-marked
+    deterministic fake (no codec libs in this container)."""
+    import numpy as np
+
+    _, decode_bmp, _, decode_wav = _media_codecs()
+    if payload[:2] == b"BM":
+        _w, _h, logical = decode_bmp(payload)
+        return np.frombuffer(logical, dtype=np.uint8)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
     return np.frombuffer(payload, dtype=np.uint8)
 
 
@@ -150,9 +252,116 @@ def frame_sample(media_df: DataFrame, every_k: int = 4) -> DataFrame:
 
 
 def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: requires a real image codec; the Spark contract
-    (signature + schema) is the deliverable here."""
-    raise NotImplementedError("resize requires an image codec not present in this container")
+    """Real nearest-neighbor resize for BMP payloads: Arrow mapInPandas
+    decodes each image (``_media_codecs``), index-maps rows/columns with
+    numpy (nearest-neighbor — the resampling every pretraining vision
+    pipeline starts from), and re-encodes a valid BMP at the target
+    geometry. Bytes never leave the executor. Non-BMP payloads raise
+    ``ValueError`` per-row into the error channel of the caller (only
+    uncompressed containers are decodable without external codec libs).
+    """
+    out_schema = "doc_id long, payload binary, width int, height int"
+    tw, th = int(width), int(height)
+    codecs = _media_codecs()
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        encode_bmp, decode_bmp, _, _ = codecs
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, logical = decode_bmp(bytes(payload))
+                px = np.frombuffer(logical, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                out = px[ys][:, xs]
+                rows.append((int(doc_id), encode_bmp(tw, th, out.tobytes()), tw, th))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
+
+    return media_df.select(
+        "doc_id", F.col("media.payload").alias("payload")
+    ).mapInPandas(resizer, out_schema)
+
+
+def synth_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-container media table: per doc, a valid 24-bit
+    BMP (geometry and pixel bytes closed-form functions of ``doc_id``)
+    and a valid PCM16 WAV (sample count from ``n_chars``, samples a
+    closed-form function of ``(i, doc_id)``) — generated executor-side in
+    one Arrow mapInPandas pass. The closed forms are what lets a SQL
+    oracle verify the DECODED values positionally without a codec."""
+    out_schema = "doc_id long, bmp binary, wav binary"
+
+    codecs = _media_codecs()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        encode_bmp, _, encode_wav, _ = codecs
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w, h = 16 + d % 16, 8 + d % 8
+                i = np.arange(w * h * 3, dtype=np.int64)
+                logical = ((i * 7 + d) % 256).astype(np.uint8).tobytes()
+                ns = 64 + nc % 64
+                j = np.arange(ns, dtype=np.int64)
+                samples = ((j * 131 + d * 17) % 65536 - 32768).astype(np.int16)
+                rows.append((d, encode_bmp(w, h, logical), encode_wav(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "bmp", "wav"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(synth, out_schema)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + positional statistics: parse each BMP (header,
+    bottom-up row flip, padding strip) and WAV (chunk walk, int16
+    samples), then emit exact-integer sums and position-weighted
+    checksums of the DECODED values. The positional weights are the
+    proof of correct container parsing — a decoder that forgot the
+    row flip or the 4-byte padding produces the right byte multiset but
+    the wrong checksum."""
+    out_schema = (
+        "doc_id long, width int, height int, px_sum long, px_chk long, "
+        "n_samples int, wav_sum long, wav_chk long"
+    )
+    codecs = _media_codecs()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        _, decode_bmp, _, decode_wav = codecs
+        for pdf in batches:
+            rows = []
+            for doc_id, bmp, wav in zip(pdf["doc_id"], pdf["bmp"], pdf["wav"]):
+                w, h, logical = decode_bmp(bytes(bmp))
+                px = np.frombuffer(logical, dtype=np.uint8).astype(np.int64)
+                i = np.arange(px.size, dtype=np.int64)
+                s = decode_wav(bytes(wav)).astype(np.int64)
+                j = np.arange(s.size, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(px.sum()),
+                        int((px * (i % 97)).sum()),
+                        int(s.size),
+                        int(s.sum()),
+                        int((s * (j % 89 + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "px_chk",
+                    "n_samples", "wav_sum", "wav_chk",
+                ],
+            )
+
+    return media.mapInPandas(decode, out_schema)
 
 
 def media_feature_stats(docs: DataFrame) -> DataFrame:
@@ -252,3 +461,42 @@ def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(Catalog(spark, sf_dir)["documents"])
     chunks = chunk_media(synth_media(docs), window=64, hop=48)
     return chunks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_chunks"))
+
+
+@register(
+    "multimodal_decode_stats",
+    """
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+             64 + n_chars % 64 AS ns
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             sum((u.i * 7 + doc_id) % 256)::BIGINT AS px_sum,
+             sum(((u.i * 7 + doc_id) % 256) * (u.i % 97))::BIGINT AS px_chk
+      FROM g, unnest(range(0, w * h * 3)) u(i)
+      GROUP BY doc_id
+    ), wv AS (
+      SELECT doc_id,
+             sum((u.i * 131 + doc_id * 17) % 65536 - 32768)::BIGINT AS wav_sum,
+             sum(((u.i * 131 + doc_id * 17) % 65536 - 32768)
+                 * (u.i % 89 + 1))::BIGINT AS wav_chk
+      FROM g, unnest(range(0, ns)) u(i)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id, w::INT AS width, h::INT AS height, px_sum, px_chk,
+           ns::INT AS n_samples, wav_sum, wav_chk
+    FROM g JOIN px USING (doc_id) JOIN wv USING (doc_id)
+    """,
+    doc="REAL no-pip media decode (round-7 un-stubbing): each doc gets a "
+    "valid 24-bit BMP (bottom-up padded rows) and PCM16 WAV (RIFF chunk "
+    "walk) generated executor-side, then a second Arrow mapInPandas "
+    "stage DECODES both containers and emits exact-integer sums plus "
+    "position-weighted checksums of the decoded pixel/sample streams. "
+    "The oracle recomputes the same statistics from the closed-form "
+    "pattern without any codec — so a decoder that mishandled the row "
+    "flip, the 4-byte row padding, or int16 endianness hash-mismatches.",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir)["documents"])
+    return decode_media_stats(synth_real_media(docs))

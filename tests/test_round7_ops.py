@@ -189,3 +189,114 @@ class TestKeyedPrimitiveLaziness:
         _ = a.schema, b.schema  # analysis only
         after = tracker.getJobIdsForGroup(None)
         assert len(after) == len(before)
+
+
+class TestMediaCodecs:
+    """Round-7 un-stubbing: the pure-Python BMP/WAV codecs must survive
+    round-trips, container quirks (padding, bottom-up rows, chunk order,
+    top-down negative height), and reject what they can't parse."""
+
+    @pytest.fixture(scope="class")
+    def codecs(self):
+        from redcap_omop_etl_spark.operators.multimodal import _media_codecs
+
+        return _media_codecs()
+
+    def test_bmp_roundtrip_with_padding(self, codecs):
+        import numpy as np
+
+        encode_bmp, decode_bmp, _, _ = codecs
+        # width 3 -> row = 9 bytes -> 3 pad bytes per row: padding exercised
+        logical = bytes(range(3 * 2 * 3))
+        data = encode_bmp(3, 2, logical)
+        w, h, out = decode_bmp(data)
+        assert (w, h, out) == (3, 2, logical)
+        # file row order must actually be bottom-up: the first stored row
+        # is the LAST logical row
+        assert data[54 : 54 + 9] == logical[9:18]
+
+    def test_bmp_top_down_negative_height(self, codecs):
+        import struct
+
+        encode_bmp, decode_bmp, _, _ = codecs
+        logical = bytes(range(3 * 2 * 3))
+        data = bytearray(encode_bmp(3, 2, logical))
+        # rewrite height to -2 (top-down) and swap stored row order
+        struct.pack_into("<i", data, 22, -2)
+        row = data[54:66]
+        data[54:66] = data[66:78]
+        data[66:78] = row
+        w, h, out = decode_bmp(bytes(data))
+        assert (w, h, out) == (3, 2, logical)
+
+    def test_bmp_rejects_garbage_and_truncation(self, codecs):
+        _, decode_bmp, _, _ = codecs
+        encode_bmp = codecs[0]
+        with pytest.raises(ValueError):
+            decode_bmp(b"notabmp" * 10)
+        good = encode_bmp(4, 4, bytes(48))
+        with pytest.raises(ValueError):
+            decode_bmp(good[:-5])
+
+    def test_wav_roundtrip_and_chunk_order(self, codecs):
+        import struct
+
+        import numpy as np
+
+        _, _, encode_wav, decode_wav = codecs
+        samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+        data = encode_wav(samples)
+        assert (decode_wav(data) == samples).all()
+        # insert a foreign odd-length chunk before fmt/data: the walker
+        # must skip it (with its pad byte) and still find both
+        extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+        reordered = data[:12] + extra + data[12:]
+        riff_sz = len(reordered) - 8
+        reordered = reordered[:4] + struct.pack("<I", riff_sz) + reordered[8:]
+        assert (decode_wav(reordered) == samples).all()
+
+    def test_wav_rejects_non_pcm16(self, codecs):
+        import struct
+
+        _, _, encode_wav, decode_wav = codecs
+        import numpy as np
+
+        data = bytearray(encode_wav(np.array([1, 2], dtype=np.int16)))
+        struct.pack_into("<H", data, 34, 8)  # bits-per-sample -> 8
+        with pytest.raises(ValueError):
+            decode_wav(bytes(data))
+
+    def test_resize_media_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from redcap_omop_etl_spark.operators.multimodal import (
+            _media_codecs,
+            resize_media,
+        )
+
+        encode_bmp, decode_bmp, _, _ = _media_codecs()
+        # 2x2 image: distinct corner colors
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+        )
+        media = spark.createDataFrame(
+            [(1, (bytearray(encode_bmp(2, 2, px.tobytes())), "image/bmp", 2, 2, 1))],
+            "doc_id long, media struct<payload:binary,media_type:string,"
+            "width:int,height:int,n_frames:int>",
+        )
+        out = resize_media(media, 4, 4).collect()[0]
+        w, h, logical = decode_bmp(bytes(out.payload))
+        big = np.frombuffer(logical, dtype=np.uint8).reshape(4, 4, 3)
+        # nearest-neighbor 2x upscale: each source pixel becomes a 2x2 block
+        for y in range(4):
+            for x in range(4):
+                assert (big[y, x] == px[y // 2, x // 2]).all()
+
+    def test_decode_stats_executes_on_plain_session(self, spark):
+        from redcap_omop_etl_spark import workload
+
+        rows = workload.queries()["multimodal_decode_stats"](
+            spark, SF_SMOKE
+        ).limit(5).collect()
+        assert len(rows) == 5
+        assert all(r.px_sum > 0 and r.n_samples >= 64 for r in rows)
