@@ -63,67 +63,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-6 rotation. Leads: the 12 never-driver-checked round-6
-    # queries (capped PPJoin, structured splitter, nDCG eval, MMR rerank,
-    # Pareto frontier, link prediction, Matryoshka audit, bigram LM,
-    # GROUP BY ALL, chunk-prep capstone, grouped K-fold, clustering
-    # coefficient) plus the 7 whose behavior or plan changed this round
-    # (refactored PPJoin pipeline, min-struct PQ argmin, fully-lazy
-    # two-phase global rank and both sinks built on it, asof-tolerance
-    # oracle boundary, bootstrap NULL-rank filter). Then
-    # oldest-evidence-first: the cohorts whose latest driver check is
-    # round 1, then 2, 3, 4, 5 — so the ~50-slot gate lands on the leads
-    # + all of round-1's 24 + the oldest round-2 greens.
-    "dedup_prefix_jaccard_capped",
-    "text_chunk_structured",
-    "retrieval_ndcg_eval",
-    "similarity_mmr_rerank",
+    # -- round-7 rotation. Leads: the 3 never-driver-checked round-7
+    # queries (capped containment, sample-based BPE learner, real-codec
+    # decode stats) plus the 7 whose plan changed this round (the
+    # two-phase keyed-window rewrites: quantile normalize, curriculum
+    # order, Pareto frontier, source caps, pipeline/chunk-prep packing,
+    # sequence packing). Then oldest-evidence-first: the 41 queries whose
+    # latest driver check is round 2, then the round-3 cohort (44), then
+    # rounds 4-6 — so the ~50-slot gate lands on the leads + the entire
+    # stalest (round-2) cohort.
+    "dedup_containment_capped",
+    "bpe_learn_sampled",
+    "multimodal_decode_stats",
+    "curation_quantile_normalize",
+    "curation_curriculum_order",
     "curation_pareto_frontier",
-    "graph_link_prediction",
-    "embedding_matryoshka_audit",
-    "text_bigram_logprob",
-    "sql_api_group_by_all",
+    "corpus_source_caps",
+    "corpus_pipeline_full",
     "chunk_prep_pipeline",
-    "sampling_group_kfold",
-    "graph_clustering_coefficient",
-    "dedup_prefix_jaccard",
-    "embedding_pq_audit",
-    "retrieval_zipf_fit",
-    "sink_chunk_assignment",
-    "sink_json_map_export",
-    "join_asof_tolerance",
-    "sampling_poisson_bootstrap",
-    "join_broadcast_lookup",
-    "join_key_overlap",
-    "join_merge_update",
-    "join_semi",
-    "json_extract_props",
-    "map_functions_suite",
-    "multimodal_featurize",
-    "pivot_event_values",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "setop_except",
-    "setop_intersect",
-    "snapshot_diff_counts",
-    "sql_api_revenue_rank",
-    "string_suite",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "text_winnow_fingerprint",
-    "union_chunks",
-    "agg_grouping_sets",
-    "agg_median_quantiles",
-    "agg_moments",
-    "agg_observe_counts",
-    "anomaly_zscore",
-    "basket_pair_counts",
-    "cohort_retention",
+    "sequence_packing",
     "date_anchor_shift",
     "dedup_first_seen",
     "event_disorder_stats",
@@ -171,8 +129,6 @@ _PRIORITY = [
     "agg_salted_twophase",
     "array_hof_suite",
     "corpus_mixture",
-    "corpus_pipeline_full",
-    "corpus_source_caps",
     "counter_deltas",
     "dedup_minhash_lsh",
     "dedup_semantic_clusters",
@@ -191,7 +147,6 @@ _PRIORITY = [
     "phi_filter_keep",
     "rollup_cascade",
     "sampling_split_counts",
-    "sequence_packing",
     "sessionize_gap",
     "similarity_ann_ivf",
     "similarity_ann_lsh",
@@ -217,8 +172,6 @@ _PRIORITY = [
     "corpus_quality_funnel",
     "corpus_source_divergence",
     "corpus_temperature_mixture",
-    "curation_curriculum_order",
-    "curation_quantile_normalize",
     "dedup_chunk_level",
     "dedup_containment",
     "dedup_incremental",
@@ -295,6 +248,54 @@ _PRIORITY = [
     "text_readability",
     "ts_cross_correlation",
     "ts_seasonal_strength",
+    "agg_grouping_sets",
+    "agg_median_quantiles",
+    "agg_moments",
+    "agg_observe_counts",
+    "anomaly_zscore",
+    "basket_pair_counts",
+    "cohort_retention",
+    "dedup_prefix_jaccard",
+    "dedup_prefix_jaccard_capped",
+    "embedding_matryoshka_audit",
+    "embedding_pq_audit",
+    "graph_clustering_coefficient",
+    "graph_link_prediction",
+    "join_asof_tolerance",
+    "join_broadcast_lookup",
+    "join_key_overlap",
+    "join_merge_update",
+    "join_semi",
+    "json_extract_props",
+    "map_functions_suite",
+    "multimodal_featurize",
+    "pivot_event_values",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "retrieval_ndcg_eval",
+    "retrieval_zipf_fit",
+    "sampling_group_kfold",
+    "sampling_poisson_bootstrap",
+    "setop_except",
+    "setop_intersect",
+    "similarity_mmr_rerank",
+    "sink_chunk_assignment",
+    "sink_json_map_export",
+    "snapshot_diff_counts",
+    "sql_api_group_by_all",
+    "sql_api_revenue_rank",
+    "string_suite",
+    "text_bigram_logprob",
+    "text_chunk_structured",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "union_chunks",
 ]
 
 
