@@ -154,6 +154,14 @@ HEADLINE = [
     "chunk_prep_pipeline",
     "sampling_group_kfold",
     "graph_clustering_coefficient",
+    # round-7 additions: capped containment (overflow side-channel),
+    # sample-based BPE learner, real BMP/WAV decode stats, and the
+    # source-caps rewrite (two-phase top-k, no corpus shuffle).
+    "dedup_containment_capped",
+    "bpe_learn_sampled",
+    "multimodal_decode_stats",
+    "corpus_source_caps",
+    "corpus_token_budget_cut",
 ]
 
 

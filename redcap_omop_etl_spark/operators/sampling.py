@@ -802,6 +802,65 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 800
+
+
+@register(
+    "corpus_token_budget_cut",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, n_chars,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT source, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS ps
+      FROM t
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE ps < {_TOKEN_BUDGET})::BIGINT AS n_kept,
+           sum(n_tok) FILTER (WHERE ps < {_TOKEN_BUDGET})::BIGINT AS kept_tokens,
+           (sum(n_tok) FILTER (WHERE ps < {_TOKEN_BUDGET})
+              * 1000000 // {_TOKEN_BUDGET})::BIGINT AS fill_ppm
+    FROM r GROUP BY source
+    """,
+    doc="Per-source TOKEN budget enforcement (the token-quota counterpart "
+    f"to corpus_source_caps' doc quota): rank each source's documents by "
+    "deterministic priority (length desc, doc_id), keep documents whose "
+    f"EXCLUSIVE running token sum is under the {_TOKEN_BUDGET}-token "
+    "budget (start-offset rule — overflow bounded to one document), "
+    "report kept counts/tokens and integer fill ppm. The running sum is "
+    "the two-phase keyed_running_sum (source has ~20 values; a naive "
+    "source-keyed window would cap the sort at 20 tasks at any cluster "
+    "size); the audit aggregate rides the same frame.",
+)
+def corpus_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_running_sum
+    from redcap_omop_etl_spark.operators.textstats import ws_tokens
+
+    d = Catalog(spark, sf_dir)["documents"]
+    t = d.select(
+        "source", "doc_id", "n_chars", F.size(ws_tokens(F.col("text"))).alias("n_tok")
+    )
+    r = keyed_running_sum(
+        t, ["source"], [F.desc("n_chars"), "doc_id"], "n_tok", "ps"
+    )
+    kept = F.col("ps") < _TOKEN_BUDGET
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok"))).cast("bigint").alias("kept_tokens"),
+        F.expr(
+            f"CAST(sum(CASE WHEN ps < {_TOKEN_BUDGET} THEN n_tok END) "
+            f"* 1000000 div {_TOKEN_BUDGET} AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
 @register(
     "dq_distribution_drift",
     """

@@ -73,6 +73,7 @@ _PRIORITY = [
     # rounds 4-6 — so the ~50-slot gate lands on the leads + the entire
     # stalest (round-2) cohort.
     "dedup_containment_capped",
+    "corpus_token_budget_cut",
     "bpe_learn_sampled",
     "multimodal_decode_stats",
     "curation_quantile_normalize",

@@ -234,10 +234,17 @@ class TestMultimodal:
         for r in frames.select("frame_idx").distinct().collect():
             assert r.frame_idx % 4 == 0
 
-    def test_resize_is_stubbed(self, docs):
+    def test_resize_rejects_non_bmp_payloads(self, docs):
+        # resize is REAL for BMP since round 7 (TestMediaCodecs pins the
+        # nearest-neighbor path); non-BMP payloads — synth_media's fake
+        # utf-8 bytes here — must fail loudly at execution, not decode
+        # garbage silently.
+        import py4j.protocol
+
         media = multimodal.synth_media(docs.limit(1))
-        with pytest.raises(NotImplementedError):
-            multimodal.resize_media(media, 64, 64)
+        with pytest.raises((py4j.protocol.Py4JJavaError, Exception)) as ei:
+            multimodal.resize_media(media, 64, 64).collect()
+        assert "not a BMP payload" in str(ei.value)
 
     def test_stats_pipeline(self, docs):
         row = multimodal.media_feature_stats(docs.limit(50)).head()

@@ -128,6 +128,7 @@ _KEYED_REWRITES = [
     ("corpus_pipeline_full", "source", "keep_id"),
     ("chunk_prep_pipeline", "source", "chunk_hash"),
     ("sequence_packing", "pack_group", "doc_id"),
+    ("corpus_token_budget_cut", "source", "n_chars"),
 ]
 
 
@@ -300,3 +301,17 @@ class TestMediaCodecs:
         ).limit(5).collect()
         assert len(rows) == 5
         assert all(r.px_sum > 0 and r.n_samples >= 64 for r in rows)
+
+
+class TestKeyedExchangeReuse:
+    def test_range_exchange_computed_once_at_runtime(self, spark):
+        # The two-phase cost model assumes the (key, order) range exchange
+        # feeds BOTH the offsets summary and the main branch via Spark's
+        # exchange reuse. Pin it on the FINAL adaptive plan: one
+        # ReusedExchange, so the corpus is range-shuffled once, not twice.
+        d = _docs(spark)
+        df = keyed_running_sum(d, ["source"], ["doc_id"], "n_chars", "ps")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("ReusedExchange") >= 1

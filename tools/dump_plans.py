@@ -69,9 +69,39 @@ SHOWCASE: dict[str, str] = {
     "1-row result.",
     "corpus_pipeline_full": "Capstone composition (mixture → quality "
     "gate → dedup → packing → stats): mixture and gate evaluate at the "
-    "scan; dedup, the packing window, and the final stats all reuse the "
-    "source-keyed exchange — four logical stages, two shuffles, no "
-    "materialization barriers.",
+    "scan; packing's per-source running sum is the two-phase "
+    "keyed_running_sum (range exchange on (source, keep_id), offsets "
+    "from the tiny per-(pid, source) summary, data window partitioned "
+    "by (__pid, source)) — no sort ever lands on the ~20-value source "
+    "key alone.",
+    "curation_quantile_normalize": "Two-phase keyed ntile "
+    "(scalable_windows.keyed_ntile): range exchange on (source, "
+    "n_chars, doc_id); per-(pid, source) counts become cumulative "
+    "offsets + per-key totals over a summary bounded by partition "
+    "count; the data-sized row_number window partitions by "
+    "(__pid, source) — parallelism = partition count, not the ~20 "
+    "source values; tile = closed-form ntile arithmetic; 20-row "
+    "broadcast reference means.",
+    "corpus_source_caps": "Per-source quota via two-phase top-k with "
+    "ZERO corpus shuffle: local row_number inside the EXISTING scan "
+    "partitions prunes to ≤ #partitions×K candidate rows, exact "
+    "per-source rank over that tiny frame, dim-sized broadcast join "
+    "against the hash-agg totals.",
+    "dedup_containment_capped": "Capped containment: warm shingles "
+    "(bucket_cap < df ≤ df_cap) route their documents whole to the "
+    "overflow channel, so every joined shingle has df ≤ cap and "
+    "candidates are linear in corpus size; containment among clean "
+    "docs exact; AQE-unhinted joins degrade gracefully when the "
+    "overflow set is large. Slope 1.23× at 64× mutated data vs 13.7× "
+    "uncapped (SCALE_r07).",
+    "multimodal_decode_stats": "Two Arrow mapInPandas stages — "
+    "generate valid BMP/WAV containers, then REALLY decode them "
+    "(header parse, row flip, padding strip, chunk walk) — bytes "
+    "never shuffle; output is a narrow integer-stats frame.",
+    "bpe_learn_sampled": "One distributed word-frequency aggregate "
+    "(BPE's sufficient statistic) + bounded TakeOrdered collect; all "
+    "merges learned driver-locally (lazy-invalidation heap) — the "
+    "per-merge driver round-trip of the iterative learner is gone.",
     "text_chunk_windows": "RAG chunk grid (stride-48 windows of 64 "
     "tokens): sequence()+explode+slice in ONE whole-stage-codegen span "
     "over one pruned scan — zero exchanges, zero Python; output rows "
@@ -115,10 +145,12 @@ SHOWCASE: dict[str, str] = {
     "by integer relevance); gains x Python-literal discounts quantize "
     "to integer micro-units before order-exact sums; the two sums meet "
     "in one tagged-union hash aggregate — no 1-row crossJoin.",
-    "curation_pareto_frontier": "Pareto domination via two "
-    "source-partitioned windows (strictly-better-quality RANGE-frame "
-    "running max + same-quality group max) — never a pairwise "
-    "self-join; diversity ratio is exact integer `div`.",
+    "curation_pareto_frontier": "Pareto domination with NO corpus-sized "
+    "window and no pairwise self-join: the corpus collapses through "
+    "(source, q_int, n_chars) and (source, q_int) hash aggregates "
+    "(max_by carries the tie count at the group max); the only window "
+    "— the strictly-better-quality running max — runs over that "
+    "value-domain-bounded frame (≤ 1e6+1 rows per source).",
     "graph_link_prediction": "Wedge enumeration = adjacency self-join "
     "on the MIDDLE vertex (triangle-count shape), anti-join drops "
     "existing edges, memoized degree table joins back, integer-keyed "
