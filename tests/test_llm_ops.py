@@ -582,3 +582,19 @@ class TestBpeLearnSampled:
         # pairs: (aa,aa): 3, (aa,a): 1, (a,b): 3 -> tie-break picks 'a b'? counts: (aa,aa)=3,(a,b)=3 -> 'a b' < 'aa aa'
         assert got[1] == (2, "a", "b", "ab", 3)
         assert got[2] == (3, "aa", "aa", "aaaa", 3)
+
+
+class TestContainmentCappedDegenerate:
+    def test_cap_at_df_cap_is_identity(self, spark, docs):
+        # bucket_cap == df_cap: the warm tier is empty, overflow must be
+        # empty, and pairs must equal the uncapped operator exactly.
+        uncapped = {
+            (r.d1, r.d2, r.cont_1in2, r.cont_2in1)
+            for r in dedup.containment_pairs(docs, 0.5, df_cap=100).collect()
+        }
+        pairs, overflow = dedup.containment_pairs_capped(
+            docs, 0.5, df_cap=100, bucket_cap=100
+        )
+        got = {(r.d1, r.d2, r.cont_1in2, r.cont_2in1) for r in pairs.collect()}
+        assert overflow.count() == 0
+        assert got == uncapped

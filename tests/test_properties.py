@@ -511,3 +511,50 @@ class TestGlobalIndexDescending:
             )
         }
         assert got == want
+
+
+class TestKeyedWindowProperties:
+    """The two-phase keyed primitives (round 7) must equal their naive
+    Window.partitionBy(key) formulations on ARBITRARY small frames —
+    skewed keys, one-row keys, totals under/over the tile count, ties in
+    the value column (order stays total via the id tie-break)."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 9)),  # (key, value)
+            min_size=1,
+            max_size=24,
+        ),
+        n_tiles=st.sampled_from([2, 5, 13]),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_ntile_index_runsum_match_naive(self, spark, rows, n_tiles):
+        from pyspark.sql import Window
+        from redcap_omop_etl_spark.operators.scalable_windows import (
+            keyed_ntile,
+            keyed_running_sum,
+            with_keyed_index,
+        )
+
+        data = [(i, f"k{k}", v) for i, (k, v) in enumerate(rows)]
+        d = spark.createDataFrame(data, "id long, k string, v long")
+        w = Window.partitionBy("k").orderBy("v", "id")
+
+        ref = d.select(
+            "id",
+            (F.row_number().over(w) - 1).alias("i"),
+            F.ntile(n_tiles).over(w).cast("bigint").alias("t"),
+            F.coalesce(
+                F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("s"),
+        ).collect()
+        got_i = {r.id: r.i for r in with_keyed_index(d, ["k"], ["v", "id"], "i").collect()}
+        got_t = {r.id: r.t for r in keyed_ntile(d, ["k"], ["v", "id"], n_tiles, "t").collect()}
+        got_s = {r.id: r.s for r in keyed_running_sum(d, ["k"], ["v", "id"], "v", "s").collect()}
+        for r in ref:
+            assert got_i[r.id] == r.i
+            assert got_t[r.id] == r.t
+            assert got_s[r.id] == r.s
