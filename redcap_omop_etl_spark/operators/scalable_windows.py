@@ -204,11 +204,23 @@ def keyed_topk(
     rank_col: str = "__rk",
 ) -> DataFrame:
     """Top-``k`` rows per key with their exact per-key rank, WITHOUT
-    shuffling the corpus onto the key: phase 1 takes a local top-k inside
-    every EXISTING partition (``row_number`` over ``(__pid, keys)`` — no
-    exchange at all, any partitioning works), which prunes the input to
-    ≤ ``#partitions × #keys × k`` candidate rows; phase 2 ranks that tiny
-    candidate frame per key exactly.
+    shuffling the corpus onto the key: phase 1 ranks inside every
+    EXISTING partition (``row_number`` over ``(__pid, keys)``), pruning
+    the input to ≤ ``#partitions × #keys × k`` candidate rows; phase 2
+    ranks that tiny candidate frame per key exactly.
+
+    Physical-plan honesty (read from the executed plan, pinned in
+    tests): Spark does insert an ``Exchange hashpartitioning(__pid,
+    keys)`` to satisfy the phase-1 window's clustering requirement — but
+    its ``WindowGroupLimit … Partial`` optimization applies the rank
+    limit map-side BELOW that exchange, so what actually shuffles is the
+    already-pruned ≤ ``#keys × k`` rows per map task, not the corpus;
+    the corpus-sized work is per-partition map-side sorts at full scan
+    parallelism. (The naive ``rank over (key) + filter`` gets the same
+    map-side prune ONLY when the filter sits directly above the window —
+    an aggregate consuming all ranked rows, as the quota audit this
+    primitive replaced did, defeats it and forces the full corpus onto
+    the key.)
 
     Exactness: every true global top-k row has local rank ≤ its global
     rank ≤ k inside whatever partition holds it, so it always survives

@@ -82,11 +82,12 @@ SHOWCASE: dict[str, str] = {
     "(__pid, source) — parallelism = partition count, not the ~20 "
     "source values; tile = closed-form ntile arithmetic; 20-row "
     "broadcast reference means.",
-    "corpus_source_caps": "Per-source quota via two-phase top-k with "
-    "ZERO corpus shuffle: local row_number inside the EXISTING scan "
-    "partitions prunes to ≤ #partitions×K candidate rows, exact "
-    "per-source rank over that tiny frame, dim-sized broadcast join "
-    "against the hash-agg totals.",
+    "corpus_source_caps": "Per-source quota via two-phase top-k: "
+    "WindowGroupLimit Partial prunes to K per (pid, source) MAP-SIDE, "
+    "below the exchange — only ≤ #partitions×K candidate rows ever "
+    "shuffle (the old form aggregated ALL ranked rows, defeating the "
+    "prune and forcing the corpus onto the 20-value key); exact rank "
+    "over the candidate frame, dim-sized broadcast join to totals.",
     "dedup_containment_capped": "Capped containment: warm shingles "
     "(bucket_cap < df ≤ df_cap) route their documents whole to the "
     "overflow channel, so every joined shingle has df ≤ cap and "
