@@ -162,6 +162,7 @@ HEADLINE = [
     "multimodal_decode_stats",
     "corpus_source_caps",
     "corpus_token_budget_cut",
+    "embedding_label_dispersion",
 ]
 
 

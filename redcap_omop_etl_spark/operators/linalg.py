@@ -303,3 +303,92 @@ def embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInArrow(
         norms, "vec_id long, ssq long, norm_milli long"
     )
+
+
+R_SCALE = 1_000_000  # unit-vector re-quantization: r = round(u * 1e6)
+
+
+@register(
+    "embedding_label_dispersion",
+    f"""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> round(x::DOUBLE * {Q_SCALE})::BIGINT) AS q
+      FROM embeddings
+    ), u AS (
+      SELECT label, q,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS nrm2
+      FROM q
+    ), r AS (
+      SELECT label,
+             list_transform(q, x -> round(x::DOUBLE / sqrt(nrm2::DOUBLE)
+                                          * {R_SCALE})::BIGINT) AS r
+      FROM u WHERE nrm2 > 0
+    ), comp AS (
+      SELECT label, w.i AS i, sum(r[w.i])::HUGEINT AS s
+      FROM r, unnest(range(1, {DIM} + 1)) w(i)
+      GROUP BY label, w.i
+    ), per_label AS (
+      SELECT label,
+             sum(s * s) AS ss,
+             (SELECT count(*) FROM r r2 WHERE r2.label = comp.label) AS n,
+             (SELECT sum(list_sum(list_transform(r2.r, x -> x * x)))
+              FROM r r2 WHERE r2.label = comp.label) AS rn2
+      FROM comp GROUP BY label
+    )
+    SELECT label,
+           n::BIGINT AS n_vecs,
+           round((ss - rn2)::DOUBLE / (n * (n - 1))::DOUBLE
+                 / {float(R_SCALE) ** 2}, 6) AS mean_pair_cos
+    FROM per_label ORDER BY label
+    """,
+    doc="Per-label semantic dispersion: the MEAN PAIRWISE COSINE of each "
+    "label's embeddings computed with ZERO pair enumeration via the "
+    "sum-vector identity Σ_{{a≠b}} u_a·u_b = ||Σu||² − Σ||u||². Plan: "
+    "quantize raw floats (round(x·1e4), exact on both engines), take the "
+    "integer squared norm (order-free exact), renormalize with "
+    "IDENTICAL integer operands (q/√nrm2 — same IEEE doubles cross-"
+    "engine), re-quantize to 1e-6 unit-vector components, then ONE "
+    "(label, dim) hash agg of component sums + a label agg — no join, "
+    "no window, no d²/n² blowup; cost is one scan + 64 rows per vector "
+    "of map-side-combinable agg traffic at any corpus size. All "
+    "accumulation integer (HUGEINT/decimal38) so the final division "
+    "runs on identical operands.",
+)
+def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["embeddings"]
+    q = _quantized(F.col("embedding"))
+    nrm2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    t = e.select("label", q.alias("q"), nrm2.alias("nrm2")).filter(F.col("nrm2") > 0)
+    r = F.transform(
+        F.col("q"),
+        lambda x: F.round(
+            x.cast("double") / F.sqrt(F.col("nrm2").cast("double")) * R_SCALE
+        ).cast("long"),
+    )
+    rn2 = F.aggregate(r, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    rows = t.select("label", r.alias("r"), rn2.alias("rn2")).transform(tracked_cache)
+    comp = (
+        rows.select("label", F.posexplode("r").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").cast("decimal(38,0)").alias("s"))
+    )
+    ss = comp.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    per_label = rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rn2").cast("decimal(38,0)").alias("rn2")
+    )
+    return (
+        ss.join(per_label, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.col("ss") - F.col("rn2")).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / float(R_SCALE) ** 2,
+                6,
+            ).alias("mean_pair_cos"),
+        )
+        .orderBy("label")
+    )

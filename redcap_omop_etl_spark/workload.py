@@ -74,6 +74,7 @@ _PRIORITY = [
     # stalest (round-2) cohort.
     "dedup_containment_capped",
     "corpus_token_budget_cut",
+    "embedding_label_dispersion",
     "bpe_learn_sampled",
     "multimodal_decode_stats",
     "curation_quantile_normalize",

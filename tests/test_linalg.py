@@ -106,3 +106,34 @@ class TestQuantizationTies:
         # to 313 (Spark/DuckDB round), not 312 (numpy half-even rint).
         x = np.array([[0.03125, -0.03125]])
         assert _quant(x).tolist() == [[313, -313]]
+
+
+class TestLabelDispersion:
+    def test_matches_brute_force_pairwise_cosine(self, spark):
+        import numpy as np
+
+        from redcap_omop_etl_spark import workload
+        from tests.conftest import SF_SMOKE
+
+        got = {
+            r.label: (r.n_vecs, r.mean_pair_cos)
+            for r in workload.queries()["embedding_label_dispersion"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+        by_label: dict = {}
+        for r in emb:
+            by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
+        for label, vs in by_label.items():
+            # mirror the operator's quantization ladder exactly
+            q = [np.floor(np.abs(v) * 1e4 + 0.5) * np.sign(v) for v in vs]
+            r_ = [np.floor(np.abs(x / np.sqrt((x * x).sum()) * 1e6) + 0.5)
+                  * np.sign(x) for x in q]
+            n = len(r_)
+            m = np.stack(r_)
+            gram = m @ m.T
+            brute = (gram.sum() - np.trace(gram)) / (n * (n - 1)) / 1e12
+            n_got, cos_got = got[label]
+            assert n_got == n
+            assert abs(cos_got - brute) < 1e-6, (label, cos_got, brute)
