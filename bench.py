@@ -163,6 +163,7 @@ HEADLINE = [
     "corpus_source_caps",
     "corpus_token_budget_cut",
     "embedding_label_dispersion",
+    "corpus_epoch_shuffle",
 ]
 
 

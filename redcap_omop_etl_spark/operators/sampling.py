@@ -802,6 +802,48 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "corpus_epoch_shuffle",
+    f"""
+    WITH t AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+    ), r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+      FROM t
+    )
+    SELECT doc_id,
+           (idx % {_EPOCH_SHARDS})::BIGINT AS shard,
+           (idx // {_EPOCH_SHARDS})::BIGINT AS pos
+    FROM r
+    """,
+    doc="Deterministic epoch shuffle for a training loader: every "
+    "document gets a pseudo-random but REPRODUCIBLE (shard, position) "
+    "assignment — order by md5(doc_id), round-robin the shuffled rank "
+    f"across {_EPOCH_SHARDS} shards (balanced to ±1 by construction), "
+    "position = rank div shards. The shuffled rank is the two-phase "
+    "with_global_index (range exchange on the hash, per-partition "
+    "row_number + broadcast offsets), so the 'global sort' a naive "
+    "row_number would serialize into one task is range-partitioned at "
+    "full parallelism; different epochs = salt the hash "
+    "(md5(seed || doc_id)). No RNG, no collect.",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.sinks.chunked import with_global_index
+
+    d = Catalog(spark, sf_dir)["documents"]
+    t = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    idx = with_global_index(t, ["h", "doc_id"], "__idx")
+    return idx.select(
+        "doc_id",
+        (F.col("__idx") % _EPOCH_SHARDS).cast("bigint").alias("shard"),
+        F.expr(f"__idx div {_EPOCH_SHARDS}").cast("bigint").alias("pos"),
+    )
+
+
 _TOKEN_BUDGET = 800
 
 

@@ -75,6 +75,7 @@ _PRIORITY = [
     "dedup_containment_capped",
     "corpus_token_budget_cut",
     "embedding_label_dispersion",
+    "corpus_epoch_shuffle",
     "bpe_learn_sampled",
     "multimodal_decode_stats",
     "curation_quantile_normalize",

@@ -98,6 +98,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sink_chunk_assignment", "global-window"): "same with_global_index "
     "partition-offset window: #partitions rows, bounded; chunk assignment "
     "itself is per-partition row_number + broadcast offset join",
+    ("corpus_epoch_shuffle", "global-window"): "same with_global_index "
+    "partition-offset window (#partitions rows, bounded); the shuffled "
+    "rank itself is per-partition row_number over the md5 range exchange",
 }
 
 
