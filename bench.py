@@ -164,6 +164,7 @@ HEADLINE = [
     "corpus_token_budget_cut",
     "embedding_label_dispersion",
     "corpus_epoch_shuffle",
+    "dedup_source_minhash_matrix",
 ]
 
 

@@ -1218,3 +1218,82 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("cont_2in1"),
         )
     )
+
+
+_SRC_MINHASH_K = 32
+
+
+def _src_minhash_oracle() -> str:
+    p = _MERSENNE_P
+    params = [(2 * i + 1, 104729 * (i + 1) % p) for i in range(_SRC_MINHASH_K)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(_SRC_MINHASH_K)
+    )
+    return f"""
+    WITH {shingle_sql_cte(key="source")}, h AS (
+      SELECT source,
+             ('0x' || substring(md5(s), 1, 15))::BIGINT % {p} AS h
+      FROM __sh
+    ), sigs AS MATERIALIZED (
+      SELECT source,
+             {mins}
+      FROM h GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ({eqs})::BIGINT AS matches,
+           (({eqs}) * 1000000 // {_SRC_MINHASH_K})::BIGINT AS est_jaccard_ppm
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    """
+
+
+@register(
+    "dedup_source_minhash_matrix",
+    _src_minhash_oracle(),
+    doc="Source-level corpus-similarity matrix via per-source MinHash "
+    f"signatures: ONE scan computes all {_SRC_MINHASH_K} signature "
+    "components as min aggregates over the permuted shingle hashes "
+    "(min is dedup-insensitive, so no DISTINCT pass; partial mins "
+    "combine map-side, reducing the shuffle to #sources rows × k "
+    "columns), then the #sources² pair matrix — bounded by the source "
+    "DIMENSION, never by data — estimates each pair's shingle-set "
+    "Jaccard as matching-component share. The cheap screening pass a "
+    "curator runs before the exact (and costlier) "
+    "corpus_cross_contamination; same portable 60-bit md5 hash family "
+    "as dedup_minhash_lsh, fully DuckDB-oracled.",
+)
+def dedup_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _MERSENNE_P
+    params = [(2 * i + 1, 104729 * (i + 1) % p) for i in range(_SRC_MINHASH_K)]
+    d = Catalog(spark, sf_dir)["documents"]
+    sh = fan_out(d).select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("s")
+    )
+    t = sh.select("source", (portable_hash60(F.col("s")) % p).alias("h"))
+    sigs = t.groupBy("source").agg(
+        *[
+            F.min((F.col("h") * a + b) % p).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    matches = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(_SRC_MINHASH_K)
+    )
+    return a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        matches.cast("bigint").alias("matches"),
+        F.expr(
+            "CAST(("
+            + " + ".join(
+                f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+                for i in range(_SRC_MINHASH_K)
+            )
+            + f") * 1000000 div {_SRC_MINHASH_K} AS BIGINT)"
+        ).alias("est_jaccard_ppm"),
+    )

@@ -76,6 +76,7 @@ _PRIORITY = [
     "corpus_token_budget_cut",
     "embedding_label_dispersion",
     "corpus_epoch_shuffle",
+    "dedup_source_minhash_matrix",
     "bpe_learn_sampled",
     "multimodal_decode_stats",
     "curation_quantile_normalize",

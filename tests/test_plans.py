@@ -40,6 +40,7 @@ _NESTED_LOOP_OK = {
     "graph_kcore_peel",  # per-round edge-count scalar: 1-row cross joins
     "join_bloom_prune",  # build-key-count scalar: 1-row broadcast cross join
     "retrieval_ndcg_eval",  # inherits bm25's 1-row corpus-stats cross join
+    "dedup_source_minhash_matrix",  # #sources-row signature self-join, dim-bounded
 }
 
 

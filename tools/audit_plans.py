@@ -101,6 +101,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("corpus_epoch_shuffle", "global-window"): "same with_global_index "
     "partition-offset window (#partitions rows, bounded); the shuffled "
     "rank itself is per-partition row_number over the md5 range exchange",
+    ("dedup_source_minhash_matrix", "bnlj"): "source-signature pair "
+    "matrix: a #sources-row aggregate self-joined under a < predicate — "
+    "both sides bounded by the source DIMENSION, never by data",
 }
 
 
