@@ -99,6 +99,21 @@ SHOWCASE: dict[str, str] = {
     "generate valid BMP/WAV containers, then REALLY decode them "
     "(header parse, row flip, padding strip, chunk walk) — bytes "
     "never shuffle; output is a narrow integer-stats frame.",
+    "embedding_label_dispersion": "Mean pairwise cosine per label with "
+    "ZERO pair enumeration (sum-vector identity): exact-integer "
+    "quantization ladder, one (label, dim) hash agg + label agg — no "
+    "join, no window, 64 agg rows per vector at any corpus size.",
+    "corpus_epoch_shuffle": "Deterministic epoch shuffle: md5-ordered "
+    "two-phase global rank (range exchange + per-partition row_number + "
+    "broadcast offsets) round-robined into shards — reproducible, "
+    "balanced, no single-task sort, no RNG.",
+    "dedup_source_minhash_matrix": "Per-source MinHash signatures as "
+    "map-side-combinable min aggregates (one scan, #sources-row "
+    "shuffle); the pair matrix is a dimension-bounded self-join.",
+    "corpus_token_budget_cut": "Per-source token quota via the "
+    "two-phase keyed_running_sum: exclusive prefix sums partitioned by "
+    "(__pid, source), start-offset keep rule, audit aggregate on the "
+    "same frame — no ~20-task packing ceiling.",
     "bpe_learn_sampled": "One distributed word-frequency aggregate "
     "(BPE's sufficient statistic) + bounded TakeOrdered collect; all "
     "merges learned driver-locally (lazy-invalidation heap) — the "
