@@ -165,6 +165,7 @@ HEADLINE = [
     "embedding_label_dispersion",
     "corpus_epoch_shuffle",
     "dedup_source_minhash_matrix",
+    "corpus_packing_efficiency",
 ]
 
 

@@ -802,6 +802,101 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BIN = 512
+_LEN_BUCKET = 64
+
+
+@register(
+    "corpus_packing_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ), naive AS (
+      SELECT n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_BIN} AS bin
+      FROM t
+    ), nbins AS (
+      SELECT bin, sum(n_tok) AS bt FROM naive GROUP BY bin
+    ), bucketed AS (
+      SELECT n_tok, n_tok // {_LEN_BUCKET} AS bucket,
+             coalesce(sum(n_tok) OVER (PARTITION BY n_tok // {_LEN_BUCKET}
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_BIN} AS bin
+      FROM t
+    ), bbins AS (
+      SELECT bucket, bin, sum(n_tok) AS bt FROM bucketed GROUP BY bucket, bin
+    ), tot AS (
+      SELECT sum(n_tok)::BIGINT AS total FROM t
+    )
+    SELECT 'naive' AS strategy,
+           (SELECT count(*) FROM nbins)::BIGINT AS n_bins,
+           (SELECT total FROM tot) AS total_tokens,
+           (SELECT sum(greatest(bt, {_PACK_BIN})) FROM nbins)::BIGINT
+             AS padded_tokens,
+           (((SELECT sum(greatest(bt, {_PACK_BIN})) FROM nbins)
+             - (SELECT total FROM tot)) * 1000000
+             // (SELECT sum(greatest(bt, {_PACK_BIN})) FROM nbins))::BIGINT AS waste_ppm
+    UNION ALL
+    SELECT 'length_bucketed' AS strategy,
+           (SELECT count(*) FROM bbins)::BIGINT,
+           (SELECT total FROM tot),
+           (SELECT sum(greatest(bt, {_PACK_BIN})) FROM bbins)::BIGINT,
+           (((SELECT sum(greatest(bt, {_PACK_BIN})) FROM bbins)
+             - (SELECT total FROM tot)) * 1000000
+             // (SELECT sum(greatest(bt, {_PACK_BIN})) FROM bbins))::BIGINT
+    """,
+    doc="Padding-waste audit of two context-window packing strategies "
+    f"(bin budget {_PACK_BIN} tokens): NAIVE (one global doc_id-ordered "
+    f"stream) vs LENGTH-BUCKETED (docs grouped into {_LEN_BUCKET}-token "
+    "length buckets first — the standard trick to cut padding, since "
+    "similar-length docs pack bins tighter). Each bin pads to "
+    "max(budget, bin tokens); waste_ppm = padded−total over padded, "
+    "exact integers. BOTH running sums go through the two-phase "
+    "keyed_running_sum — the naive one on a CONSTANT key, i.e. a "
+    "GLOBAL prefix sum computed with NO single-task global window "
+    "(the degenerate lowest-cardinality case of the primitive).",
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_running_sum
+    from redcap_omop_etl_spark.operators.textstats import ws_tokens
+
+    d = Catalog(spark, sf_dir)["documents"]
+    t = d.select("doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+
+    def bins(df, keys):
+        ps = keyed_running_sum(df, keys, ["doc_id"], "n_tok", "__ps")
+        return (
+            ps.select(*keys, F.expr(f"__ps div {_PACK_BIN}").alias("bin"), "n_tok")
+            .groupBy(*keys, "bin")
+            .agg(F.sum("n_tok").alias("bt"))
+        )
+
+    def audit(binned, strategy):
+        return binned.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("bt").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.col("bt"), F.lit(_PACK_BIN))).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            F.expr(
+                f"CAST((sum(greatest(bt, {_PACK_BIN})) - sum(bt)) * 1000000 "
+                f"div sum(greatest(bt, {_PACK_BIN})) AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+
+    naive = bins(t.withColumn("__one", F.lit(1)), ["__one"]).drop("__one")
+    bucketed = bins(
+        t.withColumn("bucket", F.expr(f"n_tok div {_LEN_BUCKET}")), ["bucket"]
+    )
+    return audit(naive, "naive").unionByName(audit(bucketed, "length_bucketed"))
+
+
 _EPOCH_SHARDS = 8
 
 

@@ -77,6 +77,7 @@ _PRIORITY = [
     "embedding_label_dispersion",
     "corpus_epoch_shuffle",
     "dedup_source_minhash_matrix",
+    "corpus_packing_efficiency",
     "bpe_learn_sampled",
     "multimodal_decode_stats",
     "curation_quantile_normalize",

@@ -104,6 +104,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("dedup_source_minhash_matrix", "bnlj"): "source-signature pair "
     "matrix: a #sources-row aggregate self-joined under a < predicate — "
     "both sides bounded by the source DIMENSION, never by data",
+    ("corpus_packing_efficiency", "global-window"): "the naive strategy's "
+    "keyed_running_sum runs on a CONSTANT key, so Catalyst folds the "
+    "partition spec away in the OFFSETS window — which runs over the "
+    "#partitions-row summary frame (bounded by partition count, never "
+    "data); the data-sized prefix window stays partitioned by __pid",
 }
 
 
