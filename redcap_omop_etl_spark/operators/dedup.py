@@ -1297,3 +1297,86 @@ def dedup_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + f") * 1000000 div {_SRC_MINHASH_K} AS BIGINT)"
         ).alias("est_jaccard_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span coverage (suffix-window dedup audit)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 48  # window width (chars); every test doc has n_chars >= 48
+_SPAN_S = 16  # stride
+
+
+@register(
+    "dedup_span_coverage",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, md5(substr(text, off + 1, {_SPAN_W})) AS h
+      FROM (SELECT doc_id, source, text,
+                   unnest(range(0, n_chars - {_SPAN_W} + 1, {_SPAN_S})) AS off
+            FROM documents)
+    ), per_doc_h AS (
+      SELECT doc_id, source, h, count(*) AS n_occ
+      FROM w GROUP BY doc_id, source, h
+    ), flagged AS (
+      SELECT doc_id, source, n_occ,
+             count(*) OVER (PARTITION BY h) AS ndocs
+      FROM per_doc_h
+    )
+    SELECT doc_id, source,
+           sum(n_occ)::BIGINT AS n_windows,
+           sum(CASE WHEN ndocs >= 2 THEN n_occ ELSE 0 END)::BIGINT
+             AS n_dup_windows,
+           round(sum(CASE WHEN ndocs >= 2 THEN n_occ ELSE 0 END)::DOUBLE
+                 / sum(n_occ), 6) AS dup_ratio
+    FROM flagged
+    GROUP BY doc_id, source
+    """,
+    doc="Exact repeated-substring span coverage — the fixed-window form of "
+    "suffix-array substring dedup (hash every 48-char window at stride 16, "
+    "flag windows whose hash occurs in >= 2 distinct docs, report per-doc "
+    "duplicated-window coverage). Unlike shingle-Jaccard this catches "
+    "VERBATIM cross-doc spans (boilerplate, quotes, mirrored passages) "
+    "regardless of how little of either doc they cover. Plan: explode "
+    "~n_chars/stride offsets per doc -> substring+md5 (whole-stage "
+    "codegen) -> one (doc,h) hash-agg -> distinct-doc count as a window "
+    "over the HIGH-cardinality hash key (parallelism = #distinct windows, "
+    "never #docs or #sources) -> per-doc hash-agg. No self-join, no "
+    "pairwise blowup: cost is linear in total chars / stride at any "
+    "corpus size.",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir)["documents"]
+    w = (
+        fan_out(d)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_chars") - _SPAN_W, F.lit(_SPAN_S)
+                )
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.expr(f"substring(text, off + 1, {_SPAN_W})")).alias("h"),
+        )
+    )
+    per_doc_h = w.groupBy("doc_id", "source", "h").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # one row per (doc, h) => count(*) over h == distinct docs carrying h
+    flagged = per_doc_h.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup_occ = F.sum(F.when(F.col("ndocs") >= 2, F.col("n_occ")).otherwise(0))
+    return flagged.groupBy("doc_id", "source").agg(
+        F.sum("n_occ").alias("n_windows"),
+        dup_occ.alias("n_dup_windows"),
+        F.round(dup_occ.cast("double") / F.sum("n_occ"), 6).alias("dup_ratio"),
+    )
