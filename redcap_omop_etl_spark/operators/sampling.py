@@ -1363,3 +1363,103 @@ def sampling_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance weights (targeted resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+
+
+@register(
+    "corpus_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             cast(('0x' || substring(md5(g), 1, 8)) AS bigint) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS g
+            FROM toks WHERE len(t) >= 2)
+    ), raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS nr,
+                   (SELECT sum(ct) FROM tgt)::BIGINT AS nt),
+    tab AS (
+      SELECT raw.b,
+             CAST(round((1000000.0 * (coalesce(ct, 0) + 1) * (nr + {_DSIR_B}))
+                        / ((cr + 1) * (nt + {_DSIR_B}))) AS BIGINT) AS ratio_micro
+      FROM raw LEFT JOIN tgt USING (b), tot
+    )
+    SELECT doc_id, lang,
+           count(*)::BIGINT AS n_feats,
+           sum(ratio_micro)::BIGINT AS score_micro,
+           (sum(ratio_micro)::BIGINT // count(*)) AS mean_ratio_micro,
+           CAST(CASE WHEN sum(ratio_micro)::BIGINT // count(*) >= 1000000
+                     THEN 1 ELSE 0 END AS INT) AS target_like
+    FROM bg JOIN tab USING (b)
+    GROUP BY doc_id, lang
+    """,
+    doc="DSIR-style data selection: score every doc by how target-like its "
+    "hashed n-gram features are (target = the English slice, raw = the "
+    "whole corpus), the importance-resampling recipe for steering a "
+    "pretraining mixture toward a target domain without a trained "
+    "classifier. Word bigrams hash into 256 buckets; each bucket gets a "
+    "smoothed target/raw probability ratio; a doc's score is the exact "
+    "integer sum of its features' ratios in 1e-6 units (ratios are "
+    "single-division micro-quantized BIGINTs, so cross-engine sums are "
+    "bit-identical — no transcendental log-likelihoods whose last-ulp "
+    "could differ between engines). Plan: one explode -> 256-row hash-agg "
+    "(map-side combined) for each of raw/target, ratio table broadcast "
+    "back, per-doc hash-agg. Two corpus scans, zero data-sized joins or "
+    "windows; the feature table is O(buckets) at any corpus size.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    ).where(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("g"),
+    ).select("doc_id", "lang", hash_bucket(F.col("g"), _DSIR_B).alias("b"))
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tab = (
+        raw.join(tgt, "b", "left")
+        .fillna(0, ["ct"])
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("cr").alias("nr")).crossJoin(
+                    tgt.agg(F.sum("ct").alias("nt"))
+                )
+            )
+        )
+        .select(
+            "b",
+            F.expr(
+                f"CAST(round((1000000.0 * (ct + 1) * (nr + {_DSIR_B}))"
+                f" / ((cr + 1) * (nt + {_DSIR_B}))) AS BIGINT)"
+            ).alias("ratio_micro"),
+        )
+    )
+    mean_ratio = F.expr("sum(ratio_micro) div count(1)")
+    return (
+        bg.join(F.broadcast(tab), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("ratio_micro").alias("score_micro"),
+            mean_ratio.alias("mean_ratio_micro"),
+            F.when(mean_ratio >= 1000000, 1).otherwise(0).cast("int").alias("target_like"),
+        )
+    )
