@@ -1149,3 +1149,71 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.round(F.count(F.lit(1)).cast("double") / MRL_K, 6).alias("overlap_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: per-label centroid-distance outliers
+# ---------------------------------------------------------------------------
+
+_OUTLIER_K = 3
+
+
+@register(
+    "embedding_label_outliers",
+    f"""
+    WITH e AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    el AS (
+      SELECT id, label, u.i AS dim, v[u.i] AS val
+      FROM e, LATERAL unnest(range(1, len(v) + 1)) u(i)
+    ),
+    cent AS (
+      SELECT label, dim, avg(val) AS c FROM el GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT el.id, el.label,
+             round(sqrt(sum((el.val - cent.c) ^ 2)), 4) AS centroid_dist
+      FROM el JOIN cent ON el.label = cent.label AND el.dim = cent.dim
+      GROUP BY el.id, el.label
+    )
+    SELECT label, vec_id, centroid_dist, rk FROM (
+      SELECT id AS vec_id, label, centroid_dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY centroid_dist DESC, id) AS rk
+      FROM dist)
+    WHERE rk <= {_OUTLIER_K}
+    """,
+    doc="Label-noise audit: flag the vectors farthest from their own "
+    "label's centroid — the standard first-pass mislabel/outlier detector "
+    "for embedding-labeled training data. Plan: one posexplode -> "
+    "(label, dim) hash-agg builds the centroid table (labels x dim rows, "
+    "broadcast back), distances are a map-side join + per-vector "
+    "hash-agg, and the per-label top-k runs through the two-phase "
+    "keyed_topk primitive (label has cardinality ~10, so a plain "
+    "Window.partitionBy(label) would cap the data-sized sort at 10 tasks; "
+    "keyed_topk prunes to <= partitions x labels x k candidates map-side "
+    "and only ranks that tiny frame). Distances rounded 4dp on both "
+    "engines before ranking, ties broken by vec_id.",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    e = Catalog(spark, sf_dir)["embeddings"]
+    lf = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = lf.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    dist = (
+        lf.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))),
+                4,
+            ).alias("centroid_dist")
+        )
+    )
+    top = keyed_topk(
+        dist, ["label"], [F.col("centroid_dist").desc(), "vec_id"], _OUTLIER_K, "rk"
+    )
+    return top.select("label", "vec_id", "centroid_dist", "rk")
