@@ -1380,3 +1380,137 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_occ.alias("n_dup_windows"),
         F.round(dup_occ.cast("double") / F.sum("n_occ"), 6).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical LSH recall audit: band predicate vs exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+_AUDIT_K = 64
+_AUDIT_BANDS = 16
+_AUDIT_ROWS = _AUDIT_K // _AUDIT_BANDS
+_AUDIT_SAMPLE_PCT = 40
+
+
+def _lsh_recall_oracle() -> str:
+    p = _MERSENNE_P
+    params = [(2 * i + 1, 104729 * (i + 1) % p) for i in range(_AUDIT_K)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.m{bi * _AUDIT_ROWS + r} = sb.m{bi * _AUDIT_ROWS + r}"
+            for r in range(_AUDIT_ROWS)
+        )
+        + ")"
+        for bi in range(_AUDIT_BANDS)
+    )
+    return f"""
+    WITH smp AS (
+      SELECT doc_id, text FROM documents
+      WHERE cast(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS bigint)
+            % 100 < {_AUDIT_SAMPLE_PCT}
+    ), __tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM smp
+    ), __sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS s
+      FROM __tok, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
+    ), h AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(s), 1, 15))::BIGINT % {p} AS h
+      FROM __sh
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id
+    ), truth AS (
+      SELECT d1, d2, (i * 10) // u AS jbucket FROM (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i,
+               any_value(za.sz) + any_value(zb.sz) - count(*) AS u
+        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        JOIN sz za ON za.doc_id = a.doc_id
+        JOIN sz zb ON zb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ), flagged AS (
+      SELECT t.jbucket,
+             CASE WHEN {band_match} THEN 1 ELSE 0 END AS det
+      FROM truth t
+      JOIN sigs sa ON sa.doc_id = t.d1
+      JOIN sigs sb ON sb.doc_id = t.d2
+    )
+    SELECT jbucket, count(*)::BIGINT AS n_true,
+           sum(det)::BIGINT AS n_detected,
+           (sum(det)::BIGINT * 1000000 // count(*)) AS recall_ppm
+    FROM flagged GROUP BY jbucket
+    """
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    _lsh_recall_oracle(),
+    doc="Empirical MinHash-LSH S-curve audit: on a deterministic "
+    f"{_AUDIT_SAMPLE_PCT}% md5 doc sample, bucket every shingle-sharing "
+    "pair by exact Jaccard (floor(10*J), integer arithmetic) and score "
+    f"it against the production band predicate ({_AUDIT_K} hashes x "
+    f"{_AUDIT_BANDS} bands, same derived hash family as "
+    "dedup_minhash_lsh). High buckets read as measured RECALL (what the "
+    "sketch misses), low buckets as the band FALSE-POSITIVE rate "
+    "(wasted verify work) — the measured S-curve instead of the "
+    "closed-form 1-(1-J^r)^b. Ground truth uses the exact shingle "
+    "equi-join, which is the audit's deliberate cost: it runs on the "
+    "bounded sample, never the corpus (the production path stays "
+    "dedup_minhash_lsh). All comparisons are integer (counts, min-hash "
+    "equality), so the DuckDB oracle replays bit-for-bit.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.sampling import hash_bucket
+
+    d = Catalog(spark, sf_dir)["documents"]
+    smp = d.where(hash_bucket(F.col("doc_id"), 100) < _AUDIT_SAMPLE_PCT)
+    base = shingle_hashes(smp, 3, "text", "doc_id").transform(tracked_persist)
+    h = base.select("doc", F.explode("hashes").alias("h"))
+    sizes = base.select("doc", F.size("hashes").alias("sz"))
+    inter = (
+        h.alias("a")
+        .join(h.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("u", F.col("sz1") + F.col("sz2") - F.col("i"))
+        .select("d1", "d2", F.expr("(i * 10) div u").alias("jbucket"))
+    )
+    sigs = base.select("doc", _minhash_sig(F.col("hashes"), _AUDIT_K).alias("sig"))
+    band_match = F.greatest(
+        *[
+            F.when(
+                F.lit(True)
+                & F.expr(
+                    " AND ".join(
+                        f"element_at(s1, {bi * _AUDIT_ROWS + r + 1})"
+                        f" = element_at(s2, {bi * _AUDIT_ROWS + r + 1})"
+                        for r in range(_AUDIT_ROWS)
+                    )
+                ),
+                1,
+            ).otherwise(0)
+            for bi in range(_AUDIT_BANDS)
+        ]
+    )
+    flagged = (
+        truth.join(sigs.select(F.col("doc").alias("d1"), F.col("sig").alias("s1")), "d1")
+        .join(sigs.select(F.col("doc").alias("d2"), F.col("sig").alias("s2")), "d2")
+        .withColumn("det", band_match)
+    )
+    return flagged.groupBy("jbucket").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("det").alias("n_detected"),
+        F.expr("sum(det) * 1000000 div count(1)").alias("recall_ppm"),
+    )
