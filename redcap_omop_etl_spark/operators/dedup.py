@@ -1514,3 +1514,122 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("det").alias("n_detected"),
         F.expr("sum(det) * 1000000 div count(1)").alias("recall_ppm"),
     )
+
+
+@register(
+    "dedup_span_removal",
+    f"""
+    WITH w AS (
+      SELECT doc_id, off, md5(substr(text, off + 1, {_SPAN_W})) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, n_chars - {_SPAN_W} + 1, {_SPAN_S})) AS off
+            FROM documents)
+    ), dup_h AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+      GROUP BY h HAVING count(*) >= 2
+    ), dupw AS (
+      SELECT doc_id, off FROM w WHERE h IN (SELECT h FROM dup_h)
+    ), marked AS (
+      SELECT doc_id, off,
+             CASE WHEN prev_end IS NULL OR off > prev_end THEN 1 ELSE 0 END
+               AS is_new
+      FROM (SELECT doc_id, off,
+                   max(off + {_SPAN_W}) OVER (
+                     PARTITION BY doc_id ORDER BY off
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM dupw)
+    ), isl AS (
+      SELECT doc_id, off,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY off
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, island, min(off) AS s, max(off) + {_SPAN_W} AS e
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             sum(e - s)::BIGINT AS chars_dup
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(p.chars_dup, 0)::BIGINT AS chars_dup,
+           round(coalesce(p.chars_dup, 0)::DOUBLE / d.n_chars, 6)
+             AS dup_char_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Verbatim-span REMOVAL plan — the action step after "
+    "dedup_span_coverage: windows whose hash occurs in >= 2 docs merge "
+    "into maximal per-doc character spans (overlap/adjacency island "
+    "detection: a window starts a new span iff its offset exceeds the "
+    "running max end), yielding exactly the byte ranges a "
+    "suffix-window dedup pass would cut, per doc, with the removable "
+    "char count and ratio. Plan: the span pipeline's hash-agg + one "
+    "left-semi hash join on the HIGH-cardinality window hash, then two "
+    "windows partitioned by doc_id (cardinality = corpus, full "
+    "parallelism) and a per-doc hash-agg; all arithmetic integer, so "
+    "the oracle replays exactly. No self-join, no pairwise blowup at "
+    "any corpus size.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir)["documents"]
+    w = (
+        fan_out(d)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chars") - _SPAN_W, F.lit(_SPAN_S))
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "off",
+            F.md5(F.expr(f"substring(text, off + 1, {_SPAN_W})")).alias("h"),
+        )
+    )
+    dup_h = (
+        w.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    dupw = w.join(dup_h, "h", "left_semi").select("doc_id", "off")
+    win = Window.partitionBy("doc_id").orderBy("off")
+    prev_end = F.max(F.col("off") + _SPAN_W).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dupw.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("off") > prev_end), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island", F.sum("is_new").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("off").alias("s"), (F.max("off") + _SPAN_W).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("chars_dup"),
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("chars_dup", F.lit(0)).alias("chars_dup"),
+            F.round(
+                F.coalesce("chars_dup", F.lit(0)).cast("double") / F.col("n_chars"), 6
+            ).alias("dup_char_ratio"),
+        )
+    )
