@@ -1351,6 +1351,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
     w = (
         fan_out(d)
+        .where(F.col("n_chars") >= _SPAN_W)  # shorter docs have no window
         .select(
             "doc_id",
             "source",
@@ -1579,6 +1580,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
     w = (
         fan_out(d)
+        .where(F.col("n_chars") >= _SPAN_W)  # shorter docs have no window
         .select(
             "doc_id",
             F.explode(

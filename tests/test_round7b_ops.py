@@ -1,0 +1,235 @@
+"""Round-7 second wave: exact span dedup (coverage + removal), DSIR
+importance weights, label-outlier audit, LSH recall audit.
+
+Evidence layers:
+- BRUTE-FORCE EQUIVALENCE: each operator's result is recomputed
+  driver-side in plain Python/numpy at sf0.001 and compared exactly —
+  independent of both Spark SQL and the DuckDB oracle.
+- INVARIANTS: bounds/consistency properties that must hold on any corpus.
+- PLAN PINS: the data-sized window/join keys are high-cardinality, so the
+  plans cannot silently regress onto a low-cardinality task ceiling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from redcap_omop_etl_spark import workload
+from tests.conftest import SF_SMOKE
+
+W, S = 48, 16
+
+
+def _q(spark, name):
+    return workload.queries()[name](spark, SF_SMOKE)
+
+
+def _plan(spark, name: str) -> str:
+    df = workload.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _doc_rows(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+
+
+def _windows(rows):
+    """(doc_id, off, md5hex) for every stride-S width-W char window."""
+    out = []
+    for r in rows:
+        for off in range(0, r.n_chars - W + 1, S):
+            h = hashlib.md5(r.text[off : off + W].encode()).hexdigest()
+            out.append((r.doc_id, off, h))
+    return out
+
+
+class TestSpanCoverage:
+    def test_matches_bruteforce(self, spark):
+        rows = _doc_rows(spark)
+        wins = _windows(rows)
+        docs_per_h: dict[str, set] = {}
+        for d, _, h in wins:
+            docs_per_h.setdefault(h, set()).add(d)
+        exp: dict[int, list[int]] = {}
+        for d, _, h in wins:
+            tot_dup = exp.setdefault(d, [0, 0])
+            tot_dup[0] += 1
+            if len(docs_per_h[h]) >= 2:
+                tot_dup[1] += 1
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows)
+            for r in _q(spark, "dedup_span_coverage").collect()
+        }
+        assert set(got) == set(exp)
+        for d, (tot, dup) in exp.items():
+            assert got[d] == (tot, dup), f"doc {d}"
+
+    def test_ratio_consistent(self, spark):
+        for r in _q(spark, "dedup_span_coverage").collect():
+            assert 0 <= r.n_dup_windows <= r.n_windows
+            assert r.dup_ratio == pytest.approx(
+                round(r.n_dup_windows / r.n_windows, 6), abs=1e-9
+            )
+
+    def test_plan_windows_over_hash_key(self, spark):
+        # the distinct-doc count partitions by the window hash (data-sized
+        # key), never by doc/source — no low-cardinality sort ceiling.
+        plan = _plan(spark, "dedup_span_coverage")
+        assert re.search(r"hashpartitioning\(h#", plan), plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSpanRemoval:
+    def test_matches_bruteforce(self, spark):
+        rows = _doc_rows(spark)
+        wins = _windows(rows)
+        docs_per_h: dict[str, set] = {}
+        for d, _, h in wins:
+            docs_per_h.setdefault(h, set()).add(d)
+        dup_offs: dict[int, list[int]] = {}
+        for d, off, h in wins:
+            if len(docs_per_h[h]) >= 2:
+                dup_offs.setdefault(d, []).append(off)
+        exp = {}
+        for d, offs in dup_offs.items():
+            offs.sort()
+            spans = []
+            for off in offs:
+                if spans and off <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], off + W)
+                else:
+                    spans.append([off, off + W])
+            exp[d] = (len(spans), sum(e - s for s, e in spans))
+        got = {
+            r.doc_id: (r.n_dup_spans, r.chars_dup)
+            for r in _q(spark, "dedup_span_removal").collect()
+        }
+        for d, pair in exp.items():
+            assert got[d] == pair, f"doc {d}"
+        for d, pair in got.items():
+            if d not in exp:
+                assert pair == (0, 0)
+
+    def test_consistent_with_coverage(self, spark):
+        cov = {
+            r.doc_id: r.n_dup_windows
+            for r in _q(spark, "dedup_span_coverage").collect()
+        }
+        for r in _q(spark, "dedup_span_removal").collect():
+            assert 0 <= r.chars_dup <= r.n_chars
+            # a doc has removable chars iff it has >= 1 duplicated window
+            # (docs shorter than W never appear in coverage: no windows)
+            assert (r.chars_dup > 0) == (cov.get(r.doc_id, 0) > 0)
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _bigram_buckets(text: str) -> list[int]:
+        toks = re.split(r"\s+", text.strip().lower())
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % 256
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    def test_matches_bruteforce(self, spark):
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "lang", "text")
+            .collect()
+        )
+        cr: dict[int, int] = {}
+        ct: dict[int, int] = {}
+        per_doc: dict[int, list[int]] = {}
+        for r in rows:
+            bs = self._bigram_buckets(r.text)
+            if len(bs) == 0:
+                continue
+            per_doc[r.doc_id] = bs
+            for b in bs:
+                cr[b] = cr.get(b, 0) + 1
+                if r.lang == "en":
+                    ct[b] = ct.get(b, 0) + 1
+        nr, nt = sum(cr.values()), sum(ct.values())
+        ratio = {
+            b: math.floor(
+                (1e6 * (ct.get(b, 0) + 1) * (nr + 256)) / ((cr[b] + 1) * (nt + 256))
+                + 0.5
+            )
+            for b in cr
+        }
+        got = {
+            r.doc_id: (r.n_feats, r.score_micro, r.mean_ratio_micro)
+            for r in _q(spark, "corpus_dsir_weights").collect()
+        }
+        assert set(got) == set(per_doc)
+        for d, bs in per_doc.items():
+            score = sum(ratio[b] for b in bs)
+            assert got[d] == (len(bs), score, score // len(bs)), f"doc {d}"
+
+    def test_target_slice_scores_higher(self, spark):
+        # the method's point: target-language docs must score more
+        # target-like than the rest, on average.
+        rows = _q(spark, "corpus_dsir_weights").collect()
+        en = [r.mean_ratio_micro for r in rows if r.lang == "en"]
+        rest = [r.mean_ratio_micro for r in rows if r.lang != "en"]
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+class TestLabelOutliers:
+    def test_matches_bruteforce(self, spark):
+        import numpy as np
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(
+                (r.vec_id, np.array(r.embedding, dtype="float64"))
+            )
+        exp = set()
+        for lbl, vs in by_label.items():
+            c = np.mean([v for _, v in vs], axis=0)
+            scored = sorted(
+                ((round(float(np.sqrt(((v - c) ** 2).sum())), 4), vid) for vid, v in vs),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for rk, (dist, vid) in enumerate(scored[:3], start=1):
+                exp.add((lbl, vid, dist, rk))
+        got = {
+            (r.label, r.vec_id, r.centroid_dist, r.rk)
+            for r in _q(spark, "embedding_label_outliers").collect()
+        }
+        assert got == exp
+
+    def test_plan_uses_two_phase_topk(self, spark):
+        plan = _plan(spark, "embedding_label_outliers")
+        assert "__pid" in plan, "keyed_topk two-phase marker missing"
+        assert "WindowGroupLimit" in plan
+
+
+class TestLshRecallAudit:
+    def test_scurve_shape(self, spark):
+        rows = {r.jbucket: r for r in _q(spark, "dedup_lsh_recall_audit").collect()}
+        assert rows, "no shingle-sharing pairs in sample"
+        for r in rows.values():
+            assert 0 <= r.n_detected <= r.n_true
+            assert r.recall_ppm == r.n_detected * 1_000_000 // r.n_true
+        if 0 in rows and 9 in rows:
+            # near-exact dups must be caught far more often than the
+            # barely-overlapping mass (the S-curve's whole point)
+            assert rows[9].recall_ppm > rows[0].recall_ppm
+            assert rows[9].recall_ppm >= 900_000
+            assert rows[0].recall_ppm <= 100_000

@@ -82,6 +82,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "broadcast crossJoin per bounded peel round",
     ("retrieval_prf_expansion", "bnlj"): "corpus N/avgdl scalar inherited "
     "from bm25_scores: 1-row broadcast crossJoin",
+    ("corpus_dsir_weights", "bnlj"): "raw/target feature-total scalars: "
+    "1-row broadcast crossJoin onto the 256-bucket ratio table",
     ("embedding_pq_audit", "global-window"): "codeword-init row_number "
     "over the LIMIT-4 seed vectors (4 rows by construction)",
     ("similarity_hard_negatives", "global-window"): "rank over the "
