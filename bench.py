@@ -166,6 +166,14 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "dedup_source_minhash_matrix",
     "corpus_packing_efficiency",
+    # round-7 second wave: exact span dedup (coverage + removal), DSIR
+    # importance weights, label-outlier audit, LSH recall audit.
+    "dedup_span_coverage",
+    "dedup_span_removal",
+    "corpus_dsir_weights",
+    "embedding_label_outliers",
+    "dedup_lsh_recall_audit",
+    "corpus_span_source_matrix",
 ]
 
 

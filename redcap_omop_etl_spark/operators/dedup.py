@@ -1391,6 +1391,7 @@ _AUDIT_K = 64
 _AUDIT_BANDS = 16
 _AUDIT_ROWS = _AUDIT_K // _AUDIT_BANDS
 _AUDIT_SAMPLE_PCT = 40
+_AUDIT_DF_CAP = 100  # stop-shingle cap, same convention as ngram_jaccard
 
 
 def _lsh_recall_oracle() -> str:
@@ -1418,10 +1419,14 @@ def _lsh_recall_oracle() -> str:
     ), __sh AS (
       SELECT DISTINCT doc_id, concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS s
       FROM __tok, unnest(range(1, greatest(len(w) - 1, 2))) u(i)
-    ), h AS MATERIALIZED (
+    ), h0 AS (
       SELECT DISTINCT doc_id,
              ('0x' || substring(md5(s), 1, 15))::BIGINT % {p} AS h
       FROM __sh
+    ), h AS MATERIALIZED (
+      SELECT doc_id, h FROM h0
+      WHERE h NOT IN (SELECT h FROM h0
+                      GROUP BY h HAVING count(*) > {_AUDIT_DF_CAP})
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id
     ), truth AS (
@@ -1473,9 +1478,20 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir)["documents"]
     smp = d.where(hash_bucket(F.col("doc_id"), 100) < _AUDIT_SAMPLE_PCT)
-    base = shingle_hashes(smp, 3, "text", "doc_id").transform(tracked_persist)
-    h = base.select("doc", F.explode("hashes").alias("h"))
-    sizes = base.select("doc", F.size("hashes").alias("sz"))
+    base = shingle_hashes(smp, 3, "text", "doc_id")
+    h0 = base.select("doc", F.explode("hashes").alias("h"))
+    # stop-shingle cap (ngram_jaccard's df_cap convention): hashes carried
+    # by > cap docs leave BOTH the truth join and the signatures, so the
+    # audit's shingle space is self-consistent and the hot-shingle
+    # quadratic pair mass never materializes.
+    hot = (
+        h0.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _AUDIT_DF_CAP)
+        .select("h")
+    )
+    h = h0.join(hot, "h", "left_anti").transform(tracked_persist)
+    sizes = h.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         h.alias("a")
         .join(h.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -1488,15 +1504,22 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u", F.col("sz1") + F.col("sz2") - F.col("i"))
         .select("d1", "d2", F.expr("(i * 10) div u").alias("jbucket"))
     )
-    sigs = base.select("doc", _minhash_sig(F.col("hashes"), _AUDIT_K).alias("sig"))
+    params = [
+        (2 * i + 1, 104729 * (i + 1) % _MERSENNE_P) for i in range(_AUDIT_K)
+    ]
+    sigs = h.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
     band_match = F.greatest(
         *[
             F.when(
                 F.lit(True)
                 & F.expr(
                     " AND ".join(
-                        f"element_at(s1, {bi * _AUDIT_ROWS + r + 1})"
-                        f" = element_at(s2, {bi * _AUDIT_ROWS + r + 1})"
+                        f"s1.m{bi * _AUDIT_ROWS + r} = s2.m{bi * _AUDIT_ROWS + r}"
                         for r in range(_AUDIT_ROWS)
                     )
                 ),
@@ -1506,8 +1529,8 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     flagged = (
-        truth.join(sigs.select(F.col("doc").alias("d1"), F.col("sig").alias("s1")), "d1")
-        .join(sigs.select(F.col("doc").alias("d2"), F.col("sig").alias("s2")), "d2")
+        truth.join(sigs.alias("s1"), F.col("s1.doc") == F.col("d1"))
+        .join(sigs.alias("s2"), F.col("s2.doc") == F.col("d2"))
         .withColumn("det", band_match)
     )
     return flagged.groupBy("jbucket").agg(
@@ -1634,4 +1657,59 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("chars_dup", F.lit(0)).cast("double") / F.col("n_chars"), 6
             ).alias("dup_char_ratio"),
         )
+    )
+
+
+@register(
+    "corpus_span_source_matrix",
+    f"""
+    WITH ws AS (
+      SELECT DISTINCT source, md5(substr(text, off + 1, {_SPAN_W})) AS h
+      FROM (SELECT source, text,
+                   unnest(range(0, n_chars - {_SPAN_W} + 1, {_SPAN_S})) AS off
+            FROM documents)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*)::BIGINT AS shared_spans
+    FROM ws a JOIN ws b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="Cross-source VERBATIM contamination matrix: for every pair of "
+    "sources, the number of distinct 48-char windows both carry "
+    "verbatim — the exact counterpart to dedup_source_minhash_matrix's "
+    "sketch estimate, at window (not whole-document) granularity, which "
+    "is what catches licensing leaks / mirrored passages between "
+    "corpus sources. Plan: the span pipeline's stride-window explode -> "
+    "one DISTINCT (source, hash) hash-agg, then a self-equi-join on the "
+    "HIGH-cardinality hash whose per-key fan-out is bounded by #sources "
+    "(~20) — at most sources^2/2 rows per hash, so the join stays "
+    "linear in distinct windows at any corpus size; output is the "
+    "source-dimension matrix, never data-sized.",
+)
+def corpus_span_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    ws = (
+        fan_out(d)
+        .where(F.col("n_chars") >= _SPAN_W)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chars") - _SPAN_W, F.lit(_SPAN_S))
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "source",
+            F.md5(F.expr(f"substring(text, off + 1, {_SPAN_W})")).alias("h"),
+        )
+        .distinct()
+    )
+    return (
+        ws.alias("a")
+        .join(
+            ws.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
     )

@@ -1432,17 +1432,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
         ).alias("g"),
     ).select("doc_id", "lang", hash_bucket(F.col("g"), _DSIR_B).alias("b"))
-    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # raw and target bucket counts in ONE corpus pass (the target is a
+    # slice of raw, so a conditional sum replaces a second explode+md5
+    # scan — at 64x stress the explode is the whole cost)
+    counts = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
     tab = (
-        raw.join(tgt, "b", "left")
-        .fillna(0, ["ct"])
-        .crossJoin(
-            F.broadcast(
-                raw.agg(F.sum("cr").alias("nr")).crossJoin(
-                    tgt.agg(F.sum("ct").alias("nt"))
-                )
-            )
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt")))
         )
         .select(
             "b",

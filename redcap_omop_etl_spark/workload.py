@@ -63,15 +63,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-7 rotation. Leads: the 3 never-driver-checked round-7
-    # queries (capped containment, sample-based BPE learner, real-codec
-    # decode stats) plus the 7 whose plan changed this round (the
-    # two-phase keyed-window rewrites: quantile normalize, curriculum
-    # order, Pareto frontier, source caps, pipeline/chunk-prep packing,
+    # -- round-7 rotation. Leads: the 6 never-driver-checked second-wave
+    # queries (span coverage/removal, DSIR weights, label outliers, LSH
+    # recall audit), then the 3 never-checked first-wave queries (capped
+    # containment, sample-based BPE learner, real-codec decode stats)
+    # plus the 7 whose plan changed this round (the two-phase
+    # keyed-window rewrites: quantile normalize, curriculum order,
+    # Pareto frontier, source caps, pipeline/chunk-prep packing,
     # sequence packing). Then oldest-evidence-first: the 41 queries whose
     # latest driver check is round 2, then the round-3 cohort (44), then
-    # rounds 4-6 — so the ~50-slot gate lands on the leads + the entire
+    # rounds 4-6 — so the ~50-slot gate lands on the leads + most of the
     # stalest (round-2) cohort.
+    "dedup_span_coverage",
+    "dedup_span_removal",
+    "corpus_dsir_weights",
+    "embedding_label_outliers",
+    "dedup_lsh_recall_audit",
+    "corpus_span_source_matrix",
     "dedup_containment_capped",
     "corpus_token_budget_cut",
     "embedding_label_dispersion",

@@ -196,6 +196,23 @@ SHOWCASE: dict[str, str] = {
     "corpus explode: the corpus distribution is a vocab-sized "
     "re-aggregation of the (source, token) counts (no second pass), "
     "broadcast back; grand total is a 1-row broadcast scalar.",
+    "dedup_span_coverage": "Exact verbatim-span dedup, linear plan: "
+    "stride-window explode -> md5 hash-agg, distinct-doc count as a "
+    "window over the HIGH-cardinality window hash (parallelism = "
+    "#distinct windows), per-doc hash-agg; no self-join, no pairwise "
+    "blowup at any corpus size.",
+    "dedup_span_removal": "Span-removal action plan: duplicated windows "
+    "left-semi-joined on the window hash, island-merged into maximal "
+    "char spans via two doc_id-partitioned windows (cardinality = "
+    "corpus), per-doc removable-bytes agg — all integer arithmetic.",
+    "corpus_dsir_weights": "DSIR importance weights: one bigram explode "
+    "-> two 256-bucket hash-aggs (map-side combined), micro-quantized "
+    "ratio table broadcast back, exact integer per-doc sums; zero "
+    "data-sized joins or windows.",
+    "embedding_label_outliers": "Centroid-distance outliers: labels x "
+    "dim centroid agg broadcast back, map-side distance, per-label "
+    "top-k through two-phase keyed_topk (no 10-task sort ceiling on "
+    "the low-cardinality label key).",
 }
 
 
