@@ -233,3 +233,33 @@ class TestLshRecallAudit:
             assert rows[9].recall_ppm > rows[0].recall_ppm
             assert rows[9].recall_ppm >= 900_000
             assert rows[0].recall_ppm <= 100_000
+
+
+class TestSpanSourceMatrix:
+    def test_matches_bruteforce(self, spark):
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "source", "text", "n_chars")
+            .collect()
+        )
+        src_per_h: dict[str, set] = {}
+        for r in rows:
+            for off in range(0, r.n_chars - W + 1, S):
+                h = hashlib.md5(r.text[off : off + W].encode()).hexdigest()
+                src_per_h.setdefault(h, set()).add(r.source)
+        exp: dict[tuple, int] = {}
+        for srcs in src_per_h.values():
+            ss = sorted(srcs)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    exp[(ss[i], ss[j])] = exp.get((ss[i], ss[j]), 0) + 1
+        got = {
+            (r.src_a, r.src_b): r.shared_spans
+            for r in _q(spark, "corpus_span_source_matrix").collect()
+        }
+        assert got == exp
+
+    def test_pair_orientation(self, spark):
+        for r in _q(spark, "corpus_span_source_matrix").collect():
+            assert r.src_a < r.src_b
+            assert r.shared_spans >= 1
