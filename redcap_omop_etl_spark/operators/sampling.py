@@ -1413,10 +1413,17 @@ _DSIR_B = 256  # hashed feature buckets
     "integer sum of its features' ratios in 1e-6 units (ratios are "
     "single-division micro-quantized BIGINTs, so cross-engine sums are "
     "bit-identical — no transcendental log-likelihoods whose last-ulp "
-    "could differ between engines). Plan: one explode -> 256-row hash-agg "
-    "(map-side combined) for each of raw/target, ratio table broadcast "
-    "back, per-doc hash-agg. Two corpus scans, zero data-sized joins or "
-    "windows; the feature table is O(buckets) at any corpus size.",
+    "could differ between engines). Plan: one explode feeding BOTH the "
+    "raw and target 256-row hash-aggs (conditional sum, map-side "
+    "combined), ratio table broadcast back, per-doc hash-agg. Two corpus "
+    "scans, zero data-sized joins or windows; the feature table is "
+    "O(buckets) at any corpus size. SCAN-BOUND boundary: the cost is the "
+    "per-bigram md5 (the cross-engine reproducibility discipline) — "
+    "per-token throughput is constant, so wall tracks corpus tokens "
+    "(~35x at 64x data on the fixed 32-core stress box, SCALE_r07) and "
+    "parallelizes freely with executors; swapping hash_bucket's md5 for "
+    "xxhash64 is the one-line throughput upgrade when oracle portability "
+    "isn't needed.",
 )
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
