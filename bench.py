@@ -174,6 +174,7 @@ HEADLINE = [
     "embedding_label_outliers",
     "dedup_lsh_recall_audit",
     "corpus_span_source_matrix",
+    "dq_k_anonymity",
 ]
 
 

@@ -1469,3 +1469,51 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(mean_ratio >= 1000000, 1).otherwise(0).cast("int").alias("target_like"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy re-identification audit: k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 3
+_KANON_BAND = 2000  # sensitive-attribute banding (acctbal)
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*)::BIGINT AS k,
+           count(DISTINCT floor(c_acctbal / {_KANON_BAND}))::BIGINT AS l,
+           CAST(CASE WHEN count(*) >= {_KANON_K} THEN 1 ELSE 0 END AS INT)
+             AS k_ok,
+           CAST(CASE WHEN count(DISTINCT floor(c_acctbal / {_KANON_BAND}))
+                          >= {_KANON_L} THEN 1 ELSE 0 END AS INT) AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="Re-identification risk audit — the release-gate counterpart to "
+    "the PHI filter (reference redcap-etl.py strips direct identifiers; "
+    "this measures what the remaining QUASI-identifiers still leak): "
+    "per equivalence class over (nation, market segment), k-anonymity "
+    f"(class size, Sweeney's k >= {_KANON_K}) and l-diversity (distinct "
+    f"banded sensitive values, l >= {_KANON_L}) with violation flags. A "
+    "class failing k is linkable; a class passing k but failing l leaks "
+    "the sensitive attribute by homogeneity. Plan: ONE hash-agg over "
+    "the quasi-identifier key (count + distinct via Spark's two-phase "
+    "partial aggregation, map-side combined); output is bounded by the "
+    "quasi-identifier domain, never data-sized — the same audit runs "
+    "unchanged on a 10^9-row table.",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)["customer"]
+    band = F.floor(F.col("c_acctbal") / _KANON_BAND)
+    k = F.count(F.lit(1))
+    l = F.countDistinct(band)
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        k.alias("k"),
+        l.alias("l"),
+        F.when(k >= _KANON_K, 1).otherwise(0).cast("int").alias("k_ok"),
+        F.when(l >= _KANON_L, 1).otherwise(0).cast("int").alias("l_ok"),
+    )

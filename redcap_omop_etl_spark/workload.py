@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-7 rotation. Leads: the 6 never-driver-checked second-wave
+    # -- round-7 rotation. Leads: the 7 never-driver-checked second-wave
     # queries (span coverage/removal, DSIR weights, label outliers, LSH
     # recall audit), then the 3 never-checked first-wave queries (capped
     # containment, sample-based BPE learner, real-codec decode stats)
@@ -80,6 +80,7 @@ _PRIORITY = [
     "embedding_label_outliers",
     "dedup_lsh_recall_audit",
     "corpus_span_source_matrix",
+    "dq_k_anonymity",
     "dedup_containment_capped",
     "corpus_token_budget_cut",
     "embedding_label_dispersion",

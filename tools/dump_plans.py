@@ -213,6 +213,10 @@ SHOWCASE: dict[str, str] = {
     "dim centroid agg broadcast back, map-side distance, per-label "
     "top-k through two-phase keyed_topk (no 10-task sort ceiling on "
     "the low-cardinality label key).",
+    "corpus_span_source_matrix": "Exact cross-source verbatim-span "
+    "matrix: DISTINCT (source, window-hash) agg, self-join on the "
+    "high-cardinality hash with per-key fan bounded by #sources — "
+    "linear in distinct windows, output is the source-dim matrix.",
 }
 
 
