@@ -1547,6 +1547,35 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_offset_spans(
+    dupw: DataFrame, width: int, id_col: str = "doc_id", off_col: str = "off"
+) -> DataFrame:
+    """Merge per-key fixed-width windows at ``off_col`` into maximal
+    spans (interval-union islands): a window starts a new span iff its
+    offset exceeds the running max end of everything before it. Returns
+    one row per (key, island) with ``s``/``e`` span bounds. Both windows
+    partition by the HIGH-cardinality key, so parallelism tracks the key
+    count at any data size. Adjacency merges: ``off == prev_end`` joins
+    the spans (zero-gap intervals form one contiguous byte range)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy(off_col)
+    prev_end = F.max(F.col(off_col) + width).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dupw.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col(off_col) > prev_end), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island", F.sum("is_new").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min(off_col).alias("s"), (F.max(off_col) + width).alias("e")
+    )
+
+
+
 @register(
     "dedup_span_removal",
     f"""
@@ -1605,8 +1634,6 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any corpus size.",
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = Catalog(spark, sf_dir)["documents"]
     w = (
         fan_out(d)
@@ -1633,20 +1660,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     dupw = w.join(dup_h, "h", "left_semi").select("doc_id", "off")
-    win = Window.partitionBy("doc_id").orderBy("off")
-    prev_end = F.max(F.col("off") + _SPAN_W).over(
-        win.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = dupw.withColumn(
-        "is_new",
-        F.when(prev_end.isNull() | (F.col("off") > prev_end), 1).otherwise(0),
-    )
-    isl = marked.withColumn(
-        "island", F.sum("is_new").over(win.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("off").alias("s"), (F.max("off") + _SPAN_W).alias("e")
-    )
+    spans = merge_offset_spans(dupw, _SPAN_W)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("chars_dup"),

@@ -263,3 +263,46 @@ class TestSpanSourceMatrix:
         for r in _q(spark, "corpus_span_source_matrix").collect():
             assert r.src_a < r.src_b
             assert r.shared_spans >= 1
+
+
+class TestMergeOffsetSpans:
+    def test_interval_union_property(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from redcap_omop_etl_spark.operators.dedup import merge_offset_spans
+
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                min_size=1,
+                max_size=24,
+                unique=True,
+            ),
+            st.integers(1, 5),
+        )
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def prop(key_offs, width):
+            rows = [(k, off * 4) for k, off in key_offs]  # stride-ish gaps
+            df = spark.createDataFrame(rows, "doc_id long, off long")
+            got = {
+                (r.doc_id, r.s, r.e)
+                for r in merge_offset_spans(df, width).collect()
+            }
+            exp = set()
+            for k in {k for k, _ in rows}:
+                offs = sorted(o for kk, o in rows if kk == k)
+                spans = []
+                for o in offs:
+                    if spans and o <= spans[-1][1]:
+                        spans[-1][1] = max(spans[-1][1], o + width)
+                    else:
+                        spans.append([o, o + width])
+                exp |= {(k, s, e) for s, e in spans}
+            assert got == exp
+
+        prop()
