@@ -168,6 +168,9 @@ HEADLINE = [
     "corpus_packing_efficiency",
     # round-7 second wave: exact span dedup (coverage + removal), DSIR
     # importance weights, label-outlier audit, LSH recall audit.
+    "text_quality_classifier",
+    "corpus_vocab_coverage",
+    "dedup_survivorship",
     "dedup_span_coverage",
     "dedup_span_removal",
     "corpus_dsir_weights",

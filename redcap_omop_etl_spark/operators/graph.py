@@ -766,3 +766,104 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_ppm"), F.asc("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship: clusters -> canonical doc -> per-source reduction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship",
+    f"""
+    WITH edges AS (
+      WITH {shingle_sql_cte()}, sh AS (
+        SELECT doc_id, s FROM __sh
+        WHERE s NOT IN (SELECT s FROM __sh GROUP BY s HAVING count(*) > 100)
+      ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      ), inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
+    ),
+    sym AS (
+      SELECT d1 AS a, d2 AS b FROM edges
+      UNION
+      SELECT d2 AS a, d1 AS b FROM edges
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+      )
+      SELECT * FROM r
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    mem AS (
+      SELECT c.node, c.component, d.source, d.n_chars
+      FROM comp c JOIN documents d ON c.node = d.doc_id
+    ),
+    surv AS (
+      SELECT component,
+             (list(node ORDER BY n_chars DESC, node ASC))[1] AS keeper
+      FROM mem GROUP BY component
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           count(m.node)::BIGINT AS n_dup_members,
+           count(CASE WHEN m.node IS NOT NULL AND m.node <> s.keeper THEN 1 END)::BIGINT
+             AS n_dropped,
+           coalesce(sum(CASE WHEN m.node IS NOT NULL AND m.node <> s.keeper
+                             THEN d.n_chars END), 0)::BIGINT AS chars_dropped
+    FROM documents d
+    LEFT JOIN mem m ON d.doc_id = m.node
+    LEFT JOIN surv s ON m.component = s.component
+    GROUP BY d.source
+    """,
+    doc="Dedup survivorship — the stage that turns near-dup *clusters* "
+    "into the final corpus: within each transitively-connected duplicate "
+    "cluster keep the canonical document (longest text, ties by doc_id) "
+    "and report the per-source reduction (members, dropped docs, chars "
+    "removed). Plan: pair gen reuses the stop-shingle-guarded Jaccard "
+    "join, components are the iterative min-label propagation (1 "
+    "shuffle/round, checkpoint-bounded), the survivor per cluster is one "
+    "max-struct aggregate over the cluster-member table (duplicate "
+    "members ≪ corpus), and the per-source rollup is a broadcast left "
+    "join of those cluster tables against the doc stream — no "
+    "corpus-sized sort or window anywhere. Oracle = recursive-CTE "
+    "closure + ordered-list head.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100)
+    comp = connected_components(pairs)
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "source", "n_chars"), "node"
+    )
+    surv = mem.groupBy("component").agg(
+        F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("__neg"))).alias("__top")
+    ).select("component", (-F.col("__top.__neg")).alias("keeper"))
+    return (
+        docs.join(F.broadcast(mem.withColumnRenamed("node", "doc_id").select("doc_id", "component")), "doc_id", "left")
+        .join(F.broadcast(surv), "component", "left")
+        .withColumn(
+            "__dropped",
+            F.col("component").isNotNull() & (F.col("doc_id") != F.col("keeper")),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.col("component")).cast("long").alias("n_dup_members"),
+            F.count(F.when(F.col("__dropped"), 1)).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dropped"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_dropped"),
+        )
+    )

@@ -2154,3 +2154,148 @@ def chunk_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashed-feature linear classifier
+# ---------------------------------------------------------------------------
+
+_CLF_B = 4096  # weight-table buckets (the "model" is B rows, broadcastable)
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH lst AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, l[i] AS f
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM lst)
+      UNION ALL
+      SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lst)
+    ), w AS (
+      SELECT i AS b,
+             (cast(('0x' || substring(md5('w:' || i::VARCHAR), 1, 8)) AS BIGINT)
+              % 2001) - 1000 AS w_milli
+      FROM generate_series(0, {_CLF_B - 1}) AS gs(i)
+    ), scored AS (
+      SELECT doc_id, f,
+             cast(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % {_CLF_B} AS b
+      FROM feats
+    )
+    SELECT doc_id,
+           count(*)::BIGINT                                   AS n_features,
+           round(sum(w_milli) / (1000.0 * count(*)), 6)       AS score,
+           sum(w_milli) > 0                                   AS keep
+    FROM scored JOIN w USING (b)
+    GROUP BY doc_id
+    """,
+    doc="Model-based quality filter: a fasttext-style linear classifier "
+    "over hashed unigram+bigram features (the CCNet/LLaMA corpus-filter "
+    "stage that heuristic quality_score approximates). The 'pretrained' "
+    "weight table is derived deterministically from md5 so both engines "
+    "replay it; weights are integer milli-units so the per-doc sum is "
+    "exact under any aggregation order (same bit-for-bit trick as the "
+    "nDCG micro-units). Plan: one corpus scan, unigram+bigram features "
+    "via zip_with (no self-join), bucket by portable md5, broadcast-join "
+    "the B-row weight table (a real pretrained model swaps the table, "
+    "not the plan), one per-doc hash-agg. Linear and scan-bound at any "
+    "corpus size.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.sampling import hash_bucket
+
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    d2 = d.select("doc_id", toks.alias("l"))
+    big = F.zip_with(
+        F.slice(F.col("l"), 1, F.size("l") - 1),
+        F.slice(F.col("l"), 2, F.size("l") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = d2.select("doc_id", F.explode(F.concat(F.col("l"), big)).alias("f"))
+    w = spark.range(_CLF_B).select(
+        F.col("id").alias("b"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        ).alias("w_milli"),
+    )
+    return (
+        feats.withColumn("b", hash_bucket(F.col("f"), _CLF_B))
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.round(F.sum("w_milli") / (1000.0 * F.count(F.lit(1))), 6).alias("score"),
+            (F.sum("w_milli") > 0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage audit (OOV rate per source/lang)
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 2000
+
+
+@register(
+    "corpus_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT source, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), vocab AS (
+      SELECT t FROM cnt ORDER BY c DESC, t ASC LIMIT {_VOCAB_V}
+    )
+    SELECT source, lang,
+           count(*)::BIGINT                                  AS n_tokens,
+           count(CASE WHEN v.t IS NULL THEN 1 END)::BIGINT   AS n_oov,
+           round(count(CASE WHEN v.t IS NULL THEN 1 END) * 1.0 / count(*), 6)
+                                                             AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (t)
+    GROUP BY source, lang
+    """,
+    doc="Tokenizer-coverage audit: build the top-V corpus vocabulary "
+    "(V={v}, ties broken by token so both engines agree), then measure "
+    "the out-of-vocabulary token rate per (source, lang) — the number "
+    "that drives vocab-size choice and flags sources a fixed tokenizer "
+    "would shred into bytes. Plan: one explode feeds a vocab-sized "
+    "count; the top-V cut is TakeOrderedAndProject (no full sort of the "
+    "vocabulary); the vocab is broadcast left-joined back (V rows); one "
+    "per-(source,lang) hash-agg. The OOV ratio is an exact integer "
+    "ratio, so the rounding replays bit-for-bit.".format(v=_VOCAB_V),
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source", "lang", F.explode(ws_tokens(F.col("text"))).alias("t")
+    ).transform(tracked_persist)
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(_VOCAB_V)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).cast("long").alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("__in_vocab").isNull(), 1)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -74,6 +74,9 @@ _PRIORITY = [
     # latest driver check is round 2, then the round-3 cohort (44), then
     # rounds 4-6 — so the ~50-slot gate lands on the leads + most of the
     # stalest (round-2) cohort.
+    "text_quality_classifier",
+    "corpus_vocab_coverage",
+    "dedup_survivorship",
     "dedup_span_coverage",
     "dedup_span_removal",
     "corpus_dsir_weights",

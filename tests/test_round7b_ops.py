@@ -306,3 +306,168 @@ class TestMergeOffsetSpans:
             assert got == exp
 
         prop()
+
+
+def _md5_bucket(s: str, n: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+
+class TestQualityClassifier:
+    def test_matches_bruteforce(self, spark):
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+        exp = {}
+        for r in rows:
+            w = re.split(r"\s+", r.text.lower().strip())
+            feats = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+            milli = sum(
+                _md5_bucket(f"w:{_md5_bucket(f, 4096)}", 2001) - 1000 for f in feats
+            )
+            exp[r.doc_id] = (
+                len(feats),
+                round(milli / (1000.0 * len(feats)), 6),
+                milli > 0,
+            )
+        got = {
+            r.doc_id: (r.n_features, r.score, r.keep)
+            for r in _q(spark, "text_quality_classifier").collect()
+        }
+        assert got == exp
+
+
+class TestVocabCoverage:
+    def test_matches_bruteforce(self, spark):
+        from collections import Counter, defaultdict
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("source", "lang", "text")
+            .collect()
+        )
+        cnt = Counter()
+        per = defaultdict(list)
+        for r in rows:
+            toks = re.split(r"\s+", r.text.lower().strip())
+            cnt.update(toks)
+            per[(r.source, r.lang)].extend(toks)
+        vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2000]}
+        exp = {}
+        for k, toks in per.items():
+            oov = sum(1 for t in toks if t not in vocab)
+            exp[k] = (len(toks), oov, round(oov / len(toks), 6))
+        got = {
+            (r.source, r.lang): (r.n_tokens, r.n_oov, r.oov_rate)
+            for r in _q(spark, "corpus_vocab_coverage").collect()
+        }
+        assert got == exp
+
+
+class TestSurvivorship:
+    def test_matches_bruteforce(self, spark):
+        from collections import defaultdict
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "source", "text", "n_chars")
+            .collect()
+        )
+        # shingle sets mirroring shingles()/shingle_sql_cte (partial-gram floor)
+        sets = {}
+        for r in rows:
+            w = re.split(r"\s+", r.text.lower().strip())
+            sets[r.doc_id] = {
+                " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+            }
+        df_count = Counter = defaultdict(int)
+        for s in sets.values():
+            for g in s:
+                df_count[g] += 1
+        hot = {g for g, c in df_count.items() if c > 100}
+        sets = {d: s - hot for d, s in sets.items()}
+        ids = sorted(sets)
+        parent = {d: d for d in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # invert: shingle -> docs, then pairwise jaccard on candidates only
+        by_g = defaultdict(set)
+        for d, s in sets.items():
+            for g in s:
+                by_g[g].add(d)
+        cand = {
+            tuple(sorted((a, b)))
+            for docs in by_g.values()
+            for a in docs
+            for b in docs
+            if a < b
+        }
+        members = set()
+        for a, b in cand:
+            i = len(sets[a] & sets[b])
+            if i and i / (len(sets[a]) + len(sets[b]) - i) >= 0.6:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                members |= {a, b}
+        comp = defaultdict(set)
+        for d in members:
+            comp[find(d)].add(d)
+        info = {r.doc_id: r for r in rows}
+        dropped = set()
+        for docs in comp.values():
+            keeper = min(docs, key=lambda d: (-info[d].n_chars, d))
+            dropped |= docs - {keeper}
+        exp = {}
+        for r in rows:
+            e = exp.setdefault(r.source, [0, 0, 0, 0])
+            e[0] += 1
+            if r.doc_id in members:
+                e[1] += 1
+            if r.doc_id in dropped:
+                e[2] += 1
+                e[3] += r.n_chars
+        got = {
+            r.source: [r.n_docs, r.n_dup_members, r.n_dropped, r.chars_dropped]
+            for r in _q(spark, "dedup_survivorship").collect()
+        }
+        assert got == {k: list(v) for k, v in exp.items()}
+
+    def test_drop_counts_consistent(self, spark):
+        agg = (
+            _q(spark, "dedup_survivorship")
+            .agg(
+                F.sum("n_dup_members").alias("m"),
+                F.sum("n_dropped").alias("dr"),
+            )
+            .collect()[0]
+        )
+        # every cluster keeps exactly one survivor: dropped < members,
+        # and members - dropped = number of clusters >= 1 if any members
+        assert agg.dr < agg.m or agg.m == 0
+
+
+class TestClassifierPlans:
+    def test_weight_table_broadcast(self, spark):
+        plan = (
+            _q(spark, "text_quality_classifier")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_vocab_cut_is_takeordered(self, spark):
+        plan = (
+            _q(spark, "corpus_vocab_coverage")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
