@@ -63,7 +63,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # every one. The rotation policy is now evidence-freshness: refactored
 # queries first, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-7 rotation. Leads: the 7 never-driver-checked second-wave
+    # -- round-7 rotation. Leads: the 3 third-wave queries (hashed-feature
+    # quality classifier, vocab OOV coverage, dedup survivorship), then
+    # the 7 never-driver-checked second-wave
     # queries (span coverage/removal, DSIR weights, label outliers, LSH
     # recall audit), then the 3 never-checked first-wave queries (capped
     # containment, sample-based BPE learner, real-codec decode stats)

@@ -217,6 +217,20 @@ SHOWCASE: dict[str, str] = {
     "matrix: DISTINCT (source, window-hash) agg, self-join on the "
     "high-cardinality hash with per-key fan bounded by #sources — "
     "linear in distinct windows, output is the source-dim matrix.",
+    "text_quality_classifier": "Model-based quality filter: unigram+"
+    "bigram features via zip_with (no self-join), md5 bucket, the "
+    "B-row weight table broadcast-joined (a real pretrained model "
+    "swaps the table, not the plan), per-doc exact integer milli-unit "
+    "sum — one scan, linear at any corpus size.",
+    "corpus_vocab_coverage": "Tokenizer OOV audit: vocab-sized count "
+    "agg, top-V cut via TakeOrderedAndProject (no full vocabulary "
+    "sort), V-row vocab broadcast left-joined back, per-(source,lang) "
+    "hash-agg over exact integer ratios.",
+    "dedup_survivorship": "Cluster survivorship: stop-shingle-guarded "
+    "Jaccard pair gen, checkpoint-bounded min-label components, one "
+    "max-struct survivor agg over cluster members (≪ corpus), "
+    "member/survivor tables broadcast back onto the doc stream — no "
+    "corpus-sized sort or window.",
 }
 
 
