@@ -41,6 +41,7 @@ _NESTED_LOOP_OK = {
     "join_bloom_prune",  # build-key-count scalar: 1-row broadcast cross join
     "retrieval_ndcg_eval",  # inherits bm25's 1-row corpus-stats cross join
     "dedup_source_minhash_matrix",  # #sources-row signature self-join, dim-bounded
+    "corpus_dsir_weights",  # raw/target feature-total scalars: 1-row broadcast cross join
 }
 
 
