@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redcap_omop_etl_spark.caching import tracked_persist
 from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs, shingle_sql_cte
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
@@ -87,10 +88,10 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-@register(
-    "dedup_clusters",
-    f"""
-    WITH edges AS (
+# Shared oracle fragment: near-dup edges (stop-shingle-guarded Jaccard
+# >= 0.6) -> symmetric closure -> recursive reachability -> components.
+# Single source of truth for every cluster-consuming oracle below.
+_DOC_COMPONENTS_SQL = f"""edges AS (
       WITH {shingle_sql_cte()}, sh AS (
         SELECT doc_id, s FROM __sh
         WHERE s NOT IN (SELECT s FROM __sh GROUP BY s HAVING count(*) > 100)
@@ -116,8 +117,17 @@ def connected_components(
         SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
       )
       SELECT * FROM r
-    )
-    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH {_DOC_COMPONENTS_SQL}
+    SELECT node, component FROM comp
     """,
     doc="Iterative connected components over near-dup pairs → duplicate "
     "clusters (min-label propagation; oracle = recursive-CTE closure). "
@@ -776,36 +786,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_survivorship",
     f"""
-    WITH edges AS (
-      WITH {shingle_sql_cte()}, sh AS (
-        SELECT doc_id, s FROM __sh
-        WHERE s NOT IN (SELECT s FROM __sh GROUP BY s HAVING count(*) > 100)
-      ), sz AS (
-        SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-      ), inter AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-      WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
-    ),
-    sym AS (
-      SELECT d1 AS a, d2 AS b FROM edges
-      UNION
-      SELECT d2 AS a, d1 AS b FROM edges
-    ),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
-      )
-      SELECT * FROM r
-    ),
-    comp AS (
-      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
-    ),
+    WITH {_DOC_COMPONENTS_SQL},
     mem AS (
       SELECT c.node, c.component, d.source, d.n_chars
       FROM comp c JOIN documents d ON c.node = d.doc_id
@@ -865,5 +846,151 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(F.when(F.col("__dropped"), F.col("n_chars"))), F.lit(0)
             ).cast("long").alias("chars_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dup clusters inherit one split)
+# ---------------------------------------------------------------------------
+
+_SPLIT_CUTS = {"train": 80, "val": 10, "test": 10}
+
+
+@register(
+    "sampling_leakage_safe_split",
+    f"""
+    WITH {_DOC_COMPONENTS_SQL},
+    asg AS (
+      SELECT doc_id,
+             CASE WHEN h_doc < 80 THEN 'train'
+                  WHEN h_doc < 90 THEN 'val' ELSE 'test' END AS s_naive,
+             CASE WHEN h_grp < 80 THEN 'train'
+                  WHEN h_grp < 90 THEN 'val' ELSE 'test' END AS s_grp
+      FROM (
+        SELECT d.doc_id,
+               cast(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100
+                 AS h_doc,
+               cast(('0x' || substring(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 8)) AS BIGINT) % 100
+                 AS h_grp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      )
+    ),
+    px AS (
+      SELECT a.s_naive AS n1, b.s_naive AS n2, a.s_grp AS g1, b.s_grp AS g2
+      FROM edges e JOIN asg a ON e.d1 = a.doc_id JOIN asg b ON e.d2 = b.doc_id
+    ),
+    nx AS (
+      SELECT s, count(*) AS c FROM (
+        SELECT unnest([n1, n2]) AS s FROM px WHERE n1 <> n2
+      ) GROUP BY s
+    ),
+    gx AS (
+      SELECT s, count(*) AS c FROM (
+        SELECT unnest([g1, g2]) AS s FROM px WHERE g1 <> g2
+      ) GROUP BY s
+    ),
+    gc AS (SELECT s_grp AS s, count(*) AS c FROM asg GROUP BY 1),
+    nc AS (SELECT s_naive AS s, count(*) AS c FROM asg GROUP BY 1),
+    dim AS (SELECT unnest(['train', 'val', 'test']) AS split)
+    SELECT dim.split,
+           coalesce(gc.c, 0)::BIGINT AS n_docs_grouped,
+           coalesce(nc.c, 0)::BIGINT AS n_docs_naive,
+           coalesce(nx.c, 0)::BIGINT AS naive_cross_pairs,
+           coalesce(gx.c, 0)::BIGINT AS grouped_cross_pairs
+    FROM dim
+    LEFT JOIN gc ON dim.split = gc.s
+    LEFT JOIN nc ON dim.split = nc.s
+    LEFT JOIN nx ON dim.split = nx.s
+    LEFT JOIN gx ON dim.split = gx.s
+    """,
+    doc="Leakage-safe corpus splitting: a naive per-document hash split "
+    "puts members of the same near-dup cluster on both sides of the "
+    "train/test boundary (the classic eval-contamination bug); the "
+    "grouped split hashes the CLUSTER id (component, falling back to "
+    "doc_id for singletons) so every cluster lands whole in one split. "
+    "The result quantifies exactly what that buys: per split, doc "
+    "counts under both policies plus the near-dup pairs straddling "
+    "splits (naive > 0 on any dup-bearing corpus; grouped = 0 by "
+    "construction — and the query PROVES it per run rather than "
+    "asserting it). Plan: pair gen + components reuse the guarded "
+    "Jaccard pipeline; split assignment is the md5 split_assign "
+    "primitive over coalesce(component, doc_id) with the (tiny) "
+    "component table broadcast onto the doc stream; the straddle "
+    "count joins the pair list (≪ corpus) to assignments; the 3-row "
+    "split dim left-join fixes the output shape. No corpus-sized "
+    "sort, window, or pairwise blowup.",
+)
+def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.sampling import split_assign
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100).transform(
+        tracked_persist
+    )
+    comp = connected_components(pairs)
+    asg = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            split_assign(F.col("doc_id"), dict(_SPLIT_CUTS)).alias("s_naive"),
+            split_assign(
+                F.coalesce(F.col("component"), F.col("doc_id")), dict(_SPLIT_CUTS)
+            ).alias("s_grp"),
+        )
+        .transform(tracked_persist)
+    )
+    px = (
+        pairs.join(
+            asg.select(
+                F.col("doc_id").alias("d1"),
+                F.col("s_naive").alias("n1"),
+                F.col("s_grp").alias("g1"),
+            ),
+            "d1",
+        )
+        .join(
+            asg.select(
+                F.col("doc_id").alias("d2"),
+                F.col("s_naive").alias("n2"),
+                F.col("s_grp").alias("g2"),
+            ),
+            "d2",
+        )
+        .transform(tracked_persist)
+    )
+    nx = (
+        px.where(F.col("n1") != F.col("n2"))
+        .select(F.explode(F.array("n1", "n2")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nxc"))
+    )
+    gx = (
+        px.where(F.col("g1") != F.col("g2"))
+        .select(F.explode(F.array("g1", "g2")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("gxc"))
+    )
+    gc = asg.groupBy(F.col("s_grp").alias("s")).agg(F.count(F.lit(1)).alias("gcc"))
+    nc = asg.groupBy(F.col("s_naive").alias("s")).agg(F.count(F.lit(1)).alias("ncc"))
+    dim = spark.createDataFrame([("train",), ("val",), ("test",)], "split string")
+    return (
+        dim.join(F.broadcast(gc), dim.split == gc.s, "left")
+        .drop("s")
+        .join(F.broadcast(nc), dim.split == nc.s, "left")
+        .drop("s")
+        .join(F.broadcast(nx), dim.split == nx.s, "left")
+        .drop("s")
+        .join(F.broadcast(gx), dim.split == gx.s, "left")
+        .drop("s")
+        .select(
+            "split",
+            F.coalesce(F.col("gcc"), F.lit(0)).cast("long").alias("n_docs_grouped"),
+            F.coalesce(F.col("ncc"), F.lit(0)).cast("long").alias("n_docs_naive"),
+            F.coalesce(F.col("nxc"), F.lit(0)).cast("long").alias("naive_cross_pairs"),
+            F.coalesce(F.col("gxc"), F.lit(0)).cast("long").alias("grouped_cross_pairs"),
         )
     )

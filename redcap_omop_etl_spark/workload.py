@@ -79,6 +79,7 @@ _PRIORITY = [
     "text_quality_classifier",
     "corpus_vocab_coverage",
     "dedup_survivorship",
+    "sampling_leakage_safe_split",
     "dedup_span_coverage",
     "dedup_span_removal",
     "corpus_dsir_weights",

@@ -471,3 +471,95 @@ class TestClassifierPlans:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestLeakageSafeSplit:
+    @staticmethod
+    def _brute(rows):
+        """Near-dup pairs + union-find + md5 splits, all in plain Python."""
+        from collections import defaultdict
+
+        sets = {}
+        for r in rows:
+            w = re.split(r"\s+", r.text.lower().strip())
+            sets[r.doc_id] = {
+                " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+            }
+        df_count = defaultdict(int)
+        for s in sets.values():
+            for g in s:
+                df_count[g] += 1
+        hot = {g for g, c in df_count.items() if c > 100}
+        sets = {d: s - hot for d, s in sets.items()}
+        by_g = defaultdict(set)
+        for d, s in sets.items():
+            for g in s:
+                by_g[g].add(d)
+        parent = {d: d for d in sets}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pairs = []
+        for a, b in {
+            tuple(sorted((a, b)))
+            for docs in by_g.values()
+            for a in docs
+            for b in docs
+            if a < b
+        }:
+            i = len(sets[a] & sets[b])
+            if i and i / (len(sets[a]) + len(sets[b]) - i) >= 0.6:
+                pairs.append((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp = {d: find(d) for d in sets}
+        in_cluster = {d for a, b in pairs for d in (a, b)}
+
+        def split_of(key):
+            h = _md5_bucket(str(key), 100)
+            return "train" if h < 80 else ("val" if h < 90 else "test")
+
+        s_naive = {d: split_of(d) for d in sets}
+        s_grp = {
+            d: split_of(comp[d] if d in in_cluster else d) for d in sets
+        }
+        exp = {s: [0, 0, 0, 0] for s in ("train", "val", "test")}
+        for d in sets:
+            exp[s_grp[d]][0] += 1
+            exp[s_naive[d]][1] += 1
+        for a, b in pairs:
+            if s_naive[a] != s_naive[b]:
+                exp[s_naive[a]][2] += 1
+                exp[s_naive[b]][2] += 1
+            if s_grp[a] != s_grp[b]:
+                exp[s_grp[a]][3] += 1
+                exp[s_grp[b]][3] += 1
+        return exp
+
+    def test_matches_bruteforce_and_invariants(self, spark):
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+        exp = self._brute(rows)
+        out = _q(spark, "sampling_leakage_safe_split").collect()
+        got = {
+            r.split: [
+                r.n_docs_grouped,
+                r.n_docs_naive,
+                r.naive_cross_pairs,
+                r.grouped_cross_pairs,
+            ]
+            for r in out
+        }
+        assert got == exp
+        # invariants: both policies partition the corpus; grouped leaks zero
+        assert sum(v[0] for v in got.values()) == len(rows)
+        assert sum(v[1] for v in got.values()) == len(rows)
+        assert all(v[3] == 0 for v in got.values())
