@@ -169,6 +169,7 @@ HEADLINE = [
     # round-7 second wave: exact span dedup (coverage + removal), DSIR
     # importance weights, label-outlier audit, LSH recall audit.
     "text_quality_classifier",
+    "text_quality_classifier_fast",
     "corpus_vocab_coverage",
     "dedup_survivorship",
     "sampling_leakage_safe_split",

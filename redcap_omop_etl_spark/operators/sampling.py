@@ -27,8 +27,20 @@ from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
 
-def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
-    """Deterministic, engine-portable bucket in [0, n_buckets)."""
+def hash_bucket(key: Column, n_buckets: int = 100, family: str = "md5") -> Column:
+    """Deterministic bucket in [0, n_buckets).
+
+    ``family="md5"`` is the engine-portable default — every oracled query
+    uses it so DuckDB can replay the bucketing bit-for-bit. ``family="xxh"``
+    is the production fast path: Spark's codegen'd xxHash64 is roughly an
+    order of magnitude cheaper per call than interpreted md5+conv, which
+    matters for the scan-bound per-token hashers (DSIR weights, the hashed
+    quality classifier) whose 64x slopes are dominated by md5 throughput.
+    xxHash64 has no DuckDB twin, so xxh-family queries get the driver's
+    rows-only check instead of a value oracle — the md5 twin IS the value
+    oracle for the shared plan shape."""
+    if family == "xxh":
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(n_buckets)).cast("bigint")
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
 
 

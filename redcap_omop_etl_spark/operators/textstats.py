@@ -2205,6 +2205,14 @@ _CLF_B = 4096  # weight-table buckets (the "model" is B rows, broadcastable)
     "corpus size.",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality_classifier_frame(spark, sf_dir, family="md5")
+
+
+def _quality_classifier_frame(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """Shared plan for both hash families — only the bucket/weight hash
+    differs, so the md5 twin's value oracle pins the whole plan shape."""
     from redcap_omop_etl_spark.operators.sampling import hash_bucket
 
     d = Catalog(spark, sf_dir)["documents"]
@@ -2216,20 +2224,16 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     feats = d2.select("doc_id", F.explode(F.concat(F.col("l"), big)).alias("f"))
-    w = spark.range(_CLF_B).select(
-        F.col("id").alias("b"),
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2001
-            - 1000
-        ).alias("w_milli"),
-    )
+    wkey = F.concat(F.lit("w:"), F.col("id").cast("string"))
+    if family == "xxh":
+        w_milli = F.pmod(F.xxhash64(wkey), F.lit(2001)) - 1000
+    else:
+        w_milli = (
+            F.conv(F.substring(F.md5(wkey), 1, 8), 16, 10).cast("bigint") % 2001 - 1000
+        )
+    w = spark.range(_CLF_B).select(F.col("id").alias("b"), w_milli.alias("w_milli"))
     return (
-        feats.withColumn("b", hash_bucket(F.col("f"), _CLF_B))
+        feats.withColumn("b", hash_bucket(F.col("f"), _CLF_B, family=family))
         .join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
@@ -2238,6 +2242,22 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w_milli") > 0).alias("keep"),
         )
     )
+
+
+@register(
+    "text_quality_classifier_fast",
+    None,  # xxHash64 has no DuckDB twin — rows-only check; the md5 twin
+    # (text_quality_classifier) value-oracles the identical plan shape.
+    doc="Production-hash twin of text_quality_classifier: same features, "
+    "same broadcast weight-table join, same exact integer milli-unit "
+    "aggregation — but bucketed with Spark's codegen'd xxHash64 instead "
+    "of the oracle-portable interpreted md5. The md5 variant's 64x "
+    "slope is hash-throughput-bound; this is the knob a 100 TB "
+    "deployment turns (the model table is learned against the same "
+    "hash family, so the swap is free).",
+)
+def text_quality_classifier_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality_classifier_frame(spark, sf_dir, family="xxh")
 
 
 # ---------------------------------------------------------------------------

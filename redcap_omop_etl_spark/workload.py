@@ -77,6 +77,7 @@ _PRIORITY = [
     # rounds 4-6 — so the ~50-slot gate lands on the leads + most of the
     # stalest (round-2) cohort.
     "text_quality_classifier",
+    "text_quality_classifier_fast",
     "corpus_vocab_coverage",
     "dedup_survivorship",
     "sampling_leakage_safe_split",

@@ -563,3 +563,24 @@ class TestLeakageSafeSplit:
         assert sum(v[0] for v in got.values()) == len(rows)
         assert sum(v[1] for v in got.values()) == len(rows)
         assert all(v[3] == 0 for v in got.values())
+
+
+class TestClassifierFastTwin:
+    def test_same_features_same_schema(self, spark):
+        md5 = {r.doc_id: r for r in _q(spark, "text_quality_classifier").collect()}
+        xxh = {r.doc_id: r for r in _q(spark, "text_quality_classifier_fast").collect()}
+        assert md5.keys() == xxh.keys()
+        # feature extraction is hash-independent: counts must be identical
+        assert {d: r.n_features for d, r in md5.items()} == {
+            d: r.n_features for d, r in xxh.items()
+        }
+        # weights live in [-1, 1] milli-units, so every mean score does too,
+        # and keep must agree with the score's sign away from the rounding
+        # boundary. (No keep-RATE band: the synthetic corpus has a tiny
+        # vocabulary, so a handful of common-token weights legitimately
+        # push the rate toward an extreme.)
+        for fam in (md5, xxh):
+            for r in fam.values():
+                assert -1.0 <= r.score <= 1.0
+                if abs(r.score) > 1e-5:
+                    assert r.keep == (r.score > 0)
