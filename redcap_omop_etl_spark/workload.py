@@ -84,6 +84,7 @@ _PRIORITY = [
     "dedup_span_coverage",
     "dedup_span_removal",
     "corpus_dsir_weights",
+    "corpus_dsir_weights_fast",
     "embedding_label_outliers",
     "dedup_lsh_recall_audit",
     "corpus_span_source_matrix",

@@ -584,3 +584,20 @@ class TestClassifierFastTwin:
                 assert -1.0 <= r.score <= 1.0
                 if abs(r.score) > 1e-5:
                     assert r.keep == (r.score > 0)
+
+
+class TestDsirFastTwin:
+    def test_same_features_same_schema(self, spark):
+        md5 = {r.doc_id: r for r in _q(spark, "corpus_dsir_weights").collect()}
+        xxh = {r.doc_id: r for r in _q(spark, "corpus_dsir_weights_fast").collect()}
+        assert md5.keys() == xxh.keys()
+        # feature extraction is hash-independent: per-doc bigram counts equal
+        assert {d: r.n_feats for d, r in md5.items()} == {
+            d: r.n_feats for d, r in xxh.items()
+        }
+        # smoothed importance ratios are bounded regardless of hash family:
+        # global mean of mean-ratios stays near 1e6 (raw includes target)
+        for fam in (md5, xxh):
+            for r in fam.values():
+                assert r.score_micro > 0
+                assert r.mean_ratio_micro == r.score_micro // r.n_feats
