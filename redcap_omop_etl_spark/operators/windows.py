@@ -946,3 +946,101 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-format audit: role alternation within gap sessions
+# ---------------------------------------------------------------------------
+
+_CONV_GAP_S = 1800
+_CONV_USER_EVENTS = ("click", "view", "signup")
+
+
+@register(
+    "conversation_turn_audit",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role
+      FROM events
+    ), l AS (
+      SELECT *, lag(sec) OVER w AS prev_sec, lag(role) OVER w AS prev_role
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), f AS (
+      SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > {_CONV_GAP_S}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM l
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY sec, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM f
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_turns,
+           sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user_turns,
+           sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+             AS n_assistant_turns,
+           sum(CASE WHEN new_sess = 0 AND role = prev_role THEN 1 ELSE 0 END)::BIGINT
+             AS n_role_violations,
+           (max(sec) - min(sec))::BIGINT AS span_seconds
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Chat-format validation for SFT data prep: interpret each user's "
+    "gap-delimited event session as a conversation (client events = user "
+    "turns, server events = assistant turns) and audit the structure a "
+    "chat template requires — turn counts per role, strict-alternation "
+    "violations (consecutive same-role turns, the thing that breaks "
+    "most instruct templates), and session span. One window pass over "
+    "(user_id) computes lag + session id + violation flags together; "
+    "user_id cardinality GROWS with the corpus, so the sort "
+    "parallelism scales with data (no low-cardinality key ceiling); "
+    "timestamps reduce to integer epoch seconds so every comparison "
+    "and the running session counter replay exactly cross-engine. "
+    "Swapping real chat transcripts for the event proxy changes the "
+    "role mapping expression, not the plan.",
+)
+def conversation_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.when(F.col("event_type").isin(*_CONV_USER_EVENTS), "user")
+        .otherwise("assistant")
+        .alias("role"),
+    )
+    flagged = (
+        base.withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > _CONV_GAP_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.sum(
+            F.when((F.col("new_sess") == 0) & (F.col("role") == F.col("prev_role")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_role_violations"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("span_seconds"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY = [
     "corpus_vocab_coverage",
     "dedup_survivorship",
     "sampling_leakage_safe_split",
+    "conversation_turn_audit",
     "dedup_span_coverage",
     "dedup_span_removal",
     "corpus_dsir_weights",

@@ -601,3 +601,55 @@ class TestDsirFastTwin:
             for r in fam.values():
                 assert r.score_micro > 0
                 assert r.mean_ratio_micro == r.score_micro // r.n_feats
+
+
+class TestConversationTurnAudit:
+    def test_matches_bruteforce(self, spark):
+        from collections import defaultdict
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("user_id", "event_id", "ts", "event_type")
+            .collect()
+        )
+        per_user = defaultdict(list)
+        for r in rows:
+            sec = int(r.ts.timestamp())  # ts is tz-naive UTC in the fixture
+            role = "user" if r.event_type in ("click", "view", "signup") else "assistant"
+            per_user[r.user_id].append((sec, r.event_id, role))
+        exp = {}
+        for uid, evs in per_user.items():
+            evs.sort()
+            sess, prev_sec, prev_role = 0, None, None
+            agg = defaultdict(lambda: [0, 0, 0, 0, None, None])  # turns,u,a,viol,min,max
+            for sec, _eid, role in evs:
+                new = prev_sec is None or sec - prev_sec > 1800
+                if new:
+                    sess += 1
+                a = agg[(uid, sess)]
+                a[0] += 1
+                a[1 if role == "user" else 2] += 1
+                if not new and role == prev_role:
+                    a[3] += 1
+                a[4] = sec if a[4] is None else min(a[4], sec)
+                a[5] = sec if a[5] is None else max(a[5], sec)
+                prev_sec, prev_role = sec, role
+            for k, a in agg.items():
+                exp[k] = (a[0], a[1], a[2], a[3], a[5] - a[4])
+        got = {
+            (r.user_id, r.session_id): (
+                r.n_turns,
+                r.n_user_turns,
+                r.n_assistant_turns,
+                r.n_role_violations,
+                r.span_seconds,
+            )
+            for r in _q(spark, "conversation_turn_audit").collect()
+        }
+        assert got == exp
+
+    def test_invariants(self, spark):
+        for r in _q(spark, "conversation_turn_audit").collect():
+            assert r.n_user_turns + r.n_assistant_turns == r.n_turns
+            assert 0 <= r.n_role_violations <= r.n_turns - 1
+            assert r.span_seconds >= 0
