@@ -42,6 +42,7 @@ _NESTED_LOOP_OK = {
     "retrieval_ndcg_eval",  # inherits bm25's 1-row corpus-stats cross join
     "dedup_source_minhash_matrix",  # #sources-row signature self-join, dim-bounded
     "corpus_dsir_weights",  # raw/target feature-total scalars: 1-row broadcast cross join
+    "corpus_dsir_weights_fast",  # same plan, xxHash64 family
 }
 
 

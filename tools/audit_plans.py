@@ -84,6 +84,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "from bm25_scores: 1-row broadcast crossJoin",
     ("corpus_dsir_weights", "bnlj"): "raw/target feature-total scalars: "
     "1-row broadcast crossJoin onto the 256-bucket ratio table",
+    ("corpus_dsir_weights_fast", "bnlj"): "same plan as the md5 twin: "
+    "1-row feature-total scalar broadcast crossJoin",
     ("embedding_pq_audit", "global-window"): "codeword-init row_number "
     "over the LIMIT-4 seed vectors (4 rows by construction)",
     ("similarity_hard_negatives", "global-window"): "rank over the "

@@ -231,6 +231,17 @@ SHOWCASE: dict[str, str] = {
     "max-struct survivor agg over cluster members (≪ corpus), "
     "member/survivor tables broadcast back onto the doc stream — no "
     "corpus-sized sort or window.",
+    "sampling_leakage_safe_split": "Leakage-safe split: cluster ids "
+    "broadcast onto the doc stream, md5 split_assign over "
+    "coalesce(component, doc_id); straddle counts join the pair list "
+    "(≪ corpus) to assignments; 3-row split dim fixes the shape.",
+    "conversation_turn_audit": "Chat-format validation: one window pass "
+    "over high-cardinality user_id computes lag/session-id/violation "
+    "flags together; integer epoch-second arithmetic replays exactly "
+    "cross-engine.",
+    "text_quality_classifier_fast": "xxHash64 production twin of the "
+    "quality classifier: identical broadcast weight-table plan, "
+    "codegen'd hash in place of the oracle-portable interpreted md5.",
 }
 
 
