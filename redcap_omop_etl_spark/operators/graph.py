@@ -136,9 +136,37 @@ _DOC_COMPONENTS_SQL = f"""edges AS (
     "on boilerplate shingles.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_near_dup_clusters(spark, sf_dir)[1]
+
+
+# Materialized-view memo for the document near-dup cluster table — same
+# discipline as _copurchase_edges below: pair generation + iterative
+# components is the expensive prefix shared by every cluster consumer
+# (dedup_clusters, dedup_survivorship, sampling_leakage_safe_split), and a
+# production deployment materializes that table once per corpus snapshot,
+# not once per downstream query. Keyed by applicationId so a stopped
+# session's checkpoints are never reused.
+from redcap_omop_etl_spark.caching import register_memo
+
+_DOC_CLUSTER_MEMO: dict = register_memo({})
+
+
+def _doc_near_dup_clusters(spark: SparkSession, sf_dir: str):
+    """(pairs, components) for the stop-shingle-guarded Jaccard>=0.6
+    document graph, computed once per (session, corpus). Both frames are
+    localCheckpoint-pinned: they are cluster-member-sized (≪ corpus), and
+    downstream consumers reference them under differing partitionings
+    that would otherwise recompute the pair join per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DOC_CLUSTER_MEMO:
+        return _DOC_CLUSTER_MEMO[key]
     docs = Catalog(spark, sf_dir)["documents"]
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100)
-    return connected_components(pairs)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100).localCheckpoint(
+        eager=True
+    )
+    comp = connected_components(pairs)
+    _DOC_CLUSTER_MEMO[key] = (pairs, comp)
+    return pairs, comp
 
 
 # Materialized-view memo for the co-purchase projection: every graph query
@@ -823,8 +851,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100)
-    comp = connected_components(pairs)
+    comp = _doc_near_dup_clusters(spark, sf_dir)[1]
     mem = comp.join(
         docs.select(F.col("doc_id").alias("node"), "source", "n_chars"), "node"
     )
@@ -925,10 +952,7 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.operators.sampling import split_assign
 
     docs = Catalog(spark, sf_dir)["documents"]
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, n=3, df_cap=100).transform(
-        tracked_persist
-    )
-    comp = connected_components(pairs)
+    pairs, comp = _doc_near_dup_clusters(spark, sf_dir)
     asg = (
         docs.select("doc_id")
         .join(
