@@ -843,9 +843,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "removed). Plan: pair gen reuses the stop-shingle-guarded Jaccard "
     "join, components are the iterative min-label propagation (1 "
     "shuffle/round, checkpoint-bounded), the survivor per cluster is one "
-    "max-struct aggregate over the cluster-member table (duplicate "
-    "members ≪ corpus), and the per-source rollup is a broadcast left "
-    "join of those cluster tables against the doc stream — no "
+    "max-struct aggregate over the cluster-member table, and the "
+    "per-source rollup left-joins those cluster tables against the doc "
+    "stream UNHINTED (AQE broadcasts while dup volume is small; "
+    "dup-dense corpora degrade to a shuffle hash join on doc_id) — no "
     "corpus-sized sort or window anywhere. Oracle = recursive-CTE "
     "closure + ordered-list head.",
 )
@@ -858,9 +859,13 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = mem.groupBy("component").agg(
         F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("__neg"))).alias("__top")
     ).select("component", (-F.col("__top.__neg")).alias("keeper"))
+    # member/survivor tables joined back UNHINTED: AQE broadcasts while
+    # dup volume is small, but on a dup-dense corpus cluster members are a
+    # large fraction of the corpus and the join must degrade to a shuffle
+    # hash join on the high-cardinality doc_id/component keys.
     return (
-        docs.join(F.broadcast(mem.withColumnRenamed("node", "doc_id").select("doc_id", "component")), "doc_id", "left")
-        .join(F.broadcast(surv), "component", "left")
+        docs.join(mem.withColumnRenamed("node", "doc_id").select("doc_id", "component"), "doc_id", "left")
+        .join(surv, "component", "left")
         .withColumn(
             "__dropped",
             F.col("component").isNotNull() & (F.col("doc_id") != F.col("keeper")),
@@ -942,8 +947,9 @@ _SPLIT_CUTS = {"train": 80, "val": 10, "test": 10}
     "construction — and the query PROVES it per run rather than "
     "asserting it). Plan: pair gen + components reuse the guarded "
     "Jaccard pipeline; split assignment is the md5 split_assign "
-    "primitive over coalesce(component, doc_id) with the (tiny) "
-    "component table broadcast onto the doc stream; the straddle "
+    "primitive over coalesce(component, doc_id) with the component "
+    "table joined onto the doc stream unhinted (broadcast only while "
+    "dup volume allows); the straddle "
     "count joins the pair list (≪ corpus) to assignments; the 3-row "
     "split dim left-join fixes the output shape. No corpus-sized "
     "sort, window, or pairwise blowup.",
@@ -953,11 +959,11 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir)["documents"]
     pairs, comp = _doc_near_dup_clusters(spark, sf_dir)
+    # component table joined back UNHINTED (same degradation story as
+    # dedup_survivorship: dup-dense corpora outgrow a broadcast)
     asg = (
         docs.select("doc_id")
-        .join(
-            F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
-        )
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             split_assign(F.col("doc_id"), dict(_SPLIT_CUTS)).alias("s_naive"),
