@@ -118,7 +118,13 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: in
     sh = fan_out(df).select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
     if df_cap is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        # UNHINTED anti-join: the hot set is usually tiny (boilerplate
+        # shingles), but on dup-dense corpora it grows with corpus size —
+        # every shingle of a large dup cluster crosses df_cap — and a
+        # forced broadcast blows driver.maxResultSize (found at 256x
+        # mutated stress). AQE broadcasts while it fits, and degrades to
+        # a shuffle anti-join on the high-cardinality shingle key after.
+        sh = sh.join(hot, "s", "left_anti")
     return sh
 
 

@@ -253,7 +253,9 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null/range/domain row constraints AND key uniqueness all evaluate in "
     "ONE conditional aggregation over a single scan (the long form is an "
     "exploded struct array over the 1-row aggregate); referential "
-    "integrity is one anti-join count against the broadcast dimension. "
+    "integrity is one UNHINTED anti-join count against the key side "
+    "(customer grows with SF, so AQE must be free to degrade the "
+    "broadcast to a shuffle anti-join). "
     "The pipeline gate pattern at 100 TB: two jobs total, no "
     "per-constraint passes.",
 )
@@ -287,7 +289,10 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.*")
     fk = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        # unhinted: customer grows with SF (SFx150k rows) — a forced
+        # broadcast of the FK side is a driver OOM at 100 TB; AQE
+        # broadcasts while it fits, shuffle anti-join on the key after
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
         .select(F.lit("o_custkey_fk_customer").alias("check_name"), "violations")
     )

@@ -466,7 +466,10 @@ def winnow_near_pairs(
     fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col).transform(tracked_persist)
     if df_cap is not None:
         hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("fp")
-        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+        # unhinted: the stop-fp set grows with corpus size on dup-dense
+        # data (256x-stress lesson from the shingle guard) — AQE
+        # broadcasts while it fits, shuffle anti-join after
+        fp = fp.join(hot, "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1185,7 +1188,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).transform(tracked_cache)
     dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
-    marked = occ.join(F.broadcast(hot), "g", "left")
+    # unhinted: "df >= 5" is satisfied by a growing share of the gram
+    # vocabulary as the corpus grows — a forced broadcast of the hot set
+    # is a driver OOM at scale; AQE picks broadcast only while it fits
+    marked = occ.join(hot, "g", "left")
     n_hot = F.sum(F.coalesce(F.col("is_hot"), F.lit(0)))
     n_grams = F.count(F.lit(1))
     return (
@@ -1221,7 +1227,8 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts -> per-token log-probability -> per-document mean log-prob. "
     "Documents far below the corpus mean are gibberish/outliers. Plan: "
     "one explode, one vocab-sized count shuffle, the vocabulary joined "
-    "back broadcast (vocab ≪ corpus by Heaps' law), one per-doc agg; the "
+    "back UNHINTED (vocab is Heaps-sublinear but unbounded — AQE "
+    "broadcasts while it fits, shuffle join after), one per-doc agg; the "
     "corpus-total is a 1-row broadcast scalar. Swapping in an external "
     "pretrained LM table changes the data, not the plan.",
 )
@@ -1233,7 +1240,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full corpus explode vs counting toks directly
     tot = cnt.agg(F.sum("c").cast("long").alias("n"))
     return (
-        toks.join(F.broadcast(cnt), "t")
+        toks.join(cnt, "t")  # unhinted: vocab is Heaps-sublinear but unbounded
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1272,7 +1279,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixing decisions (a source whose KL spikes is out-of-distribution "
     "or contaminated). One corpus explode feeds a (source, token) count; "
     "the corpus distribution is a vocab-sized RE-aggregation of that "
-    "table (no second pass), joined back broadcast by Heaps' law; the "
+    "table (no second pass), joined back UNHINTED (Heaps-sublinear but "
+    "unbounded — AQE broadcasts while it fits); the "
     "grand total is a 1-row broadcast scalar. Every source token occurs "
     "in the corpus by construction, so KL is always finite.",
 )
@@ -1287,7 +1295,7 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("ctot").cast("double") / F.col("n")
     return (
         st.join(F.broadcast(s_tot), "source")
-        .join(F.broadcast(ct), "t")
+        .join(ct, "t")  # unhinted: vocab-sized, Heaps-sublinear but unbounded
         .crossJoin(F.broadcast(n))
         .groupBy("source")
         .agg(
