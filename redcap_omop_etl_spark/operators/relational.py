@@ -12,6 +12,15 @@ join key — both sides arrive partitioned by key, and AQE handles skew;
 fact-dim joins broadcast (dims are bounded); aggregations are partial
 (map-side combine) before the shuffle because they are expressed as
 ``groupBy().agg()`` over codegen'd expressions.
+
+
+Broadcast-hint policy (256x-stress lesson): only FIXED-cardinality
+sides carry F.broadcast — nation/region (25/5 rows), literal dims,
+1-row scalar aggregates, bounded top-k pools. customer/supplier/part
+and their filtered subsets GROW with SF (customer is ~15B rows at
+100 TB), so those joins are left unhinted: the cost-based threshold
+and AQE broadcast them while small and degrade to shuffle joins when
+the corpus outgrows the driver.
 """
 
 from __future__ import annotations
@@ -105,7 +114,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # customer is the small filtered side → broadcast (reference J1 analog)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -165,9 +174,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(cat["customer"].select("c_custkey", "c_nationkey")),
+            cat["customer"].select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
@@ -295,7 +304,7 @@ def merge_update(fresh: DataFrame, curated: DataFrame, keys: list[str]) -> DataF
     cur = curated.select(keys + shared)
     for c in shared:
         cur = cur.withColumnRenamed(c, f"__cur_{c}")
-    out = fresh.join(F.broadcast(cur), on=keys, how="left")
+    out = fresh.join(cur, on=keys, how="left")
     for c in shared:
         out = out.withColumn(c, F.coalesce(F.col(f"__cur_{c}"), F.col(c))).drop(f"__cur_{c}")
     return out

