@@ -118,13 +118,13 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: in
     sh = fan_out(df).select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
     if df_cap is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("s")
-        # UNHINTED anti-join: the hot set is usually tiny (boilerplate
-        # shingles), but on dup-dense corpora it grows with corpus size —
-        # every shingle of a large dup cluster crosses df_cap — and a
-        # forced broadcast blows driver.maxResultSize (found at 256x
-        # mutated stress). AQE broadcasts while it fits, and degrades to
-        # a shuffle anti-join on the high-cardinality shingle key after.
-        sh = sh.join(hot, "s", "left_anti")
+        # hint("merge"): the hot set grows with corpus size on dup-dense
+        # data (every shingle of a large dup cluster crosses df_cap), and
+        # its static size estimate (filter over aggregate) stays tiny, so
+        # an unhinted plan gambles a multi-GB driver collect — 256x
+        # mutated stress killed exactly that broadcast. Sort-merge is
+        # spill-safe at every scale; both sides already shuffle on s.
+        sh = sh.join(hot.hint("merge"), "s", "left_anti")
     return sh
 
 
@@ -167,14 +167,17 @@ def _pair_intersections(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # every side here scales with the corpus (shingle stream, per-doc size
+    # table) — pin spill-safe sort-merge instead of trusting misestimated
+    # stats with a broadcast (the 256x-stress lesson)
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b.hint("merge"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return inter.join(
-        sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1"
-    ).join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1").hint("merge"), "d1"
+    ).join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2").hint("merge"), "d2")
 
 
 def _pair_intersections_sql_cte(df_cap: int = 100) -> str:
@@ -318,8 +321,10 @@ def _prefix_jaccard_pipeline(
     ).transform(tracked_cache)
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = Window.partitionBy("doc")
+    # dfreq is vocab-sized (Heaps-sublinear but unbounded) and statically
+    # underestimated — pinned sort-merge, never a driver-collected broadcast
     ranked = (
-        toks.join(dfreq, "t")
+        toks.join(dfreq.hint("merge"), "t")
         .withColumn("rn", F.row_number().over(wdoc.orderBy("dfr", "t")))
         .withColumn("sz", F.count(F.lit(1)).over(wdoc))
     )
@@ -341,14 +346,15 @@ def _prefix_jaccard_pipeline(
             .filter(F.col("bn") > bucket_cap)
             .select("t")
         )
-        overflow = prefix.join(hot, "t", "left_semi").select("doc").distinct()
-        prefix = prefix.join(overflow, "doc", "left_anti")
+        overflow = prefix.join(hot.hint("merge"), "t", "left_semi").select("doc").distinct()
+        # on dup-dense corpora MOST docs route to overflow — corpus-scaling
+        prefix = prefix.join(overflow.hint("merge"), "doc", "left_anti")
     # length filter (canonical PPJoin companion to the prefix filter):
     # Jaccard >= t forces t*|a| <= |b| <= |a|/t, so size-mismatched
     # collisions die before the verify join. Result-preserving — the
     # oracle doesn't need to mirror it.
     matched = prefix.alias("a").join(
-        prefix.alias("b"),
+        prefix.alias("b").hint("merge"),
         (F.col("a.t") == F.col("b.t"))
         & (F.col("a.doc") < F.col("b.doc"))
         & (F.col("b.sz") >= F.col("a.sz") * F.lit(threshold))
@@ -384,15 +390,15 @@ def _prefix_jaccard_pipeline(
         .select("d1", "d2")
     )
     inter = (
-        cand.join(toks.alias("x"), F.col("x.doc") == F.col("d1"))
-        .join(toks.alias("y"), (F.col("y.doc") == F.col("d2")) & (F.col("y.t") == F.col("x.t")))
+        cand.join(toks.alias("x").hint("merge"), F.col("x.doc") == F.col("d1"))
+        .join(toks.alias("y").hint("merge"), (F.col("y.doc") == F.col("d2")) & (F.col("y.t") == F.col("x.t")))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
-        inter.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        inter.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")).hint("merge"), "d1")
+        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")).hint("merge"), "d2")
         .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
@@ -494,10 +500,11 @@ def minhash_lsh_pairs(
         .select("doc", "bk.band", "bk.bucket")
         .transform(tracked_persist)
     )
+    # docs x bands rows on both sides — corpus-scaling; pinned sort-merge
     cand = (
         banded.alias("x")
         .join(
-            banded.alias("y"),
+            banded.alias("y").hint("merge"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc") < F.col("y.doc")),
@@ -509,9 +516,13 @@ def minhash_lsh_pairs(
     # (Jaccard over 31-bit hashes ≡ shingle Jaccard modulo negligible
     # collision mass in a ~2^31 space).
     sh = base.select("doc", F.col("hashes").alias("sh"))
+    # sh carries per-doc hash ARRAYS (the widest rows in the repo) and its
+    # cached-plan size estimate is unreliable pre-materialization: at 256x
+    # stress a statically-planned broadcast of it collected ~1 GB to the
+    # driver. Pinned sort-merge — spill-safe, linear.
     verified = (
-        cand.join(sh.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
-        .join(sh.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
+        cand.join(sh.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1").hint("merge"), "d1")
+        .join(sh.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2").hint("merge"), "d2")
         .withColumn("i", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn("u", F.size("sh1") + F.size("sh2") - F.col("i"))
         .withColumn("jaccard", F.col("i") / F.col("u"))
@@ -589,7 +600,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     cand = (
         segs.alias("x")
         .join(
-            segs.alias("y"),
+            segs.alias("y").hint("merge"),
             (F.col("x.seg") == F.col("y.seg")) & (F.col("x.val") == F.col("y.val")) & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"), F.col("x.fp").alias("fp1"), F.col("y.fp").alias("fp2"))
@@ -1095,17 +1106,17 @@ def containment_pairs_capped(
     ).transform(tracked_cache)
     dfreq = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
     boiler = dfreq.filter(F.col("dfr") > df_cap).select("s")
-    sh = sh_all.join(boiler, "s", "left_anti").transform(tracked_cache)
+    sh = sh_all.join(boiler.hint("merge"), "s", "left_anti").transform(tracked_cache)
     warm = dfreq.filter(
         (F.col("dfr") <= df_cap) & (F.col("dfr") > bucket_cap)
     ).select("s")
-    overflow = sh.join(warm, "s", "left_semi").select("doc").distinct()
-    clean = sh.join(overflow, "doc", "left_anti").transform(tracked_cache)
+    overflow = sh.join(warm.hint("merge"), "s", "left_semi").select("doc").distinct()
+    clean = sh.join(overflow.hint("merge"), "doc", "left_anti").transform(tracked_cache)
     sizes = clean.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         clean.alias("a")
         .join(
-            clean.alias("b"),
+            clean.alias("b").hint("merge"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
@@ -1115,9 +1126,9 @@ def containment_pairs_capped(
     c21 = F.col("i") / F.col("sz2")
     pairs = (
         inter.join(
-            sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1"
+            sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1").hint("merge"), "d1"
         )
-        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2").hint("merge"), "d2")
         .filter(F.greatest(c12, c21) >= threshold)
         .select(
             "d1",

@@ -466,13 +466,14 @@ def winnow_near_pairs(
     fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col).transform(tracked_persist)
     if df_cap is not None:
         hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap).select("fp")
-        # unhinted: the stop-fp set grows with corpus size on dup-dense
-        # data (256x-stress lesson from the shingle guard) — AQE
-        # broadcasts while it fits, shuffle anti-join after
-        fp = fp.join(hot, "fp", "left_anti")
+        # hint("merge"): the stop-fp set grows with corpus size on
+        # dup-dense data and its filter-over-aggregate static estimate
+        # stays tiny (256x-stress lesson from the shingle guard) —
+        # pinned spill-safe sort-merge, never a driver-collected broadcast
+        fp = fp.join(hot.hint("merge"), "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b.hint("merge"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
@@ -1188,10 +1189,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).transform(tracked_cache)
     dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
-    # unhinted: "df >= 5" is satisfied by a growing share of the gram
-    # vocabulary as the corpus grows — a forced broadcast of the hot set
-    # is a driver OOM at scale; AQE picks broadcast only while it fits
-    marked = occ.join(hot, "g", "left")
+    # hint("merge"): "df >= 5" is satisfied by a growing share of the
+    # gram vocabulary as the corpus grows, and the static estimate of a
+    # filtered aggregate undercounts it — pinned spill-safe sort-merge
+    marked = occ.join(hot.hint("merge"), "g", "left")
     n_hot = F.sum(F.coalesce(F.col("is_hot"), F.lit(0)))
     n_grams = F.count(F.lit(1))
     return (
