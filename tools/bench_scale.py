@@ -44,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark import workload
-from redcap_omop_etl_spark.caching import unpersist_operator_caches
+from redcap_omop_etl_spark.caching import clear_session_memos, unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 BASE = "/root/testdata/sf0.1"
@@ -229,6 +229,7 @@ def main() -> None:
         results[name] = {}
         for m in ms:
             unpersist_operator_caches()
+            clear_session_memos()  # cold slopes: memoized cluster tables must recompute
             spark.catalog.clearCache()
             qs[name](spark, dirs[m]).count()  # warm: codegen + file index
             trials = []
