@@ -339,8 +339,10 @@ R_SCALE = 1_000_000  # unit-vector re-quantization: r = round(u * 1e6)
     )
     SELECT label,
            n::BIGINT AS n_vecs,
-           round((ss - rn2)::DOUBLE / (n * (n - 1))::DOUBLE
-                 / {float(R_SCALE) ** 2}, 6) AS mean_pair_cos
+           CASE WHEN n > 1 THEN
+             round((ss - rn2)::DOUBLE / (n * (n - 1))::DOUBLE
+                   / {float(R_SCALE) ** 2}, 6)
+           ELSE NULL END AS mean_pair_cos
     FROM per_label ORDER BY label
     """,
     doc="Per-label semantic dispersion: the MEAN PAIRWISE COSINE of each "
@@ -383,11 +385,17 @@ def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.col("n").cast("bigint").alias("n_vecs"),
-            F.round(
-                (F.col("ss") - F.col("rn2")).cast("double")
-                / (F.col("n") * (F.col("n") - 1)).cast("double")
-                / float(R_SCALE) ** 2,
-                6,
+            # n > 1 guard (ADVICE r7): a label with exactly one vector has
+            # zero pairs — 0/0 would be NaN on Spark vs engine-dependent
+            # NULL/NaN on DuckDB; emit NULL explicitly on BOTH engines.
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("ss") - F.col("rn2")).cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                    / float(R_SCALE) ** 2,
+                    6,
+                ),
             ).alias("mean_pair_cos"),
         )
         .orderBy("label")

@@ -31,9 +31,11 @@ the GLOBAL index (``sinks/chunked.py:with_global_index``, allowlisted in
 
 Correctness does not depend on where the range boundaries land (offsets
 are computed from the partitions' ACTUAL contents), only on the
-partitioner being a range partitioner over the requested sort order; the
-range exchange feeds both the summary branch and the main branch and is
-computed once under Spark's exchange reuse.
+partitioner being a range partitioner over the requested sort order AND
+on the summary branch and the data branch seeing the SAME partition-id
+assignment. The latter is made structural by persisting the ranged frame
+(one InMemoryRelation, boundaries sampled once) rather than relying on
+Spark's non-contractual exchange reuse — see ``_keyed_offsets``.
 
 When the key IS high-cardinality, plain ``Window.partitionBy(key)`` is
 already parallel and strictly cheaper (one shuffle, no summary join) —
@@ -48,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from redcap_omop_etl_spark.caching import tracked_persist
 
 
 def _as_col(c: str | Column) -> Column:
@@ -72,7 +76,21 @@ def _keyed_offsets(
     """
     sort_exprs = [_as_col(k) for k in key_cols] + [_as_col(o) for o in order_cols]
     parted = df.repartitionByRange(*sort_exprs)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    # tracked_persist makes the pid assignment STRUCTURAL rather than
+    # reliant on exchange reuse: both consumers (the summary branch and
+    # the data branch) reference ONE InMemoryRelation over ONE physical
+    # RDD, whose RangePartitioner boundaries are sampled exactly once at
+    # first materialization (eviction-recompute re-fetches the same
+    # shuffle output under the same boundaries object). Without it, the
+    # two branches share the exchange only via Spark's non-contractual
+    # ReusedExchange — if reuse were disabled or an AQE change split the
+    # exchange, each branch could sample DIFFERENT range boundaries and
+    # the __pid equi-join below would silently misassign offsets. The
+    # persist is lazy (no plan-construction job) and MEMORY_AND_DISK, so
+    # at 100 TB it degrades to a local-disk spill of the working set —
+    # the cost of one extra materialization buys a correctness invariant
+    # instead of a config assumption.
+    with_pid = tracked_persist(parted.withColumn("__pid", F.spark_partition_id()))
     aggs = [F.count(F.lit(1)).alias("__n")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("__s"))

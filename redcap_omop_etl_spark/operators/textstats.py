@@ -1046,16 +1046,21 @@ def bpe_learn_sampled(
     _bpe_oracle_sql(5),
     doc="Sample-based BPE learner: ONE distributed word-frequency "
     "aggregation (BPE's sufficient statistic), a bounded TakeOrdered "
-    "collect of the top-50k-by-count vocabulary, then all merges learned "
-    "driver-locally with incremental pair-count maintenance — removing "
-    "the per-merge driver-round budget of the iterative learner "
-    "(~470 rounds for a 30k natural-corpus vocab) entirely. Merge table "
-    "identical to bpe_learn_merges at any K covering the vocabulary; "
-    "shares its oracle verbatim.",
+    "collect of the vocabulary, then all merges learned driver-locally "
+    "with incremental pair-count maintenance — removing the per-merge "
+    "driver-round budget of the iterative learner (~470 rounds for a 30k "
+    "natural-corpus vocab) entirely. Registered UNCAPPED "
+    "(vocab_top_k=None) so the shared full-vocabulary oracle is exact by "
+    "construction on any gate corpus (ADVICE r7: a 50k cap could "
+    "legitimately diverge from the oracle once the vocabulary exceeds "
+    "it); production callers pass vocab_top_k (e.g. 50k) to hard-bound "
+    "the collect on adversarial corpora — the capped/uncapped merge-table "
+    "identity below K is pinned by test. Merge table identical to "
+    "bpe_learn_merges; shares its oracle verbatim.",
 )
 def bpe_learn_sampled_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_sampled(
-        Catalog(spark, sf_dir)["documents"], n_merges=5, vocab_top_k=50_000
+        Catalog(spark, sf_dir)["documents"], n_merges=5, vocab_top_k=None
     )
 
 

@@ -1007,7 +1007,15 @@ def conversation_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "user_id",
         "event_id",
-        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        # floor division (ADVICE r7): `unix_micros(ts) div 1000000`
+        # truncates toward zero while DuckDB's `epoch_us(ts) // 1000000`
+        # floors — divergent for pre-1970 timestamps, shifting session
+        # boundaries. Subtracting the non-negative pmod first makes the
+        # numerator an exact multiple, so `div` IS floor division — pure
+        # 64-bit integer arithmetic, no double roundoff at any epoch.
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
+        ).alias("sec"),
         F.when(F.col("event_type").isin(*_CONV_USER_EVENTS), "user")
         .otherwise("assistant")
         .alias("role"),

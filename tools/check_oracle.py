@@ -98,10 +98,14 @@ def main() -> int:
 
     spark = build_session("check_oracle")
     qs, oracles = workload.queries(), workload.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL unknown query name(s): {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         # release the previous query's operator-internal caches (the
         # tracked_cache ownership convention) so a full-registry sweep
