@@ -1007,15 +1007,14 @@ def conversation_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "user_id",
         "event_id",
-        # floor division (ADVICE r7): `unix_micros(ts) div 1000000`
-        # truncates toward zero while DuckDB's `epoch_us(ts) // 1000000`
-        # floors — divergent for pre-1970 timestamps, shifting session
-        # boundaries. Subtracting the non-negative pmod first makes the
-        # numerator an exact multiple, so `div` IS floor division — pure
-        # 64-bit integer arithmetic, no double roundoff at any epoch.
-        F.expr(
-            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
-        ).alias("sec"),
+        # Pre-1970 epochs: investigated for ADVICE r7, which claimed
+        # DuckDB's `epoch_us(ts) // 1000000` floors while Spark's `div`
+        # truncates. Measured otherwise: DuckDB `//` on BIGINT operands
+        # TRUNCATES toward zero exactly like Spark's `div` (-500000 //
+        # 1000000 = 0, -7 // 2 = -3), so the two reductions agree at
+        # every epoch including negatives — pinned cross-engine in
+        # tests/test_round8_ops.py::TestEpochSecondReduction.
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
         F.when(F.col("event_type").isin(*_CONV_USER_EVENTS), "user")
         .otherwise("assistant")
         .alias("role"),

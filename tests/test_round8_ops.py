@@ -14,12 +14,16 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 
 
-class TestEpochFloorSemantics:
-    def test_pre_1970_second_reduction_matches_duckdb_floor(self, spark):
-        # ADVICE r7: Spark `unix_micros(ts) div 1000000` truncates toward
-        # zero; DuckDB `epoch_us(ts) // 1000000` floors. The pmod-based
-        # reduction in conversation_turn_audit must floor for negative
-        # epochs too: 1969-12-31 23:59:59.5 is epoch_us=-500000 → sec=-1.
+class TestEpochSecondReduction:
+    def test_second_reduction_agrees_cross_engine_incl_pre_1970(self, spark):
+        # ADVICE r7 claimed Spark `unix_micros(ts) div 1000000` (truncate
+        # toward zero) diverges from DuckDB `epoch_us(ts) // 1000000`
+        # (allegedly floor) for pre-1970 timestamps. Investigated:
+        # DuckDB's `//` on BIGINT operands ALSO truncates toward zero
+        # (-500000 // 1000000 = 0, -7 // 2 = -3), so the two reductions
+        # used by conversation_turn_audit agree at every epoch. Pin that
+        # agreement — including the negative-epoch sub-second case the
+        # advice flagged — so a future engine change surfaces here.
         ts = [
             datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
             datetime.datetime(1969, 12, 31, 23, 59, 58, 0),
@@ -30,9 +34,7 @@ class TestEpochFloorSemantics:
         got = [
             r.sec
             for r in df.select(
-                F.expr(
-                    "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
-                ).alias("sec")
+                F.expr("unix_micros(ts) div 1000000").alias("sec")
             ).collect()
         ]
         con = duckdb.connect()
@@ -43,4 +45,4 @@ class TestEpochFloorSemantics:
             for t in ts
         ]
         assert got == want
-        assert got[0] == -1  # truncation would give 0
+        assert got[0] == 0  # both engines truncate: -500000us -> 0s
