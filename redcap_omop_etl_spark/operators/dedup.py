@@ -531,6 +531,130 @@ def minhash_lsh_pairs(
     return verified.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def minhash_band_table(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band table ``(doc, band, bucket)`` — the shared prefix of
+    pair-emitting LSH (``minhash_lsh_pairs``) and the bounded-output
+    cluster path (``minhash_star_edges``). Zero shuffles: signatures fold
+    per-row over the hashed-shingle array; the explode is docs × bands.
+    Same deterministic (a·h+b) mod p family and raw-slice bucket keys as
+    ``minhash_lsh_pairs``, so the banding replays verbatim in DuckDB."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    return (
+        sigs.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.element_at("sig", bi * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc", "bk.band", "bk.bucket")
+    )
+
+
+def minhash_star_edges(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket-co-membership STAR edges ``(d1, d2)`` — the linear-output
+    near-dup representation a 100 TB dedup run actually materializes.
+
+    ``minhash_lsh_pairs`` emits every colliding pair: a duplicate family
+    of m members costs ~m²/2 output rows, which made pair volume (not the
+    plan) the 256× bottleneck (SCALE_r07: 111×). For CLUSTERING, the full
+    per-bucket clique is redundant — connecting every bucket member to
+    the bucket's MIN doc yields a star whose connected components are
+    IDENTICAL to the clique graph's (any two members of one bucket are
+    linked through its hub), with edges ≤ docs × bands instead of
+    quadratic per family. No verify step: cluster membership is
+    transitive bucket co-occurrence (the RefinedWeb/SlimPajama-style
+    production trade — LSH false-positive mass is governed by the band
+    S-curve, 16 bands × 4 rows ⇒ P(collide) = 1-(1-j⁴)¹⁶, and a verify
+    that REJECTED a hub edge could disconnect true members anyway).
+    One window shuffle on the high-cardinality (band, bucket) key + one
+    distinct; both linear in docs × bands."""
+    banded = minhash_band_table(df, num_hashes, bands, n, text_col, id_col)
+    from pyspark.sql.window import Window
+
+    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    return (
+        banded.withColumn("m", m)
+        .filter(F.col("doc") != F.col("m"))
+        .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_banded_sql_cte(
+    num_hashes: int = 64,
+    bands: int = 16,
+    gram: str = "s",
+    doc_filter: str = "",
+) -> str:
+    """DuckDB mirror of ``minhash_band_table`` — splice after a shingle
+    CTE that emitted ``__sh(doc_id, {gram})``; emits ``hs``, ``params``,
+    ``sigs``, ``banded``. ``doc_filter`` restricts which documents get
+    signatures (e.g. the capped-composition overflow channel). Single
+    source of truth for every LSH-banded oracle."""
+    rows = num_hashes // bands
+    return (
+        f"hs AS (\n"
+        f"      SELECT DISTINCT doc_id AS doc,\n"
+        f"             ('0x' || substring(md5({gram}), 1, 15))::BIGINT % 2147483647 AS h\n"
+        f"      FROM __sh {doc_filter}\n"
+        f"    ), params AS (\n"
+        f"      SELECT r.i, 2 * r.i + 1 AS a, (104729 * (r.i + 1)) % 2147483647 AS b\n"
+        f"      FROM unnest(range({num_hashes})) r(i)\n"
+        f"    ), sigs AS (\n"
+        f"      SELECT doc, i, min((h * a + b) % 2147483647) AS sig\n"
+        f"      FROM hs CROSS JOIN params GROUP BY doc, i\n"
+        f"    ), banded AS (\n"
+        f"      SELECT doc, i // {rows} AS band,\n"
+        f"             string_agg(sig::VARCHAR, '_' ORDER BY i) AS bucket\n"
+        f"      FROM sigs GROUP BY doc, i // {rows}\n"
+        f"    )"
+    )
+
+
+def minhash_star_sql_cte() -> str:
+    """DuckDB mirror of ``minhash_star_edges``' star construction —
+    splice after ``minhash_banded_sql_cte``; emits ``mins`` and
+    ``star(d1, d2)``."""
+    return (
+        "mins AS (\n"
+        "      SELECT band, bucket, min(doc) AS m FROM banded GROUP BY 1, 2\n"
+        "    ), star AS (\n"
+        "      SELECT DISTINCT mins.m AS d1, banded.doc AS d2\n"
+        "      FROM banded JOIN mins USING (band, bucket)\n"
+        "      WHERE banded.doc <> mins.m\n"
+        "    )"
+    )
+
+
 _SIMHASH_BITS = 60
 
 
@@ -704,40 +828,53 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPJOIN_GATE_CAP = 2
 
 
+def ppjoin_capped_sql_cte(threshold: float = 0.6, cap: int = _PPJOIN_GATE_CAP) -> str:
+    """DuckDB mirror of ``prefix_jaccard_pairs_capped`` — splice after a
+    shingle CTE that emitted ``__sh(doc_id, t)``; emits ``toks``,
+    ``dfreq``, ``ranked``, ``prefix``, ``hot``, ``overflow`` (the routed
+    docs), and ``cpairs(d1, d2, jaccard)`` (exact pairs among clean
+    docs). Single source of truth for the capped-PPJoin oracle AND the
+    round-8 capped cluster compositions built on it."""
+    return (
+        f"toks AS MATERIALIZED (\n"
+        f"      SELECT doc_id AS doc, t FROM __sh\n"
+        f"    ), dfreq AS MATERIALIZED (\n"
+        f"      SELECT t, count(*) AS dfr FROM toks GROUP BY t\n"
+        f"    ), ranked AS MATERIALIZED (\n"
+        f"      SELECT doc, toks.t,\n"
+        f"             row_number() OVER (PARTITION BY doc ORDER BY dfr, toks.t) AS rn,\n"
+        f"             count(*) OVER (PARTITION BY doc) AS sz\n"
+        f"      FROM toks JOIN dfreq ON toks.t = dfreq.t\n"
+        f"    ), prefix AS MATERIALIZED (\n"
+        f"      SELECT doc, t FROM ranked WHERE rn <= sz - ceil(sz * {threshold}) + 1\n"
+        f"    ), hot AS MATERIALIZED (\n"
+        f"      SELECT t FROM prefix GROUP BY t HAVING count(*) > {cap}\n"
+        f"    ), overflow AS MATERIALIZED (\n"
+        f"      SELECT DISTINCT doc FROM prefix WHERE t IN (SELECT t FROM hot)\n"
+        f"    ), cprefix AS MATERIALIZED (\n"
+        f"      SELECT doc, t FROM prefix WHERE doc NOT IN (SELECT doc FROM overflow)\n"
+        f"    ), cand AS MATERIALIZED (\n"
+        f"      SELECT DISTINCT a.doc AS d1, b.doc AS d2\n"
+        f"      FROM cprefix a JOIN cprefix b ON a.t = b.t AND a.doc < b.doc\n"
+        f"    ), inter AS (\n"
+        f"      SELECT d1, d2, count(*) AS i\n"
+        f"      FROM cand JOIN toks x ON x.doc = d1 JOIN toks y ON y.doc = d2 AND y.t = x.t\n"
+        f"      GROUP BY 1, 2\n"
+        f"    ), szt AS (\n"
+        f"      SELECT doc, count(*) AS sz FROM toks GROUP BY doc\n"
+        f"    ), cpairs AS (\n"
+        f"      SELECT d1, d2, round(i * 1.0 / (a.sz + b.sz - i), 6) AS jaccard\n"
+        f"      FROM inter JOIN szt a ON d1 = a.doc JOIN szt b ON d2 = b.doc\n"
+        f"      WHERE i * 1.0 / (a.sz + b.sz - i) >= {threshold}\n"
+        f"    )"
+    )
+
+
 @register(
     "dedup_prefix_jaccard_capped",
     f"""
-    WITH {shingle_sql_cte(gram="t", materialized=True)}, toks AS MATERIALIZED (
-      SELECT doc_id AS doc, t FROM __sh
-    ), dfreq AS MATERIALIZED (
-      SELECT t, count(*) AS dfr FROM toks GROUP BY t
-    ), ranked AS MATERIALIZED (
-      SELECT doc, toks.t,
-             row_number() OVER (PARTITION BY doc ORDER BY dfr, toks.t) AS rn,
-             count(*) OVER (PARTITION BY doc) AS sz
-      FROM toks JOIN dfreq ON toks.t = dfreq.t
-    ), prefix AS MATERIALIZED (
-      SELECT doc, t FROM ranked WHERE rn <= sz - ceil(sz * 0.6) + 1
-    ), hot AS MATERIALIZED (
-      SELECT t FROM prefix GROUP BY t HAVING count(*) > {_PPJOIN_GATE_CAP}
-    ), overflow AS MATERIALIZED (
-      SELECT DISTINCT doc FROM prefix WHERE t IN (SELECT t FROM hot)
-    ), cprefix AS MATERIALIZED (
-      SELECT doc, t FROM prefix WHERE doc NOT IN (SELECT doc FROM overflow)
-    ), cand AS MATERIALIZED (
-      SELECT DISTINCT a.doc AS d1, b.doc AS d2
-      FROM cprefix a JOIN cprefix b ON a.t = b.t AND a.doc < b.doc
-    ), inter AS (
-      SELECT d1, d2, count(*) AS i
-      FROM cand JOIN toks x ON x.doc = d1 JOIN toks y ON y.doc = d2 AND y.t = x.t
-      GROUP BY 1, 2
-    ), sz AS (
-      SELECT doc, count(*) AS sz FROM toks GROUP BY doc
-    )
-    SELECT 'pair' AS kind, d1, d2,
-           round(i * 1.0 / (a.sz + b.sz - i), 6) AS jaccard
-    FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
-    WHERE i * 1.0 / (a.sz + b.sz - i) >= 0.6
+    WITH {shingle_sql_cte(gram="t", materialized=True)}, {ppjoin_capped_sql_cte()}
+    SELECT 'pair' AS kind, d1, d2, jaccard FROM cpairs
     UNION ALL
     SELECT 'overflow' AS kind, doc AS d1, NULL::BIGINT AS d2,
            NULL::DOUBLE AS jaccard
@@ -776,20 +913,7 @@ def dedup_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH {shingle_sql_cte()}, hs AS (
-      SELECT DISTINCT doc_id AS doc,
-             ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS h
-      FROM __sh
-    ), params AS (
-      SELECT r.i, 2 * r.i + 1 AS a, (104729 * (r.i + 1)) % 2147483647 AS b
-      FROM unnest(range(64)) r(i)
-    ), sigs AS (
-      SELECT doc, i, min((h * a + b) % 2147483647) AS sig
-      FROM hs CROSS JOIN params GROUP BY doc, i
-    ), banded AS (
-      SELECT doc, i // 4 AS band, string_agg(sig::VARCHAR, '_' ORDER BY i) AS bucket
-      FROM sigs GROUP BY doc, i // 4
-    ), cand AS (
+    WITH {shingle_sql_cte()}, {minhash_banded_sql_cte()}, cand AS (
       SELECT DISTINCT x.doc AS d1, y.doc AS d2
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc

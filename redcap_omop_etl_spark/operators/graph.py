@@ -31,7 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.caching import tracked_persist
-from redcap_omop_etl_spark.operators.dedup import ngram_jaccard_pairs, shingle_sql_cte
+from redcap_omop_etl_spark.operators.dedup import (
+    _PPJOIN_GATE_CAP,
+    minhash_banded_sql_cte,
+    minhash_star_edges,
+    minhash_star_sql_cte,
+    ngram_jaccard_pairs,
+    ppjoin_capped_sql_cte,
+    prefix_jaccard_pairs_capped,
+    shingle_sql_cte,
+)
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
@@ -88,9 +97,34 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def components_sql_cte(edges: str = "edges") -> str:
+    """DuckDB mirror of ``connected_components`` — symmetric closure →
+    recursive reachability → min-reachable label. Splice after a CTE that
+    emitted ``{edges}(d1, d2)``; emits ``sym``, ``reach``, ``comp(node,
+    component)``. Single source of truth for every cluster oracle."""
+    return (
+        f"sym AS (\n"
+        f"      SELECT d1 AS a, d2 AS b FROM {edges}\n"
+        f"      UNION\n"
+        f"      SELECT d2 AS a, d1 AS b FROM {edges}\n"
+        f"    ),\n"
+        f"    reach AS (\n"
+        f"      WITH RECURSIVE r(a, b) AS (\n"
+        f"        SELECT a, b FROM sym\n"
+        f"        UNION\n"
+        f"        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a\n"
+        f"      )\n"
+        f"      SELECT * FROM r\n"
+        f"    ),\n"
+        f"    comp AS (\n"
+        f"      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a\n"
+        f"    )"
+    )
+
+
 # Shared oracle fragment: near-dup edges (stop-shingle-guarded Jaccard
 # >= 0.6) -> symmetric closure -> recursive reachability -> components.
-# Single source of truth for every cluster-consuming oracle below.
+# Single source of truth for every UNCAPPED cluster-consuming oracle below.
 _DOC_COMPONENTS_SQL = f"""edges AS (
       WITH {shingle_sql_cte()}, sh AS (
         SELECT doc_id, s FROM __sh
@@ -105,22 +139,7 @@ _DOC_COMPONENTS_SQL = f"""edges AS (
       SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
       WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.6
     ),
-    sym AS (
-      SELECT d1 AS a, d2 AS b FROM edges
-      UNION
-      SELECT d2 AS a, d1 AS b FROM edges
-    ),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
-      )
-      SELECT * FROM r
-    ),
-    comp AS (
-      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
-    )"""
+    {components_sql_cte()}"""
 
 
 @register(
@@ -975,6 +994,349 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px = (
         pairs.join(
+            asg.select(
+                F.col("doc_id").alias("d1"),
+                F.col("s_naive").alias("n1"),
+                F.col("s_grp").alias("g1"),
+            ),
+            "d1",
+        )
+        .join(
+            asg.select(
+                F.col("doc_id").alias("d2"),
+                F.col("s_naive").alias("n2"),
+                F.col("s_grp").alias("g2"),
+            ),
+            "d2",
+        )
+        .transform(tracked_persist)
+    )
+    nx = (
+        px.where(F.col("n1") != F.col("n2"))
+        .select(F.explode(F.array("n1", "n2")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nxc"))
+    )
+    gx = (
+        px.where(F.col("g1") != F.col("g2"))
+        .select(F.explode(F.array("g1", "g2")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("gxc"))
+    )
+    gc = asg.groupBy(F.col("s_grp").alias("s")).agg(F.count(F.lit(1)).alias("gcc"))
+    nc = asg.groupBy(F.col("s_naive").alias("s")).agg(F.count(F.lit(1)).alias("ncc"))
+    dim = spark.createDataFrame([("train",), ("val",), ("test",)], "split string")
+    return (
+        dim.join(F.broadcast(gc), dim.split == gc.s, "left")
+        .drop("s")
+        .join(F.broadcast(nc), dim.split == nc.s, "left")
+        .drop("s")
+        .join(F.broadcast(nx), dim.split == nx.s, "left")
+        .drop("s")
+        .join(F.broadcast(gx), dim.split == gx.s, "left")
+        .drop("s")
+        .select(
+            "split",
+            F.coalesce(F.col("gcc"), F.lit(0)).cast("long").alias("n_docs_grouped"),
+            F.coalesce(F.col("ncc"), F.lit(0)).cast("long").alias("n_docs_naive"),
+            F.coalesce(F.col("nxc"), F.lit(0)).cast("long").alias("naive_cross_pairs"),
+            F.coalesce(F.col("gxc"), F.lit(0)).cast("long").alias("grouped_cross_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: bounded-output near-dup summary + capped cluster compositions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_clusters",
+    f"""
+    WITH {shingle_sql_cte()},
+    {minhash_banded_sql_cte()},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS is_survivor,
+           count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
+    FROM percol
+    """,
+    doc="Bounded-output near-dup summary — what a 100 TB dedup run "
+    "actually materializes: ONE ROW PER DOCUMENT (doc_id, cluster_rep, "
+    "is_survivor, cluster_size) instead of the quadratic-per-family pair "
+    "stream (dedup_minhash_lsh's 256x wall was pure pair-output volume, "
+    "SCALE_r07: 111x). Plan: MinHash band table (docs x 16 bands, zero "
+    "pair enumeration) -> per-bucket STAR edges (every member linked to "
+    "the bucket's min doc: same connected components as the full bucket "
+    "clique at <= docs x bands edges) -> iterative min-label components "
+    "-> left join onto the doc stream. Cluster membership is transitive "
+    "bucket co-occurrence with NO verify step (the RefinedWeb/"
+    "SlimPajama-style production trade; false-positive mass follows the "
+    "16x4 band S-curve), so wall is linear in docs x bands and fully "
+    "decoupled from true-pair volume. Survivor = min doc id per cluster "
+    "(first-seen semantics, reference dcc_transforms.py:249-255). "
+    "Oracle: the shared banded-minhash fragment + star construction + "
+    "recursive-CTE closure.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    edges = minhash_star_edges(docs)
+    comp = connected_components(edges)
+    percol = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_rep")
+        )
+    )
+    return percol.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
+        .otherwise(0)
+        .alias("is_survivor"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+# Capped composition: the PRODUCTION configuration of the cluster
+# consumers (survivorship, leakage-safe split). Pair generation runs the
+# capped PPJoin (exact Jaccard >= 0.6 among clean docs, candidates linear
+# by construction); documents routed to the overflow channel — the
+# dup-dense families whose exact pair enumeration is the 23.6x/31.8x
+# slope in SCALE_r07 — are clustered through MinHash STAR edges instead
+# (linear in overflow docs x bands, no pair emission). Recall boundary,
+# stated honestly: clean-clean near-dup pairs are EXACT (the capped
+# PPJoin contract); overflow-overflow near-dups recover through LSH
+# bucket co-occurrence (S-curve recall, and dup families share their
+# family shingles so they co-bucket with high probability); a
+# clean-overflow near-dup pair (possible only when one member carries a
+# hot prefix shingle the other lacks entirely) is missed — the same
+# class of probabilistic loss LSH itself accepts, bounded by the
+# routed-doc fraction that the overflow output row count makes auditable
+# per run.
+_CAPPED_EDGES_SQL = f"""{ppjoin_capped_sql_cte()},
+    {minhash_banded_sql_cte(gram="t", doc_filter="WHERE doc_id IN (SELECT doc FROM overflow)")},
+    {minhash_star_sql_cte()},
+    edges AS (
+      SELECT d1, d2 FROM cpairs
+      UNION ALL
+      SELECT d1, d2 FROM star
+    ),
+    {components_sql_cte()}"""
+
+_CAPPED_CLUSTER_MEMO: dict = register_memo({})
+
+
+def _doc_capped_clusters(spark: SparkSession, sf_dir: str):
+    """(edges, overflow, components) for the capped composition above,
+    computed once per (session, corpus) — the same materialized-view
+    discipline as ``_doc_near_dup_clusters``. All three frames are
+    cluster-member-sized (edges are linear in corpus size by the cap /
+    star constructions) and localCheckpoint-pinned because downstream
+    consumers reference them under differing partitionings."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CAPPED_CLUSTER_MEMO:
+        return _CAPPED_CLUSTER_MEMO[key]
+    docs = Catalog(spark, sf_dir)["documents"]
+    pairs, overflow = prefix_jaccard_pairs_capped(
+        docs, threshold=0.6, n=3, bucket_cap=_PPJOIN_GATE_CAP
+    )
+    overflow = overflow.localCheckpoint(eager=True)
+    # overflow is corpus-coupled (dup-dense corpora route MOST docs) —
+    # pinned sort-merge per the join-strategy policy, never a broadcast
+    over_docs = docs.join(
+        overflow.withColumnRenamed("doc", "doc_id").hint("merge"),
+        "doc_id",
+        "left_semi",
+    )
+    edges = (
+        pairs.select("d1", "d2")
+        .unionByName(minhash_star_edges(over_docs))
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(edges)
+    _CAPPED_CLUSTER_MEMO[key] = (edges, overflow, comp)
+    return edges, overflow, comp
+
+
+@register(
+    "dedup_survivorship_capped",
+    f"""
+    WITH {shingle_sql_cte(gram="t", materialized=True)},
+    {_CAPPED_EDGES_SQL},
+    mem AS (
+      SELECT c.node, c.component, d.source, d.n_chars
+      FROM comp c JOIN documents d ON c.node = d.doc_id
+    ),
+    surv AS (
+      SELECT component,
+             (list(node ORDER BY n_chars DESC, node ASC))[1] AS keeper
+      FROM mem GROUP BY component
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           count(m.node)::BIGINT AS n_dup_members,
+           count(CASE WHEN m.node IS NOT NULL AND m.node <> s.keeper THEN 1 END)::BIGINT
+             AS n_dropped,
+           coalesce(sum(CASE WHEN m.node IS NOT NULL AND m.node <> s.keeper
+                             THEN d.n_chars END), 0)::BIGINT AS chars_dropped,
+           count(o.doc)::BIGINT AS n_overflow
+    FROM documents d
+    LEFT JOIN mem m ON d.doc_id = m.node
+    LEFT JOIN surv s ON m.component = s.component
+    LEFT JOIN overflow o ON d.doc_id = o.doc
+    GROUP BY d.source
+    """,
+    doc="Dedup survivorship in its PRODUCTION configuration (the round-7 "
+    "verdict's headline ask): clusters come from the CAPPED composition "
+    "— exact capped-PPJoin pairs among clean docs UNION MinHash star "
+    "edges over the routed overflow docs — instead of the uncapped "
+    "exact pair stream whose emitted-pair volume made the registered "
+    "uncapped twin 23.6x at 64x mutated data (SCALE_r07). Within each "
+    "transitively-connected cluster the canonical doc (longest text, "
+    "ties by doc_id) survives; output adds n_overflow per source so "
+    "every run AUDITS how much of the corpus took the probabilistic "
+    "channel. All stages linear: capped candidates by construction, "
+    "star edges <= overflow x bands, one min-label propagation, one "
+    "rollup; the member/survivor/overflow tables join the doc stream "
+    "unhinted (AQE broadcasts while small, degrades to shuffle joins on "
+    "dup-dense corpora). Oracle = the composed capped fragment + "
+    "recursive-CTE closure + ordered-list head.",
+)
+def dedup_survivorship_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    edges, overflow, comp = _doc_capped_clusters(spark, sf_dir)
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "source", "n_chars"), "node"
+    )
+    surv = mem.groupBy("component").agg(
+        F.max(F.struct(F.col("n_chars"), (-F.col("node")).alias("__neg"))).alias("__top")
+    ).select("component", (-F.col("__top.__neg")).alias("keeper"))
+    return (
+        docs.join(
+            mem.withColumnRenamed("node", "doc_id").select("doc_id", "component"),
+            "doc_id",
+            "left",
+        )
+        .join(surv, "component", "left")
+        .join(
+            overflow.select(F.col("doc").alias("doc_id"), F.lit(1).alias("__o")),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "__dropped",
+            F.col("component").isNotNull() & (F.col("doc_id") != F.col("keeper")),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.col("component")).cast("long").alias("n_dup_members"),
+            F.count(F.when(F.col("__dropped"), 1)).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dropped"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_dropped"),
+            F.count(F.col("__o")).cast("long").alias("n_overflow"),
+        )
+    )
+
+
+@register(
+    "sampling_leakage_safe_split_capped",
+    f"""
+    WITH {shingle_sql_cte(gram="t", materialized=True)},
+    {_CAPPED_EDGES_SQL},
+    asg AS (
+      SELECT doc_id,
+             CASE WHEN h_doc < 80 THEN 'train'
+                  WHEN h_doc < 90 THEN 'val' ELSE 'test' END AS s_naive,
+             CASE WHEN h_grp < 80 THEN 'train'
+                  WHEN h_grp < 90 THEN 'val' ELSE 'test' END AS s_grp
+      FROM (
+        SELECT d.doc_id,
+               cast(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100
+                 AS h_doc,
+               cast(('0x' || substring(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 8)) AS BIGINT) % 100
+                 AS h_grp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      )
+    ),
+    px AS (
+      SELECT a.s_naive AS n1, b.s_naive AS n2, a.s_grp AS g1, b.s_grp AS g2
+      FROM edges e JOIN asg a ON e.d1 = a.doc_id JOIN asg b ON e.d2 = b.doc_id
+    ),
+    nx AS (
+      SELECT s, count(*) AS c FROM (
+        SELECT unnest([n1, n2]) AS s FROM px WHERE n1 <> n2
+      ) GROUP BY s
+    ),
+    gx AS (
+      SELECT s, count(*) AS c FROM (
+        SELECT unnest([g1, g2]) AS s FROM px WHERE g1 <> g2
+      ) GROUP BY s
+    ),
+    gc AS (SELECT s_grp AS s, count(*) AS c FROM asg GROUP BY 1),
+    nc AS (SELECT s_naive AS s, count(*) AS c FROM asg GROUP BY 1),
+    dim AS (SELECT unnest(['train', 'val', 'test']) AS split)
+    SELECT dim.split,
+           coalesce(gc.c, 0)::BIGINT AS n_docs_grouped,
+           coalesce(nc.c, 0)::BIGINT AS n_docs_naive,
+           coalesce(nx.c, 0)::BIGINT AS naive_cross_pairs,
+           coalesce(gx.c, 0)::BIGINT AS grouped_cross_pairs
+    FROM dim
+    LEFT JOIN gc ON dim.split = gc.s
+    LEFT JOIN nc ON dim.split = nc.s
+    LEFT JOIN nx ON dim.split = nx.s
+    LEFT JOIN gx ON dim.split = gx.s
+    """,
+    doc="Leakage-safe train/val/test split in its PRODUCTION "
+    "configuration: identical semantics to sampling_leakage_safe_split "
+    "(cluster-hashed grouped split vs naive per-doc split, plus the "
+    "near-dup evidence straddling splits under each policy) but the "
+    "near-dup evidence stream is the CAPPED composition — exact capped-"
+    "PPJoin pairs among clean docs UNION MinHash star edges over routed "
+    "overflow docs — so the straddle join consumes a corpus-LINEAR edge "
+    "stream instead of the uncapped pair stream whose volume made the "
+    "uncapped twin 31.8x at 64x mutated data (SCALE_r07). "
+    "grouped_cross_pairs = 0 stays PROVEN per run (every edge endpoint "
+    "pair shares a component by construction, so the grouped hash "
+    "agrees). Cross-split counts quantify straddling EDGES (the "
+    "evidence a capped production run materializes), a superset "
+    "semantics documented here rather than hidden. Plan: the composed "
+    "edge/component tables join the doc stream unhinted; the split "
+    "assignment is the md5 split_assign primitive; the 3-row dim join "
+    "fixes output shape.",
+)
+def sampling_leakage_safe_split_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.sampling import split_assign
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    edges, _overflow, comp = _doc_capped_clusters(spark, sf_dir)
+    asg = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            split_assign(F.col("doc_id"), dict(_SPLIT_CUTS)).alias("s_naive"),
+            split_assign(
+                F.coalesce(F.col("component"), F.col("doc_id")), dict(_SPLIT_CUTS)
+            ).alias("s_grp"),
+        )
+        .transform(tracked_persist)
+    )
+    px = (
+        edges.join(
             asg.select(
                 F.col("doc_id").alias("d1"),
                 F.col("s_naive").alias("n1"),
