@@ -1531,7 +1531,14 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIT_K = 64
 _AUDIT_BANDS = 16
 _AUDIT_ROWS = _AUDIT_K // _AUDIT_BANDS
-_AUDIT_SAMPLE_PCT = 40
+# Fixed-budget sampling (round-8, SCALE_r07 item 4): the audit samples a
+# TARGET DOC COUNT, not a fixed percentage — the effective sample
+# fraction is budget/N, resolved INSIDE the plan by a 1-row corpus-count
+# scalar, so the audited doc set (and with it the audit's true-pair
+# work) stays ~constant as the corpus grows instead of scaling with it.
+# Sampling granularity is 1/10000 md5 buckets: a doc is sampled iff
+# bucket * N < 10000 * budget, i.e. bucket < 10000*budget/N.
+_AUDIT_DOC_BUDGET = 200
 _AUDIT_DF_CAP = 100  # stop-shingle cap, same convention as ngram_jaccard
 
 
@@ -1554,7 +1561,8 @@ def _lsh_recall_oracle() -> str:
     WITH smp AS (
       SELECT doc_id, text FROM documents
       WHERE cast(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS bigint)
-            % 100 < {_AUDIT_SAMPLE_PCT}
+            % 10000 * (SELECT count(*) FROM documents)
+            < 10000 * {_AUDIT_DOC_BUDGET}
     ), __tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM smp
     ), __sh AS (
@@ -1590,42 +1598,62 @@ def _lsh_recall_oracle() -> str:
       JOIN sigs sa ON sa.doc_id = t.d1
       JOIN sigs sb ON sb.doc_id = t.d2
     )
-    SELECT jbucket, count(*)::BIGINT AS n_true,
-           sum(det)::BIGINT AS n_detected,
-           (sum(det)::BIGINT * 1000000 // count(*)) AS recall_ppm
-    FROM flagged GROUP BY jbucket
+    SELECT jbucket, n_true, n_detected, recall_ppm,
+           floor(1960000.0 * sqrt(p * (1.0 - p) / n_true::DOUBLE))::BIGINT
+             AS ci_halfwidth_ppm
+    FROM (
+      SELECT jbucket, count(*)::BIGINT AS n_true,
+             sum(det)::BIGINT AS n_detected,
+             (sum(det)::BIGINT * 1000000 // count(*)) AS recall_ppm,
+             sum(det)::DOUBLE / count(*)::DOUBLE AS p
+      FROM flagged GROUP BY jbucket
+    )
     """
 
 
 @register(
     "dedup_lsh_recall_audit",
     _lsh_recall_oracle(),
-    doc="Empirical MinHash-LSH S-curve audit: on a deterministic "
-    f"{_AUDIT_SAMPLE_PCT}% md5 doc sample, bucket every shingle-sharing "
-    "pair by exact Jaccard (floor(10*J), integer arithmetic) and score "
-    f"it against the production band predicate ({_AUDIT_K} hashes x "
+    doc="Empirical MinHash-LSH S-curve audit under a FIXED DOC BUDGET: "
+    "bucket every shingle-sharing pair in a deterministic md5 doc sample "
+    "by exact Jaccard (floor(10*J), integer arithmetic) and score it "
+    f"against the production band predicate ({_AUDIT_K} hashes x "
     f"{_AUDIT_BANDS} bands, same derived hash family as "
-    "dedup_minhash_lsh). High buckets read as measured RECALL (what the "
-    "sketch misses), low buckets as the band FALSE-POSITIVE rate "
-    "(wasted verify work) — the measured S-curve instead of the "
-    "closed-form 1-(1-J^r)^b. Ground truth uses the exact shingle "
-    "equi-join under the standard stop-shingle cap "
-    f"(df <= {_AUDIT_DF_CAP}, ngram_jaccard's convention, applied to "
+    "dedup_minhash_lsh). High buckets read as measured RECALL, low "
+    "buckets as the band FALSE-POSITIVE rate — the measured S-curve "
+    "instead of the closed-form 1-(1-J^r)^b. Budget math (round-8 fix "
+    "for the 8.77x SCALE_r07 slope): a doc enters the sample iff "
+    f"md5_bucket(doc_id, 10000) * N < 10000 * {_AUDIT_DOC_BUDGET}, with "
+    "N the corpus count resolved in-plan as a 1-row broadcast scalar — "
+    f"so the sample holds ~{_AUDIT_DOC_BUDGET} docs at ANY corpus size "
+    "(fraction = budget/N), and since mutated-dup family membership in "
+    "the sample stays ~constant as corpora replicate, the audit's "
+    "true-pair work is flat instead of tracking corpus growth. The "
+    "price of a fixed budget is sampling error, REPORTED per bucket as "
+    "ci_halfwidth_ppm (Wald 95%: 1.96e6*sqrt(p(1-p)/n_true), floored — "
+    "all-double arithmetic from identical integers, so even the CI is "
+    "value-oracled). Ground truth uses the exact shingle equi-join "
+    f"under the stop-shingle cap (df <= {_AUDIT_DF_CAP}, applied to "
     "truth sets AND signatures so the audited shingle space is "
-    "self-consistent), which is the audit's deliberate cost: it runs on "
-    "the md5 sample, never the corpus (the production path stays "
-    "dedup_minhash_lsh), and its wall tracks the sample's TRUE PAIR "
-    "count — 8.77x at 64x mutated data (SCALE_r07), same class as "
-    "minhash itself (6.15x); shrink the sample pct as the corpus grows "
-    "to hold the audit budget fixed. All comparisons are integer "
-    "(counts, min-hash equality), so the DuckDB oracle replays "
-    "bit-for-bit.",
+    "self-consistent); the production path stays dedup_minhash_lsh.",
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.operators.sampling import hash_bucket
 
     d = Catalog(spark, sf_dir)["documents"]
-    smp = d.where(hash_bucket(F.col("doc_id"), 100) < _AUDIT_SAMPLE_PCT)
+    # fixed-budget sample: bucket/10000 * N < budget — the corpus count
+    # enters as a 1-row broadcast scalar (the repo's allowlisted
+    # BNLJ-scalar pattern), so the sample FRACTION shrinks exactly as the
+    # corpus grows and the audited doc set stays ~_AUDIT_DOC_BUDGET.
+    n_frame = d.agg(F.count(F.lit(1)).alias("__n"))
+    smp = (
+        d.crossJoin(F.broadcast(n_frame))
+        .where(
+            hash_bucket(F.col("doc_id"), 10000) * F.col("__n")
+            < 10000 * _AUDIT_DOC_BUDGET
+        )
+        .drop("__n")
+    )
     base = shingle_hashes(smp, 3, "text", "doc_id")
     h0 = base.select("doc", F.explode("hashes").alias("h"))
     # stop-shingle cap (ngram_jaccard's df_cap convention): hashes carried
@@ -1681,10 +1709,30 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("s2"), F.col("s2.doc") == F.col("d2"))
         .withColumn("det", band_match)
     )
-    return flagged.groupBy("jbucket").agg(
+    agg = flagged.groupBy("jbucket").agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum("det").alias("n_detected"),
         F.expr("sum(det) * 1000000 div count(1)").alias("recall_ppm"),
+        (F.sum("det").cast("double") / F.count(F.lit(1)).cast("double")).alias("__p"),
+    )
+    # Wald 95% half-width in ppm: every operand is a double derived from
+    # the same integers on both engines, and /, *, sqrt are each exactly
+    # IEEE-rounded — bit-identical cross-engine, so the CI column is
+    # value-oracled, not advisory.
+    return agg.select(
+        "jbucket",
+        "n_true",
+        "n_detected",
+        "recall_ppm",
+        F.floor(
+            F.lit(1960000.0)
+            * F.sqrt(
+                F.col("__p") * (F.lit(1.0) - F.col("__p"))
+                / F.col("n_true").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("ci_halfwidth_ppm"),
     )
 
 

@@ -43,6 +43,7 @@ _NESTED_LOOP_OK = {
     "dedup_source_minhash_matrix",  # #sources-row signature self-join, dim-bounded
     "corpus_dsir_weights",  # raw/target feature-total scalars: 1-row broadcast cross join
     "corpus_dsir_weights_fast",  # same plan, xxHash64 family
+    "dedup_lsh_recall_audit",  # fixed-budget sample: 1-row corpus-count cross join
 }
 
 

@@ -78,6 +78,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     "from bm25_scores: 1-row broadcast crossJoin",
     ("graph_degree_assortativity", "bnlj"): "graph summary scalars: two "
     "1-row broadcast crossJoins",
+    ("dedup_lsh_recall_audit", "bnlj"): "fixed-budget sample fraction: "
+    "1-row corpus-count broadcast crossJoin (budget/N resolved in-plan)",
     ("graph_kcore_peel", "bnlj"): "per-round edge-count scalar: 1-row "
     "broadcast crossJoin per bounded peel round",
     ("retrieval_prf_expansion", "bnlj"): "corpus N/avgdl scalar inherited "
