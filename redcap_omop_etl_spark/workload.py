@@ -58,94 +58,38 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Queries surfaced first to the driver's (bounded, first ~50) per-round
-# correctness gate. Cumulative state entering round 5: all 192 queries
-# driver-checked at least once across rounds 1-4, latest result green for
-# every one. The rotation policy is now evidence-freshness: refactored
-# queries first, then oldest-evidence-first.
+# correctness gate. Cumulative state entering round 8: all 243 round-7
+# queries driver-checked at least once across rounds 1-7, latest result
+# green for every one; 3 queries are new this round. Rotation policy:
+# evidence-freshness — new queries, then anything whose oracle or plan
+# changed this round, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-7 rotation. Leads: the 3 third-wave queries (hashed-feature
-    # quality classifier, vocab OOV coverage, dedup survivorship), then
-    # the 7 never-driver-checked second-wave
-    # queries (span coverage/removal, DSIR weights, label outliers, LSH
-    # recall audit), then the 3 never-checked first-wave queries (capped
-    # containment, sample-based BPE learner, real-codec decode stats)
-    # plus the 7 whose plan changed this round (the two-phase
-    # keyed-window rewrites: quantile normalize, curriculum order,
-    # Pareto frontier, source caps, pipeline/chunk-prep packing,
-    # sequence packing). Then oldest-evidence-first: the 41 queries whose
-    # latest driver check is round 2, then the round-3 cohort (44), then
-    # rounds 4-6 — so the ~50-slot gate lands on the leads + most of the
-    # stalest (round-2) cohort.
-    "text_quality_classifier",
-    "text_quality_classifier_fast",
-    "corpus_vocab_coverage",
-    "dedup_survivorship",
-    "sampling_leakage_safe_split",
-    "conversation_turn_audit",
-    "dedup_span_coverage",
-    "dedup_span_removal",
-    "corpus_dsir_weights",
-    "corpus_dsir_weights_fast",
-    "embedding_label_outliers",
+    # -- round-8 rotation. Leads: the 3 new round-8 queries (bounded
+    # minhash cluster table + the two capped cluster compositions), then
+    # the 13 whose oracle or plan changed this round (budgeted LSH
+    # recall audit + CI column; uncapped-vocab BPE registration; n>1
+    # dispersion guard; conversation audit epoch pin; the two queries
+    # rebuilt on the factored minhash/ppjoin SQL fragments; the 7
+    # keyed-offsets call sites whose ranged frame is now structurally
+    # persisted). Then the full round-3 stale cohort (40 after
+    # deduplication), then the round-4 cohort — the ~50-slot gate lands
+    # on leads + most of the r3 cohort; the remainder tops round 9.
+    "dedup_minhash_clusters",
+    "dedup_survivorship_capped",
+    "sampling_leakage_safe_split_capped",
     "dedup_lsh_recall_audit",
-    "corpus_span_source_matrix",
-    "dq_k_anonymity",
-    "dedup_containment_capped",
-    "corpus_token_budget_cut",
-    "embedding_label_dispersion",
-    "corpus_epoch_shuffle",
-    "dedup_source_minhash_matrix",
-    "corpus_packing_efficiency",
     "bpe_learn_sampled",
-    "multimodal_decode_stats",
+    "embedding_label_dispersion",
+    "conversation_turn_audit",
+    "dedup_minhash_lsh",
+    "dedup_prefix_jaccard_capped",
     "curation_quantile_normalize",
     "curation_curriculum_order",
-    "curation_pareto_frontier",
-    "corpus_source_caps",
-    "corpus_pipeline_full",
-    "chunk_prep_pipeline",
     "sequence_packing",
-    "date_anchor_shift",
-    "dedup_first_seen",
-    "event_disorder_stats",
-    "funnel_steps",
-    "join_asof",
-    "join_range_bands",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_avg",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_by_year",
-    "q8_market_share",
-    "q9_product_profit",
-    "revenue_share_window",
-    "rfm_segmentation",
-    "scd2_history",
-    "session_paths",
-    "sort_paginate",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "timeseries_gapfill",
-    "window_forward_fill",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_agg",
-    "window_topk_per_group",
+    "corpus_pipeline_full",
+    "corpus_packing_efficiency",
+    "corpus_token_budget_cut",
+    "chunk_prep_pipeline",
     "agg_argminmax_bitops",
     "agg_boolean_suite",
     "agg_histogram",
@@ -153,7 +97,6 @@ _PRIORITY = [
     "array_hof_suite",
     "corpus_mixture",
     "counter_deltas",
-    "dedup_minhash_lsh",
     "dedup_semantic_clusters",
     "dedup_simhash",
     "dq_expectations",
@@ -226,99 +169,6 @@ _PRIORITY = [
     "ts_ols_trend",
     "udtf_sessionize_tvf",
     "window_sliding_distinct",
-    "agg_cube",
-    "agg_distinct_keys",
-    "agg_rollup",
-    "arrow_grouped_scale",
-    "bpe_encode_counts",
-    "bpe_learn_merges",
-    "bpe_pair_counts",
-    "case_dispatch",
-    "checkbox_explode_outer",
-    "checkbox_to_array",
-    "corpus_ngram_novelty",
-    "curation_rep_selection",
-    "curation_winsorized_stats",
-    "date_calendar_suite",
-    "date_granularities",
-    "date_shift_constant",
-    "date_total_seconds",
-    "decontaminate_overlap",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_winnow",
-    "docs_prep_pipeline",
-    "dq_benford_audit",
-    "dq_referential_integrity",
-    "eav_pivot_roundtrip",
-    "eav_unpivot",
-    "embedding_norm_arrow",
-    "fuzzy_blocked_levenshtein",
-    "graph_degree_assortativity",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    "join_anti",
-    "join_bloom_prune",
-    "retrieval_prf_expansion",
-    "similarity_hard_negatives",
-    "sql_api_parameterized",
-    "sql_api_pipe_syntax",
-    "stream_two_level_rollup",
-    "text_collocation_pmi",
-    "text_lang_confusion",
-    "text_readability",
-    "ts_cross_correlation",
-    "ts_seasonal_strength",
-    "agg_grouping_sets",
-    "agg_median_quantiles",
-    "agg_moments",
-    "agg_observe_counts",
-    "anomaly_zscore",
-    "basket_pair_counts",
-    "cohort_retention",
-    "dedup_prefix_jaccard",
-    "dedup_prefix_jaccard_capped",
-    "embedding_matryoshka_audit",
-    "embedding_pq_audit",
-    "graph_clustering_coefficient",
-    "graph_link_prediction",
-    "join_asof_tolerance",
-    "join_broadcast_lookup",
-    "join_key_overlap",
-    "join_merge_update",
-    "join_semi",
-    "json_extract_props",
-    "map_functions_suite",
-    "multimodal_featurize",
-    "pivot_event_values",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "retrieval_ndcg_eval",
-    "retrieval_zipf_fit",
-    "sampling_group_kfold",
-    "sampling_poisson_bootstrap",
-    "setop_except",
-    "setop_intersect",
-    "similarity_mmr_rerank",
-    "sink_chunk_assignment",
-    "sink_json_map_export",
-    "snapshot_diff_counts",
-    "sql_api_group_by_all",
-    "sql_api_revenue_rank",
-    "string_suite",
-    "text_bigram_logprob",
-    "text_chunk_structured",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "text_winnow_fingerprint",
-    "union_chunks",
 ]
 
 
