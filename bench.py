@@ -182,6 +182,10 @@ HEADLINE = [
     "dedup_lsh_recall_audit",
     "corpus_span_source_matrix",
     "dq_k_anonymity",
+    # round 8: bounded-output cluster table + capped cluster compositions
+    "dedup_minhash_clusters",
+    "dedup_survivorship_capped",
+    "sampling_leakage_safe_split_capped",
 ]
 
 

@@ -46,7 +46,7 @@ from redcap_omop_etl_spark.workload import register
 
 
 def connected_components(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 30
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -54,47 +54,92 @@ def connected_components(
     id reachable from ``node``. Nodes are whatever appears in the edge
     list (isolated nodes don't appear — callers union them in if needed).
 
-    Scale: each iteration is one edge join + one min-agg — both shuffle on
-    the node key, so rounds are linear in |E|; no collect, no driver-side
-    graph. ``localCheckpoint`` after each round keeps the plan O(1) deep.
-    """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.localCheckpoint(eager=True)
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    the same scheme GraphFrames ships): each round rewires every node
+    toward its neighborhood minimum, provably converging to one star per
+    component in O(log² n) rounds (O(log n) observed). Round 8 replaced
+    the earlier min-label propagation, whose round count is the graph
+    DIAMETER: on 64× mutated-replica corpora, near-dup clusters form
+    long chains (adjacent replicas collide, distant ones don't) and the
+    propagation hit its 25-round cap WITHOUT converging — a silent-
+    wrong-labels failure mode at scale, caught by the round-8 stress
+    diagnosis (nd64: propagation 25+ rounds/48 s vs contraction
+    converging in a handful). Large-star/small-star contracts chain
+    diameter exponentially instead of walking it.
 
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    Scale: each half-round is one groupBy-min over edge endpoints + one
+    post-shuffle-free rewire join — linear in |E|; no collect, no
+    driver-side graph. ``localCheckpoint`` per round keeps the plan O(1)
+    deep. Convergence is a fixpoint of the edge set, detected by an
+    order-free (count, xxhash64-sum) signature; exhausting ``max_iter``
+    RAISES instead of returning unconverged labels.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    if not e.take(1):
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
+    def _signature(frame: DataFrame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: summing raw 64-bit hashes
+            # overflows long under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = _signature(e)
     for _ in range(max_iter):
-        # neighbor labels: for each edge a→b, b's current label flows to a;
-        # min over neighbors, then least() with own label. Folding the
-        # changed flag into the same projection means convergence detection
-        # is a filter-count over the just-checkpointed partitions — no
-        # separate old-vs-new join job per round.
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nlabel"), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("nlabel").alias("nmin"))
+        # LARGE-STAR: center a over ALL neighbors b (both directions);
+        # every strictly-greater neighbor rewires to the center's
+        # neighborhood min. Output edges all point larger -> smaller.
+        nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("__chg"),
-            )
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least("mb", F.col("a")).alias("m"))
+        large = (
+            nbrs.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: key by the larger endpoint; it and all its (smaller)
+        # neighbors rewire to the neighborhood min.
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
             break
-    return labels.select("node", F.col("label").alias("component"))
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iter} "
+            "star-contraction rounds"
+        )
+    # At the fixpoint the edge set is a union of stars (u -> component
+    # min); roots appear only on the v side and label themselves.
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    )
 
 
 def components_sql_cte(edges: str = "edges") -> str:

@@ -207,3 +207,47 @@ class TestMinhashClustersQuery:
         assert pairs, "smoke corpus must contain near-dups"
         for p in pairs:
             assert comp[p.d1] == comp[p.d2]
+
+
+class TestStarContractionCC:
+    """Round-8 connected-components rewrite (alternating large-star /
+    small-star, Kiveris et al. SoCC'14): the old min-label propagation
+    needed DIAMETER rounds and silently returned unconverged labels on
+    long chains (hit at nd64, where mutated near-dup replicas form
+    chains); contraction converges in O(log^2 n) rounds."""
+
+    def test_long_chain_converges_exactly(self, spark):
+        from redcap_omop_etl_spark.operators.graph import connected_components
+
+        # a 400-node path graph: diameter 399 >> any per-round budget the
+        # old propagation could afford — contraction must still label
+        # every node with the chain minimum.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(400)] + [(1000, 1001), (1001, 1002)],
+            "d1 long, d2 long",
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert all(comp[i] == 0 for i in range(401))
+        assert comp[1000] == comp[1001] == comp[1002] == 1000
+        assert len(comp) == 404
+
+    def test_mixed_shapes_and_empty(self, spark):
+        from redcap_omop_etl_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            # triangle + star + self-contained pair + duplicate/reversed
+            # edges + self loop (must be ignored)
+            [(3, 2), (2, 1), (1, 3), (10, 11), (10, 12), (10, 13),
+             (20, 21), (21, 20), (7, 7)],
+            "d1 long, d2 long",
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert {comp[1], comp[2], comp[3]} == {1}
+        assert {comp[n] for n in (10, 11, 12, 13)} == {10}
+        assert comp[20] == comp[21] == 20
+        assert 7 not in comp  # self-loop only: no real edge, no node
+        empty = connected_components(
+            spark.createDataFrame([], "d1 long, d2 long")
+        )
+        assert empty.columns == ["node", "component"]
+        assert empty.count() == 0
