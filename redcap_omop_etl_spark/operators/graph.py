@@ -75,17 +75,33 @@ def connected_components(
     order-free (count, xxhash64-sum) signature; exhausting ``max_iter``
     RAISES instead of returning unconverged labels.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # a node appearing ONLY in self-loops is still a node of the graph —
+    # a singleton component (the pre-round-8 propagation semantics,
+    # pinned by the hypothesis property test)
+    selfloops = (
+        raw.filter(F.col("u") == F.col("v")).select(F.col("u").alias("n")).distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _with_singletons(comp: DataFrame) -> DataFrame:
+        lone = selfloops.join(
+            comp.select(F.col("node").alias("n")), "n", "left_anti"
+        )
+        return comp.unionByName(
+            lone.select(F.col("n").alias("node"), F.col("n").alias("component"))
+        )
+
     if not e.take(1):
-        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        empty = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        return _with_singletons(empty)
 
     def _signature(frame: DataFrame):
         row = frame.agg(
@@ -137,9 +153,10 @@ def connected_components(
         )
     # At the fixpoint the edge set is a union of stars (u -> component
     # min); roots appear only on the v side and label themselves.
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     )
+    return _with_singletons(comp)
 
 
 def components_sql_cte(edges: str = "edges") -> str:

@@ -245,7 +245,7 @@ class TestStarContractionCC:
         assert {comp[1], comp[2], comp[3]} == {1}
         assert {comp[n] for n in (10, 11, 12, 13)} == {10}
         assert comp[20] == comp[21] == 20
-        assert 7 not in comp  # self-loop only: no real edge, no node
+        assert comp[7] == 7  # self-loop-only node: a singleton component
         empty = connected_components(
             spark.createDataFrame([], "d1 long, d2 long")
         )
