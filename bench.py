@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
+    "sampling_poisson_bootstrap_fast",
 ]
 
 

@@ -77,6 +77,8 @@ _PRIORITY = [
     "dedup_minhash_clusters",
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
+    "sampling_poisson_bootstrap",
+    "sampling_poisson_bootstrap_fast",
     "dedup_lsh_recall_audit",
     "bpe_learn_sampled",
     "embedding_label_dispersion",
