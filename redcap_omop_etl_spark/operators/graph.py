@@ -5,17 +5,19 @@ similarity.py) emits *pairs*; the deliverable a 100 TB dedup pipeline
 needs is *clusters* — pick one representative per group of transitively
 connected duplicates. That is connected components over the pair graph.
 
-Spark-first formulation: iterative min-label propagation as a driver loop
-over DataFrame joins (the standard large-graph pattern, same shape as
-GraphX/GraphFrames' implementation):
+Spark-first formulation: alternating large-star / small-star contraction
+as a driver loop over DataFrame joins (Kiveris et al., SoCC'14 — the
+scheme GraphFrames ships):
 
-- state is ``(node, label)``, label starts as the node id;
-- each round every node takes the min label among itself and its
-  neighbors (one shuffle per round: join on edges + groupBy min);
-- stop when no label changed (an ``observe``-style count, one action).
+- each round rewires every node toward its neighborhood minimum
+  (large-star: greater neighbors to the min; small-star: smaller
+  neighbors and the center to the min);
+- the edge set converges to one star per component in O(log² n) rounds
+  (O(log n) observed), detected as a fixpoint of the edge set.
 
-Convergence needs O(diameter) rounds; near-dup graphs are overwhelmingly
-tiny cliques + chains, so 3-5 rounds. Each round's result is
+Round 8 replaced min-label propagation, which needs O(diameter) rounds:
+on mutated-replica corpora near-dup clusters form CHAINS and the
+propagation hit its round cap without converging. Each round's result is
 ``localCheckpoint``-ed to truncate lineage — without it the plan doubles
 every round and Catalyst analysis dominates (the classic iterative-Spark
 pitfall).
@@ -211,7 +213,7 @@ _DOC_COMPONENTS_SQL = f"""edges AS (
     SELECT node, component FROM comp
     """,
     doc="Iterative connected components over near-dup pairs → duplicate "
-    "clusters (min-label propagation; oracle = recursive-CTE closure). "
+    "clusters (large-star/small-star contraction; oracle = recursive-CTE closure). "
     "The pair input runs with the stop-shingle guard ON (df_cap=100, "
     "mirrored in the oracle) so the candidate join is never quadratic "
     "on boilerplate shingles.",
@@ -922,8 +924,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster keep the canonical document (longest text, ties by doc_id) "
     "and report the per-source reduction (members, dropped docs, chars "
     "removed). Plan: pair gen reuses the stop-shingle-guarded Jaccard "
-    "join, components are the iterative min-label propagation (1 "
-    "shuffle/round, checkpoint-bounded), the survivor per cluster is one "
+    "join, components are the star-contraction loop (checkpoint-"
+    "bounded, O(log n) rounds), the survivor per cluster is one "
     "max-struct aggregate over the cluster-member table, and the "
     "per-source rollup left-joins those cluster tables against the doc "
     "stream UNHINTED (AQE broadcasts while dup volume is small; "
@@ -1135,7 +1137,7 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SCALE_r07: 111x). Plan: MinHash band table (docs x 16 bands, zero "
     "pair enumeration) -> per-bucket STAR edges (every member linked to "
     "the bucket's min doc: same connected components as the full bucket "
-    "clique at <= docs x bands edges) -> iterative min-label components "
+    "clique at <= docs x bands edges) -> star-contraction components "
     "-> left join onto the doc stream. Cluster membership is transitive "
     "bucket co-occurrence with NO verify step (the RefinedWeb/"
     "SlimPajama-style production trade; false-positive mass follows the "
@@ -1270,7 +1272,7 @@ def _doc_capped_clusters(spark: SparkSession, sf_dir: str):
     "ties by doc_id) survives; output adds n_overflow per source so "
     "every run AUDITS how much of the corpus took the probabilistic "
     "channel. All stages linear: capped candidates by construction, "
-    "star edges <= overflow x bands, one min-label propagation, one "
+    "star edges <= overflow x bands, one star-contraction loop, one "
     "rollup; the member/survivor/overflow tables join the doc stream "
     "unhinted (AQE broadcasts while small, degrades to shuffle joins on "
     "dup-dense corpora). Oracle = the composed capped fragment + "

@@ -429,8 +429,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected components (transitive duplicate groups) → per-cluster "
     "summary joined back to the documents table (members, kept "
     "representative = min id, total chars). The full 100 TB shape: "
-    "banded candidate generation, exact verify, iterative min-label "
-    "propagation, then one broadcast-friendly join to doc metadata.",
+    "banded candidate generation, exact verify, star-contraction "
+    "components, then one broadcast-friendly join to doc metadata.",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.operators.graph import connected_components
