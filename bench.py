@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
     "sampling_poisson_bootstrap_fast",
+    "corpus_soft_dedup_weights",
 ]
 
 

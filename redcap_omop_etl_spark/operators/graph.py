@@ -1450,3 +1450,64 @@ def sampling_leakage_safe_split_capped(spark: SparkSession, sf_dir: str) -> Data
             F.coalesce(F.col("gxc"), F.lit(0)).cast("long").alias("grouped_cross_pairs"),
         )
     )
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    f"""
+    WITH {shingle_sql_cte()},
+    {minhash_banded_sql_cte()},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), sized AS (
+      SELECT doc_id, source, cluster_rep,
+             count(*) OVER (PARTITION BY cluster_rep) AS csz
+      FROM percol
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT cluster_rep)::BIGINT AS n_clusters,
+           sum(1000000 // csz)::BIGINT AS effective_docs_ppm
+    FROM sized GROUP BY source
+    """,
+    doc="Soft deduplication (down-weight, don't drop): each document "
+    "gets training weight 1/cluster_size over the MinHash star-edge "
+    "cluster table — the standard alternative to hard dedup when "
+    "duplicates carry signal (a doc appearing k times contributes once "
+    "in aggregate) — and the per-source rollup reports the EFFECTIVE "
+    "corpus size that weighting yields (sum of weights, in exact "
+    "integer ppm: 1e6 div cluster_size sums order-free, so the value "
+    "is engine-portable where a float weight sum would drift with "
+    "accumulation order). n_docs vs n_clusters vs effective_docs_ppm "
+    "is the mixture-planning triple: raw mass, hard-dedup mass, "
+    "soft-dedup mass per source. Plan: reuses the bounded star-edge + "
+    "contraction cluster pipeline (nothing pair-sized), one window "
+    "count on the high-cardinality cluster_rep key, one hash agg.",
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    edges = minhash_star_edges(docs)
+    comp = connected_components(edges)
+    percol = (
+        docs.select("doc_id", "source")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+        )
+    )
+    sized = percol.withColumn(
+        "csz", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_rep").cast("long").alias("n_clusters"),
+        F.sum(F.expr("1000000 div csz")).cast("long").alias("effective_docs_ppm"),
+    )

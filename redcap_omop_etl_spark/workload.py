@@ -64,19 +64,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-8 rotation. Leads: the 3 new round-8 queries (bounded
-    # minhash cluster table + the two capped cluster compositions), then
-    # the 13 whose oracle or plan changed this round (budgeted LSH
-    # recall audit + CI column; uncapped-vocab BPE registration; n>1
-    # dispersion guard; conversation audit epoch pin; the two queries
-    # rebuilt on the factored minhash/ppjoin SQL fragments; the 7
-    # keyed-offsets call sites whose ranged frame is now structurally
-    # persisted). Then the full round-3 stale cohort (40 after
-    # deduplication), then the round-4 cohort — the ~50-slot gate lands
-    # on leads + most of the r3 cohort; the remainder tops round 9.
+    # -- round-8 rotation. Leads: the new round-8 queries (bounded
+    # minhash cluster table, the two capped cluster compositions,
+    # soft-dedup weights, the bootstrap xxHash64 twin), then everything
+    # whose oracle or plan changed this round (budgeted LSH recall audit
+    # + CI column; uncapped-vocab BPE registration; n>1 dispersion
+    # guard; conversation audit epoch pin; the two queries rebuilt on
+    # the factored minhash/ppjoin SQL fragments; the keyed-offsets call
+    # sites whose ranged frame is now structurally persisted; every
+    # cluster consumer inherits the star-contraction CC). Then the full
+    # round-3 stale cohort, then the round-4 cohort — the ~50-slot gate
+    # lands on leads + most of the r3 cohort; the remainder tops round 9.
     "dedup_minhash_clusters",
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
+    "corpus_soft_dedup_weights",
     "sampling_poisson_bootstrap",
     "sampling_poisson_bootstrap_fast",
     "dedup_lsh_recall_audit",
