@@ -110,11 +110,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("dedup_source_minhash_matrix", "bnlj"): "source-signature pair "
     "matrix: a #sources-row aggregate self-joined under a < predicate — "
     "both sides bounded by the source DIMENSION, never by data",
-    ("corpus_packing_efficiency", "global-window"): "the naive strategy's "
-    "keyed_running_sum runs on a CONSTANT key, so Catalyst folds the "
-    "partition spec away in the OFFSETS window — which runs over the "
-    "#partitions-row summary frame (bounded by partition count, never "
-    "data); the data-sized prefix window stays partitioned by __pid",
+    # NOTE (round 8): corpus_packing_efficiency's constant-key offsets
+    # window no longer folds its partition spec away — the structurally
+    # persisted ranged frame puts an InMemoryRelation between the
+    # constant and the window, so the spec keeps the (opaque) __one
+    # column and the global-window flag stopped firing. Entry removed by
+    # the stale-allowlist lint.
 }
 
 
