@@ -188,6 +188,7 @@ HEADLINE = [
     "sampling_leakage_safe_split_capped",
     "sampling_poisson_bootstrap_fast",
     "corpus_soft_dedup_weights",
+    "stream_minhash_dedup",
 ]
 
 

@@ -609,6 +609,25 @@ def minhash_star_edges(
     )
 
 
+def near_dup_signature(
+    text: Column, num_hashes: int = 64, n: int = 3
+) -> Column:
+    """Full MinHash signature as one deterministic string — the
+    near-exact-duplicate KEY (two docs share it iff every one of the
+    ``num_hashes`` permutation minima agrees, i.e. their shingle sets are
+    near-identical). Stateless per row (zero shuffle), so it works as a
+    streaming dedup key; DuckDB replays it as
+    ``string_agg(sig::VARCHAR, '_' ORDER BY i)`` over the shared banded-
+    minhash fragment's ``sigs`` CTE."""
+    hashed = F.array_distinct(
+        F.transform(shingles(text, n), lambda s: portable_hash60(s) % _MERSENNE_P)
+    )
+    return F.concat_ws(
+        "_",
+        F.transform(_minhash_sig(hashed, num_hashes), lambda x: x.cast("string")),
+    )
+
+
 def minhash_banded_sql_cte(
     num_hashes: int = 64,
     bands: int = 16,

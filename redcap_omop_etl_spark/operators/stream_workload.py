@@ -183,3 +183,37 @@ def stream_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.streaming.windows import two_level_rollup
 
     return two_level_rollup(Catalog(spark, sf_dir)["events"])
+
+
+def _near_dup_sig_oracle() -> str:
+    from redcap_omop_etl_spark.operators.dedup import (
+        minhash_banded_sql_cte,
+        shingle_sql_cte,
+    )
+
+    return f"""
+    WITH {shingle_sql_cte()}, {minhash_banded_sql_cte()}
+    SELECT DISTINCT string_agg(sig::VARCHAR, '_' ORDER BY i) AS sig_fp
+    FROM sigs GROUP BY doc
+    """
+
+
+@register(
+    "stream_minhash_dedup",
+    _near_dup_sig_oracle(),
+    doc="Streaming §2.9 x dedup: NEAR-duplicate ingest gate — drop "
+    "documents whose full 64-permutation MinHash signature was already "
+    "admitted within the watermark horizon (the online form of "
+    "near-exact dedup a crawl pipeline runs per shard). The signature "
+    "is stateless per row, so the only stateful operator is bounded-"
+    "state dropDuplicatesWithinWatermark on the signature key; batch "
+    "form keeps the deterministic kept-KEY projection (which row "
+    "survives is arrival-dependent) so the admitted-signature set is "
+    "oracle-comparable — DuckDB replays the signature via the shared "
+    "banded-minhash fragment. Stream ≡ batch pinned in "
+    "tests/test_streaming.py.",
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import stream_near_dup_gate
+
+    return stream_near_dup_gate(Catalog(spark, sf_dir)["documents"]).select("sig_fp")

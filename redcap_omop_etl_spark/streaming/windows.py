@@ -39,6 +39,50 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The documents parquet as a file-source stream — the ingest shape of
+    a crawl/corpus pipeline (new shards land as files)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(f"{sf_dir}/documents.parque[t]")
+
+
+def stream_near_dup_gate(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming NEAR-duplicate ingest gate: drop incoming documents whose
+    full MinHash signature was already admitted within the watermark
+    horizon — the online form of the batch near-exact dedup a crawl
+    pipeline runs per shard (catches boilerplate re-crawls and mirrored
+    pages whose bytes differ but shingle sets don't).
+
+    The signature is computed statelessly per row (zero shuffle; the
+    64-permutation fold runs inside the projection), so the only stateful
+    operator is ``dropDuplicatesWithinWatermark`` on the signature key —
+    bounded state, exactly like the exact-key ``stream_dedup``. Documents
+    carry no event time in this corpus, so ingest time derives
+    deterministically from ``doc_id`` (``timestamp_seconds``) — swap in
+    the real ingest timestamp in production; the gate's plan is
+    unchanged. Batch fallback: ``dropDuplicates`` on the same key (which
+    row survives is arrival-dependent in stream mode, so equivalence is
+    asserted on the KEPT KEY SET — the ``stream_watermark_dedup``
+    contract)."""
+    from redcap_omop_etl_spark.operators.dedup import near_dup_signature
+
+    src = docs.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id"))
+    ).withColumn("sig_fp", near_dup_signature(F.col("text"), num_hashes, n))
+    if docs.isStreaming:
+        return src.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+            ["sig_fp"]
+        )
+    return src.dropDuplicates(["sig_fp"])
+
+
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time windows with watermark-bounded state."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events

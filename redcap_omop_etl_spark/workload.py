@@ -79,6 +79,7 @@ _PRIORITY = [
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
     "corpus_soft_dedup_weights",
+    "stream_minhash_dedup",
     "sampling_poisson_bootstrap",
     "sampling_poisson_bootstrap_fast",
     "dedup_lsh_recall_audit",

@@ -563,3 +563,44 @@ class TestCrashRestartRecovery:
             if datetime.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") < horizon
         }
         assert finalized <= s
+
+
+class TestNearDupGate:
+    def test_stream_equals_batch_on_kept_signature_set(self, spark):
+        # round 8: the streaming near-dup ingest gate must admit exactly
+        # the batch-distinct signature set (which ROW survives per
+        # signature is arrival-dependent — same contract as the exact-key
+        # watermark dedup above).
+        batch_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        stream_docs = sw.read_documents_stream(spark, SF_SMOKE)
+        b = {r.sig_fp for r in sw.stream_near_dup_gate(batch_docs).collect()}
+        s_df = _run_stream_to_memory(
+            spark, sw.stream_near_dup_gate(stream_docs), "t_ndgate", "append"
+        )
+        s = {r.sig_fp for r in s_df.collect()}
+        assert s == b
+        # the gate must actually gate: exact duplicates of text collapse
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        assert len(b) <= docs.count()
+
+    def test_signature_collapses_near_exact_dups(self, spark):
+        from redcap_omop_etl_spark.operators.dedup import near_dup_signature
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                # identical shingle set, different whitespace/case
+                (2, "  Alpha beta GAMMA delta epsilon zeta eta theta "),
+                (3, "totally different words in this other document here"),
+            ],
+            "doc_id long, text string",
+        )
+        sigs = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", near_dup_signature(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
