@@ -1114,6 +1114,23 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Materialized-view memo for the MinHash star-edge component table — the
+# shared prefix of dedup_minhash_clusters and corpus_soft_dedup_weights
+# (same discipline as _doc_near_dup_clusters: a production deployment
+# materializes the per-corpus cluster table once, not once per consumer).
+_MINHASH_COMP_MEMO: dict = register_memo({})
+
+
+def _minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MINHASH_COMP_MEMO:
+        return _MINHASH_COMP_MEMO[key]
+    docs = Catalog(spark, sf_dir)["documents"]
+    comp = connected_components(minhash_star_edges(docs)).localCheckpoint(eager=True)
+    _MINHASH_COMP_MEMO[key] = comp
+    return comp
+
+
 @register(
     "dedup_minhash_clusters",
     f"""
@@ -1151,8 +1168,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = Catalog(spark, sf_dir)["documents"]
-    edges = minhash_star_edges(docs)
-    comp = connected_components(edges)
+    comp = _minhash_components(spark, sf_dir)
     percol = (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -1492,8 +1508,7 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = Catalog(spark, sf_dir)["documents"]
-    edges = minhash_star_edges(docs)
-    comp = connected_components(edges)
+    comp = _minhash_components(spark, sf_dir)
     percol = (
         docs.select("doc_id", "source")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
