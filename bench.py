@@ -189,6 +189,9 @@ HEADLINE = [
     "sampling_poisson_bootstrap_fast",
     "corpus_soft_dedup_weights",
     "stream_minhash_dedup",
+    # round 8 continuation: SemDeDup embedding pruning + IVF-PQ ADC search
+    "dedup_semdedup",
+    "similarity_ivf_pq_adc",
 ]
 
 

@@ -580,15 +580,17 @@ def ivf_topk(
     return topk.withColumn("rank", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc(id_col))))
 
 
-def _ann_ivf_oracle_sql(
-    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
-) -> str:
-    """DuckDB mirror of ``ivf_build`` + ``ivf_topk``: the k-means loop is
-    fully deterministic (lowest-id init, argmin tie-break on cluster id,
-    fixed iteration count, no RNG), so the oracle unrolls the same
-    ``n_iters`` assign/update rounds over long-form (id, dim, val)
-    tables, picks the same ``n_probes`` cells nearest the query, and
-    ranks candidates by the same rounded exact cosine."""
+def _kmeans_cte(n_clusters: int, n_iters: int) -> tuple[str, str]:
+    """Shared DuckDB fragment mirroring ``ivf_build``'s deterministic
+    k-means (lowest-id init, argmin tie-break on cluster id, fixed
+    iteration count, no RNG): unrolls ``n_iters`` assign/update rounds
+    over long-form (id, dim, val) tables and finishes with the final
+    assignment table ``afinal(id, cluster)``. Returns ``(fragment,
+    final_centroid_cte)`` — the fragment is a comma-terminated CTE list
+    defining ``e``, ``el``, ``cl0..clN`` and ``afinal``, so every
+    consumer (``similarity_ann_ivf``, ``dedup_semdedup``,
+    ``similarity_ivf_pq_adc``) provably oracles the IDENTICAL
+    clustering that the Spark side memoizes once per (session, corpus)."""
     cl = "cl0"
     rounds = []
     for i in range(1, n_iters + 1):
@@ -610,8 +612,8 @@ def _ann_ivf_oracle_sql(
       GROUP BY a{i}.cluster, el.dim
     )""")
         cl = f"cl{i}"
-    return f"""
-    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    fragment = f"""
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
     el AS (
       SELECT id, u.i AS dim, v[u.i] AS val
       FROM e, LATERAL unnest(range(1, len(v) + 1)) u(i)
@@ -632,7 +634,20 @@ def _ann_ivf_oracle_sql(
                  ORDER BY sum((el.val - {cl}.cval) ^ 2), {cl}.cluster) AS rn
         FROM el JOIN {cl} ON el.dim = {cl}.dim
         GROUP BY el.id, {cl}.cluster) WHERE rn = 1
-    ),
+    ),"""
+    return fragment, cl
+
+
+def _ann_ivf_oracle_sql(
+    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+) -> str:
+    """DuckDB mirror of ``ivf_build`` + ``ivf_topk``: the k-means loop is
+    fully deterministic (see ``_kmeans_cte``), so the oracle unrolls the
+    same rounds, picks the same ``n_probes`` cells nearest the query, and
+    ranks candidates by the same rounded exact cosine."""
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}
     probes AS (
       SELECT {cl}.cluster
       FROM {cl} JOIN el q ON q.id = 0 AND q.dim = {cl}.dim
@@ -673,6 +688,139 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in qrow[0]]
     assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
     return ivf_topk(emb, assignments, centroids, qv, k=10, n_probes=4)
+
+
+SEMDEDUP_TAU = 0.30  # isotropic synthetic vectors: max pairwise cosine
+# at sf0.01 is 0.51, so a production threshold (~0.95) would never fire;
+# 0.30 exercises the prune path. The knob is a parameter of
+# semdedup_flags; only the registered query pins 0.30.
+SEMDEDUP_ANCHORS = 16
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    n_anchors: int = SEMDEDUP_ANCHORS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a bounded
+    anchor set: semantic dedup prunes documents whose EMBEDDING is
+    near-identical to an earlier document's, using k-means cells to
+    avoid the corpus-wide pairwise cosine.
+
+    Semantics (deterministic, earliest-id survives): within each k-means
+    cell, the ``n_anchors`` lowest-id members are the cell's anchors; a
+    member is pruned iff some anchor with a STRICTLY LOWER id has
+    cosine ≥ ``tau`` to it. The lowest-id member of any near-dup group
+    is never pruned (no anchor precedes it), so every group keeps ≥1
+    survivor — same first-seen survivorship contract as the token-level
+    dedup family (reference semantics: first-occurrence-wins,
+    /root/reference/dcc_transforms.py:249-255, lifted to embedding
+    space).
+
+    Scale shape: the corpus is NEVER self-joined. Anchors come from
+    ``keyed_topk`` (two-phase, parallelism bounded by partition count);
+    the anchor table is ≤ n_clusters × n_anchors rows — fixed by
+    PARAMETERS, not by corpus size — so it is explicitly
+    ``broadcast()`` per the join-strategy policy (DEPLOY.md: only
+    fixed-cardinality sides carry hints). Each member row then does ≤
+    n_anchors JVM-side cosines: one scan, linear in the corpus. The cap
+    is honest: a dup group whose survivor is not among its cell's
+    anchors is missed, exactly the recall/cost dial the capped
+    containment/PPJoin family documents; `n_anchors` plays the role of
+    the candidate cap, and production SemDeDup scales n_clusters with
+    the corpus so cells (and anchor coverage) stay constant-sized.
+    """
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    members = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).join(assignments.select(F.col(id_col).alias("vec_id"), "cluster"), "vec_id")
+    anchors = keyed_topk(
+        members, ["cluster"], [F.col("vec_id").asc()], k=n_anchors
+    ).select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("__v").alias("a_v"),
+    )
+    dup_hits = (
+        members.join(F.broadcast(anchors), "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= tau)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    return (
+        members.join(dup_hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+            F.col("n_dup_anchors").isNull().alias("is_kept"),
+        )
+    )
+
+
+def _semdedup_oracle_sql(
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    tau: float = SEMDEDUP_TAU,
+    n_anchors: int = SEMDEDUP_ANCHORS,
+) -> str:
+    kmeans, _cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}
+    members AS (
+      SELECT e.id, afinal.cluster, e.v FROM e JOIN afinal ON e.id = afinal.id
+    ),
+    anchors AS (
+      SELECT id AS a_id, cluster, v AS a_v FROM (
+        SELECT id, cluster, v,
+               row_number() OVER (PARTITION BY cluster ORDER BY id) AS rk
+        FROM members) WHERE rk <= {n_anchors}
+    ),
+    dup_hits AS (
+      SELECT m.id, count(*) AS n_dup_anchors
+      FROM members m JOIN anchors a
+        ON m.cluster = a.cluster AND a.a_id < m.id
+      WHERE round(list_dot_product(m.v, a.a_v)
+                  / (sqrt(list_dot_product(m.v, m.v))
+                     * sqrt(list_dot_product(a.a_v, a.a_v))), 4) >= {tau}
+      GROUP BY m.id
+    )
+    SELECT m.id AS vec_id, m.cluster::BIGINT AS cluster,
+           coalesce(d.n_dup_anchors, 0)::BIGINT AS n_dup_anchors,
+           d.id IS NULL AS is_kept
+    FROM members m LEFT JOIN dup_hits d ON m.id = d.id
+    """
+
+
+@register(
+    "dedup_semdedup",
+    _semdedup_oracle_sql(),
+    doc="SemDeDup semantic pruning (Abbas et al. 2023): k-means cells "
+    "(the SAME memoized deterministic ivf_build clustering that "
+    "similarity_ann_ivf queries — one training per session+corpus), "
+    "then within each cell every member is compared against the cell's "
+    "16 lowest-id ANCHOR members only; a member is pruned iff an "
+    "earlier-id anchor has cosine ≥ 0.30 (threshold chosen for the "
+    "isotropic synthetic vectors; production ≈0.95). Output is "
+    "corpus-sized per-doc keep flags, never a pair stream. Scale: no "
+    "corpus self-join anywhere — anchors are a parameter-bounded "
+    "(clusters × 16) broadcast from the two-phase keyed_topk, each row "
+    "does ≤16 codegen'd cosines, and the k-means recurrence shuffles "
+    "(cluster, dim, value) triples only. The anchor cap is the "
+    "recall/cost dial (same contract as capped containment/PPJoin); "
+    "the full unrolled k-means is value-oracled in DuckDB via the "
+    "shared _kmeans_cte fragment.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    assignments, _centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    return semdedup_flags(emb, assignments)
 
 
 @register(
@@ -817,20 +965,28 @@ PQ_SUBDIM = 8  # 64-dim embeddings -> 8 subspaces x 8 dims
 PQ_CODEWORDS = 4
 
 
-def _pq_oracle_sql() -> str:
+def _pq_sl(col: str, s: str) -> str:
+    """DuckDB 1-based subvector slice for subspace expression ``s``."""
+    return f"{col}[{s} * {PQ_SUBDIM} + 1 : {s} * {PQ_SUBDIM} + {PQ_SUBDIM}]::DOUBLE[]"
+
+
+def _pq_cte() -> str:
+    """Shared DuckDB fragment mirroring ``pq_assign``: defines ``seeds``,
+    ``subs``, ``vs``, ``cs`` (codebook subvectors), ``j`` and ``best``
+    (code table with quantized distortion, rk=1 rows are the codes) —
+    comma-terminated CTE list consumed by the PQ audit and the IVF-PQ
+    ADC search so both oracle the IDENTICAL code assignment."""
     subs = ", ".join(f"({s})" for s in range(PQ_SUBSPACES))
-    def sl(col: str, s: str) -> str:
-        return f"{col}[{s} * {PQ_SUBDIM} + 1 : {s} * {PQ_SUBDIM} + {PQ_SUBDIM}]::DOUBLE[]"
     return f"""
-    WITH seeds AS (
+    seeds AS (
       SELECT embedding, row_number() OVER (ORDER BY vec_id) AS codeword
       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_CODEWORDS})
     ), subs(s) AS (VALUES {subs}),
     vs AS (
-      SELECT vec_id, s AS subspace, {sl('embedding', 's')} AS sv
+      SELECT vec_id, s AS subspace, {_pq_sl('embedding', 's')} AS sv
       FROM embeddings CROSS JOIN subs
     ), cs AS (
-      SELECT codeword, s AS subspace, {sl('embedding', 's')} AS cv
+      SELECT codeword, s AS subspace, {_pq_sl('embedding', 's')} AS cv
       FROM seeds CROSS JOIN subs
     ), j AS (
       SELECT vec_id, subspace, codeword,
@@ -841,11 +997,17 @@ def _pq_oracle_sql() -> str:
       SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
                                    ORDER BY d2q, codeword) AS rk
       FROM j
-    )
+    ),"""
+
+
+def _pq_oracle_sql() -> str:
+    return f"""
+    WITH {_pq_cte()}
+    codes AS (SELECT vec_id, subspace, codeword, d2q FROM best WHERE rk = 1)
     SELECT subspace::BIGINT AS subspace, codeword::BIGINT AS codeword,
            count(*)::BIGINT AS n_assigned,
            round(sum(d2q)::DOUBLE / (count(*) * 10000.0), 6) AS avg_distortion
-    FROM best WHERE rk = 1 GROUP BY 1, 2
+    FROM codes GROUP BY 1, 2
     """
 
 
@@ -870,17 +1032,21 @@ def _pq_oracle_sql() -> str:
 )
 def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["embeddings"]
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(PQ_CODEWORDS)
-        .select(
-            F.row_number()
-            .over(W.partitionBy(F.lit(0)).orderBy("vec_id"))
-            .alias("codeword"),
-            F.col("embedding").alias("cvec"),
-        )
+    best, _cs = pq_assign(e)
+    return best.groupBy(
+        "subspace", F.col("codeword").cast("bigint").alias("codeword")
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum("d2q").cast("double") / (F.count(F.lit(1)) * 10000.0), 6).alias(
+            "avg_distortion"
+        ),
     )
-    sub_struct = lambda col, alias: F.explode(  # noqa: E731
+
+
+def _pq_sub_struct(col: str, alias: str):
+    """Explode a vector column into (subspace, subvector) structs — an
+    in-row fan-out, never a crossJoin of the vector table."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -891,10 +1057,39 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    vs = e.select("vec_id", sub_struct("embedding", "sv").alias("x")).select(
+
+
+def pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization code assignment shared by the PQ audit and
+    the IVF-PQ ADC search: split each vector into PQ_SUBSPACES contiguous
+    PQ_SUBDIM-dim subvectors, assign each to its nearest of PQ_CODEWORDS
+    codewords (deterministic lowest-vec_id seeds). Returns
+    ``(best, cs)``: ``best(vec_id, subspace, codeword, d2q)`` — the code
+    table plus the integer-quantized (×10⁴) squared distance to the
+    chosen codeword — and ``cs(codeword, subspace, cv)`` — the codebook
+    subvectors (PQ_CODEWORDS × PQ_SUBSPACES rows, parameter-bounded).
+
+    Plan: codewords are a 32-row broadcast; the argmin is a
+    min(struct(d2q, codeword)) hash AGGREGATE — partial-aggregated
+    map-side so only rows × subspaces single-struct rows shuffle (the
+    row_number-window form it replaced exchanged and sorted rows ×
+    subspaces × 32 candidates). Distances quantize to integers
+    (floor(d2·10⁴+0.5)) before the argmin so tie-breaks are exact
+    cross-engine."""
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(PQ_CODEWORDS)
+        .select(
+            F.row_number()
+            .over(W.partitionBy(F.lit(0)).orderBy("vec_id"))
+            .alias("codeword"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    vs = e.select("vec_id", _pq_sub_struct("embedding", "sv").alias("x")).select(
         "vec_id", "x.subspace", "x.sv"
     )
-    cs = seeds.select("codeword", sub_struct("cvec", "cv").alias("x")).select(
+    cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(
         "codeword", "x.subspace", "x.cv"
     )
     d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
@@ -906,24 +1101,156 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codeword",
         F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
     )
-    # argmin as a min-struct AGGREGATE, not a row_number window: the
-    # window shape shuffled rows×subspaces×32 codeword candidates and
-    # sorted each (vec, subspace) partition; min(struct(d2q, codeword))
-    # partial-aggregates map-side, so only rows×subspaces one-struct
-    # rows cross the wire — 32× less exchanged data, no sort, and the
-    # (d2q, codeword) lexicographic struct order reproduces the window's
-    # orderBy('d2q', 'codeword') tie-break exactly.
-    best = j.groupBy("vec_id", "subspace").agg(
-        F.min(F.struct("d2q", "codeword")).alias("m")
+    best = (
+        j.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2q", "codeword")).alias("m"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("m.codeword").alias("codeword"),
+            F.col("m.d2q").alias("d2q"),
+        )
     )
-    return best.groupBy(
-        "subspace", F.col("m.codeword").cast("bigint").alias("codeword")
-    ).agg(
-        F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.sum("m.d2q").cast("double") / (F.count(F.lit(1)) * 10000.0), 6).alias(
-            "avg_distortion"
+    return best, cs
+
+
+def _ivfpq_oracle_sql(
+    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+) -> str:
+    """DuckDB mirror of the IVF-PQ ADC search: the shared k-means
+    fragment supplies cells+probes, the shared PQ fragment supplies the
+    code table, and the ADC distance is the BIGINT sum of the per-
+    subspace quantized query→codeword distances — integer arithmetic end
+    to end, so the top-k set and its tie-breaks agree cross-engine."""
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}{_pq_cte()}
+    codes AS (SELECT vec_id, subspace, codeword FROM best WHERE rk = 1),
+    qsub AS (
+      SELECT s AS subspace, {_pq_sl('embedding', 's')} AS qv_s
+      FROM embeddings CROSS JOIN subs WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cs.subspace, cs.codeword,
+             floor((list_dot_product(cv, cv) + list_dot_product(qv_s, qv_s)
+                    - 2 * list_dot_product(cv, qv_s)) * 10000 + 0.5)::BIGINT AS qd2q
+      FROM cs JOIN qsub USING (subspace)
+    ),
+    probes AS (
+      SELECT {cl}.cluster
+      FROM {cl} JOIN el q ON q.id = 0 AND q.dim = {cl}.dim
+      GROUP BY {cl}.cluster
+      ORDER BY sum(({cl}.cval - q.val) ^ 2), {cl}.cluster
+      LIMIT {n_probes}
+    ),
+    adc AS (
+      SELECT c.vec_id, sum(d.qd2q)::BIGINT AS adc_d2q
+      FROM codes c
+      JOIN afinal ON c.vec_id = afinal.id
+      JOIN dtable d ON c.subspace = d.subspace AND c.codeword = d.codeword
+      WHERE afinal.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, adc_d2q,
+             row_number() OVER (ORDER BY adc_d2q, vec_id) AS adc_rank
+      FROM adc
+    ),
+    qv AS (SELECT v FROM e WHERE id = 0)
+    SELECT r.vec_id, r.adc_rank, r.adc_d2q,
+           round(list_dot_product(e.v, qv.v)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+    FROM ranked r JOIN e ON e.id = r.vec_id, qv
+    WHERE r.adc_rank <= {k}
+    """
+
+
+@register(
+    "similarity_ivf_pq_adc",
+    _ivfpq_oracle_sql(n_clusters=16, n_iters=2, k=10, n_probes=4),
+    doc="IVF-PQ asymmetric-distance (ADC) top-10 — the third ANN path "
+    "next to IVF-Flat and hyperplane LSH, and the one a 100 TB corpus "
+    "actually affords: after IVF probing, candidate distances come from "
+    "the 8-byte PQ CODES alone (per-subspace query→codeword distance "
+    "table, 32 entries, summed per vector) — the raw float vectors are "
+    "touched only to add the exact-cosine audit column on the 10 "
+    "survivors, so search I/O is probes/cells of the CODE table (~3% "
+    "of raw vector bytes at 64-dim float32 → 8×1B codes). Plan: the "
+    "distance table is a parameter-bounded (8×4) broadcast built from "
+    "the codebook + the collected query vector; the ADC sum is a hash "
+    "aggregate over integer-quantized distances (exact, "
+    "order-insensitive); top-k is TakeOrderedAndProject on (adc_d2q, "
+    "vec_id); coarse cells and codes reuse the memoized ivf_build / "
+    "shared pq_assign, both value-oracled via the same DuckDB "
+    "fragments (_kmeans_cte, _pq_cte).",
+)
+def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    k, n_probes = 10, 4
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    codes, cs = pq_assign(emb)
+    # Probe selection: the centroid table is parameter-bounded (16 × 64
+    # doubles) — collected like any broadcast dim, same as ivf_topk.
+    cents = centroids.collect()
+    scored = sorted(
+        (
+            (c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], qv)))
+            for c in cents
         ),
+        key=lambda t: (t[1], t[0]),
     )
+    probe_clusters = [c for c, _ in scored[:n_probes]]
+    # Per-subspace query subvectors as an in-row literal fan-out, joined
+    # against the 32-row codebook → the ADC distance table (8×4 rows).
+    qsub = emb.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("subspace"),
+                        F.array(
+                            *[F.lit(qv[s * PQ_SUBDIM + d]) for d in range(PQ_SUBDIM)]
+                        ).alias("qv_s"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("x")
+    ).select("x.subspace", "x.qv_s")
+    qd2 = dot(F.col("cv"), F.col("cv")) + dot(F.col("qv_s"), F.col("qv_s")) - 2 * dot(
+        F.col("cv"), F.col("qv_s")
+    )
+    dtable = cs.join(qsub, "subspace").select(
+        "subspace",
+        "codeword",
+        F.floor(qd2 * 10000 + F.lit(0.5)).cast("bigint").alias("qd2q"),
+    )
+    probe_members = assignments.filter(
+        F.col("cluster").isin(probe_clusters)
+    ).select("vec_id")
+    adc = (
+        codes.join(probe_members, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtable), ["subspace", "codeword"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2q").alias("adc_d2q"))
+    )
+    topk = adc.orderBy(F.asc("adc_d2q"), F.asc("vec_id")).limit(k).withColumn(
+        "adc_rank",
+        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.asc("adc_d2q"), F.asc("vec_id"))),
+    )
+    q = F.array(*[F.lit(v) for v in qv])
+    return topk.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "adc_rank",
+        "adc_d2q",
+        F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
+    )
+
+
 
 
 @register(

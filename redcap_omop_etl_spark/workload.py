@@ -64,9 +64,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-8 rotation. Leads: the new round-8 queries (bounded
-    # minhash cluster table, the two capped cluster compositions,
-    # soft-dedup weights, the bootstrap xxHash64 twin), then everything
+    # -- round-8 rotation. Leads: the new round-8 queries (SemDeDup
+    # embedding pruning + IVF-PQ ADC search and the two queries whose
+    # oracle SQL was refactored onto the shared _kmeans_cte/_pq_cte
+    # fragments; the bounded minhash cluster table, the two capped
+    # cluster compositions, soft-dedup weights, the bootstrap
+    # xxHash64 twin), then everything
     # whose oracle or plan changed this round (budgeted LSH recall audit
     # + CI column; uncapped-vocab BPE registration; n>1 dispersion
     # guard; conversation audit epoch pin; the two queries rebuilt on
@@ -75,6 +78,10 @@ _PRIORITY = [
     # cluster consumer inherits the star-contraction CC). Then the full
     # round-3 stale cohort, then the round-4 cohort — the ~50-slot gate
     # lands on leads + most of the r3 cohort; the remainder tops round 9.
+    "dedup_semdedup",
+    "similarity_ivf_pq_adc",
+    "embedding_pq_audit",
+    "similarity_ann_ivf",
     "dedup_minhash_clusters",
     "dedup_survivorship_capped",
     "sampling_leakage_safe_split_capped",
@@ -119,7 +126,6 @@ _PRIORITY = [
     "rollup_cascade",
     "sampling_split_counts",
     "sessionize_gap",
-    "similarity_ann_ivf",
     "similarity_ann_lsh",
     "similarity_cosine_topk",
     "similarity_topk_per_label",

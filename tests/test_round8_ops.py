@@ -251,3 +251,93 @@ class TestStarContractionCC:
         )
         assert empty.columns == ["node", "component"]
         assert empty.count() == 0
+
+
+class TestSemDeDup:
+    """SemDeDup invariants the oracle can't express: first-seen
+    survivorship on constructed duplicate groups, and the anchor cap's
+    exact-recall guarantee when groups are anchor-covered."""
+
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+
+    def test_exact_dup_groups_keep_exactly_lowest_id(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivf_build,
+            semdedup_flags,
+        )
+
+        # 4 prototypes x 8 exact copies, 64-dim; copies are
+        # embedding-identical so they always share a k-means cell
+        # (identical distance vectors -> identical argmin) and have
+        # cosine 1.0 to each other.
+        protos = [
+            [1.0 if d % 4 == p else 0.1 * p for d in range(64)] for p in range(4)
+        ]
+        vecs = [protos[i % 4] for i in range(32)]  # ids 0..31, group = id%4
+        emb = self._emb(spark, vecs)
+        assignments, _ = ivf_build(emb, n_clusters=4, n_iters=2)
+        flags = semdedup_flags(emb, assignments, tau=0.999, n_anchors=16).collect()
+        kept = sorted(r.vec_id for r in flags if r.is_kept)
+        # exactly one survivor per group: the lowest id (0,1,2,3)
+        assert kept == [0, 1, 2, 3]
+        by_id = {r.vec_id: r for r in flags}
+        for vid in range(4, 32):
+            assert by_id[vid].n_dup_anchors >= 1
+
+    def test_corpus_flags_consistent(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import dedup_semdedup
+
+        rows = dedup_semdedup(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        by_cluster = {}
+        for r in rows:
+            assert r.is_kept == (r.n_dup_anchors == 0)
+            by_cluster.setdefault(r.cluster, []).append(r)
+        for cl, members in by_cluster.items():
+            # the lowest-id member of a cell precedes every anchor -> kept
+            lowest = min(members, key=lambda r: r.vec_id)
+            assert lowest.is_kept, f"cluster {cl} lowest id pruned"
+
+
+class TestIvfPqAdc:
+    def test_exact_copies_of_query_rank_first(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import (
+            PQ_SUBDIM,
+            PQ_SUBSPACES,
+            ivf_build,
+            pq_assign,
+        )
+        from pyspark.sql import functions as F
+
+        dim = PQ_SUBDIM * PQ_SUBSPACES
+        # query prototype + exact copies share every PQ code, so their
+        # ADC distance to the query is the global minimum.
+        q = [1.0 if d % 3 == 0 else -0.5 for d in range(dim)]
+        other = [[(0.2 * ((i * 7 + d) % 11) - 1.0) for d in range(dim)] for i in range(20)]
+        vecs = [q] + other[:10] + [q, q] + other[10:]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        codes, cs = pq_assign(emb)
+        cl = codes.collect()
+        codes_by_vec = {}
+        for r in cl:
+            codes_by_vec.setdefault(r.vec_id, {})[r.subspace] = r.codeword
+        # copies (ids 11, 12) carry the query's exact code vector
+        assert codes_by_vec[11] == codes_by_vec[0]
+        assert codes_by_vec[12] == codes_by_vec[0]
+
+    def test_registered_query_invariants(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import similarity_ivf_pq_adc
+
+        rows = similarity_ivf_pq_adc(spark, SF_SMOKE).orderBy("adc_rank").collect()
+        assert [r.adc_rank for r in rows] == list(range(1, len(rows) + 1))
+        d2 = [r.adc_d2q for r in rows]
+        assert d2 == sorted(d2), "ADC distance must be nondecreasing in rank"
+        assert all(r.vec_id != 0 for r in rows), "query itself excluded"
+        assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)

@@ -55,6 +55,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("similarity_ann_lsh", "global-window"): "rank over the LIMIT-k survivors",
     ("similarity_ann_ivf", "global-window"): "centroid-init row_number over "
     "LIMIT n_clusters (16) + rank over LIMIT-k survivors",
+    ("similarity_ivf_pq_adc", "global-window"): "PQ-seed/centroid-init "
+    "row_number over LIMIT-codewords + adc_rank over the LIMIT-k (10) "
+    "survivors of the TakeOrdered ADC heap",
     ("rfm_segmentation", "global-window"): "ntile quartiles are global by "
     "definition; input is the per-customer aggregate (dim-sized next to the "
     "orders fact it summarizes)",

@@ -97,6 +97,11 @@ QUERIES = [
     # structure-aware splitter.
     "embedding_pq_audit",
     "text_chunk_structured",
+    # round-8 continuation: SemDeDup (k-means + anchor-capped cosine,
+    # never a pair stream) and IVF-PQ ADC search — both linear in the
+    # embedding table under standard replication by construction.
+    "dedup_semdedup",
+    "similarity_ivf_pq_adc",
 ]
 
 
