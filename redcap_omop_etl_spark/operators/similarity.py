@@ -1032,7 +1032,7 @@ def _pq_oracle_sql() -> str:
 )
 def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir)["embeddings"]
-    best, _cs = pq_assign(e)
+    best, _cs = pq_assign(e, memo_key=sf_dir)
     return best.groupBy(
         "subspace", F.col("codeword").cast("bigint").alias("codeword")
     ).agg(
@@ -1059,7 +1059,10 @@ def _pq_sub_struct(col: str, alias: str):
     )
 
 
-def pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+_PQ_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = register_memo({})
+
+
+def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, DataFrame]:
     """Product-quantization code assignment shared by the PQ audit and
     the IVF-PQ ADC search: split each vector into PQ_SUBSPACES contiguous
     PQ_SUBDIM-dim subvectors, assign each to its nearest of PQ_CODEWORDS
@@ -1069,6 +1072,13 @@ def pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     chosen codeword — and ``cs(codeword, subspace, cv)`` — the codebook
     subvectors (PQ_CODEWORDS × PQ_SUBSPACES rows, parameter-bounded).
 
+    Pass ``memo_key`` (the corpus directory) to reuse a
+    previously-computed code table for the same (session, corpus) — PQ
+    codes are INDEX state computed once at ingest and queried many
+    times, exactly like the IVF assignments (``_IVF_MEMO``); re-encoding
+    the corpus per search query is pure waste (measured: the encode was
+    ~5x the actual ADC search wall at 64x replication).
+
     Plan: codewords are a 32-row broadcast; the argmin is a
     min(struct(d2q, codeword)) hash AGGREGATE — partial-aggregated
     map-side so only rows × subspaces single-struct rows shuffle (the
@@ -1076,6 +1086,10 @@ def pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     subspaces × 32 candidates). Distances quantize to integers
     (floor(d2·10⁴+0.5)) before the argmin so tie-breaks are exact
     cross-engine."""
+    if memo_key is not None:
+        key = (e.sparkSession.sparkContext.applicationId, memo_key)
+        if key in _PQ_MEMO:
+            return _PQ_MEMO[key]
     seeds = (
         e.orderBy("vec_id")
         .limit(PQ_CODEWORDS)
@@ -1111,6 +1125,12 @@ def pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("m.d2q").alias("d2q"),
         )
     )
+    if memo_key is not None:
+        # checkpoint-bound the memoized frames: the code table is read by
+        # every subsequent search in the session, the codebook is tiny.
+        best = best.localCheckpoint(eager=False)
+        cs = cs.localCheckpoint(eager=False)
+        _PQ_MEMO[(e.sparkSession.sparkContext.applicationId, memo_key)] = (best, cs)
     return best, cs
 
 
@@ -1191,7 +1211,7 @@ def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
-    codes, cs = pq_assign(emb)
+    codes, cs = pq_assign(emb, memo_key=sf_dir)
     # Probe selection: the centroid table is parameter-bounded (16 × 64
     # doubles) — collected like any broadcast dim, same as ivf_topk.
     cents = centroids.collect()
