@@ -1186,6 +1186,73 @@ def _ivfpq_oracle_sql(
     """
 
 
+def _nearest_cells(cents, query_vec: list[float], n_probes: int) -> list[int]:
+    """Probe selection over COLLECTED centroid rows (parameter-bounded:
+    n_clusters × dim doubles — collected like any broadcast dim)."""
+    scored = sorted(
+        (
+            (c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], query_vec)))
+            for c in cents
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    return [c for c, _ in scored[:n_probes]]
+
+
+def _adc_dtable(cs: DataFrame, query_vec: list[float]) -> DataFrame:
+    """ADC distance table: per-subspace query subvectors as an in-row
+    literal fan-out joined against the codebook subvectors — 8×4 rows,
+    integer-quantized (floor(d2·10⁴+0.5)) so per-vector ADC sums are
+    exact BIGINT arithmetic on every engine."""
+    qsub = cs.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("subspace"),
+                        F.array(
+                            *[
+                                F.lit(query_vec[s * PQ_SUBDIM + d])
+                                for d in range(PQ_SUBDIM)
+                            ]
+                        ).alias("qv_s"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("x")
+    ).select("x.subspace", "x.qv_s")
+    qd2 = dot(F.col("cv"), F.col("cv")) + dot(F.col("qv_s"), F.col("qv_s")) - 2 * dot(
+        F.col("cv"), F.col("qv_s")
+    )
+    return cs.join(qsub, "subspace").select(
+        "subspace",
+        "codeword",
+        F.floor(qd2 * 10000 + F.lit(0.5)).cast("bigint").alias("qd2q"),
+    )
+
+
+def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
+    """Rank candidate codes by ADC distance: broadcast the 32-row
+    distance table, hash-agg the per-vector BIGINT sum, TakeOrdered
+    heap on (adc_d2q, vec_id), exact rank over the k survivors."""
+    adc = (
+        codes.join(F.broadcast(dtable), ["subspace", "codeword"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2q").alias("adc_d2q"))
+    )
+    return (
+        adc.orderBy(F.asc("adc_d2q"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn(
+            "adc_rank",
+            F.row_number().over(
+                W.partitionBy(F.lit(0)).orderBy(F.asc("adc_d2q"), F.asc("vec_id"))
+            ),
+        )
+    )
+
+
 @register(
     "similarity_ivf_pq_adc",
     _ivfpq_oracle_sql(n_clusters=16, n_iters=2, k=10, n_probes=4),
@@ -1212,56 +1279,13 @@ def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in qrow[0]]
     assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
     codes, cs = pq_assign(emb, memo_key=sf_dir)
-    # Probe selection: the centroid table is parameter-bounded (16 × 64
-    # doubles) — collected like any broadcast dim, same as ivf_topk.
-    cents = centroids.collect()
-    scored = sorted(
-        (
-            (c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], qv)))
-            for c in cents
-        ),
-        key=lambda t: (t[1], t[0]),
-    )
-    probe_clusters = [c for c, _ in scored[:n_probes]]
-    # Per-subspace query subvectors as an in-row literal fan-out, joined
-    # against the 32-row codebook → the ADC distance table (8×4 rows).
-    qsub = emb.sparkSession.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("bigint").alias("subspace"),
-                        F.array(
-                            *[F.lit(qv[s * PQ_SUBDIM + d]) for d in range(PQ_SUBDIM)]
-                        ).alias("qv_s"),
-                    )
-                    for s in range(PQ_SUBSPACES)
-                ]
-            )
-        ).alias("x")
-    ).select("x.subspace", "x.qv_s")
-    qd2 = dot(F.col("cv"), F.col("cv")) + dot(F.col("qv_s"), F.col("qv_s")) - 2 * dot(
-        F.col("cv"), F.col("qv_s")
-    )
-    dtable = cs.join(qsub, "subspace").select(
-        "subspace",
-        "codeword",
-        F.floor(qd2 * 10000 + F.lit(0.5)).cast("bigint").alias("qd2q"),
-    )
+    probe_clusters = _nearest_cells(centroids.collect(), qv, n_probes)
+    dtable = _adc_dtable(cs, qv)
     probe_members = assignments.filter(
         F.col("cluster").isin(probe_clusters)
     ).select("vec_id")
-    adc = (
-        codes.join(probe_members, "vec_id")
-        .filter(F.col("vec_id") != 0)
-        .join(F.broadcast(dtable), ["subspace", "codeword"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd2q").alias("adc_d2q"))
-    )
-    topk = adc.orderBy(F.asc("adc_d2q"), F.asc("vec_id")).limit(k).withColumn(
-        "adc_rank",
-        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.asc("adc_d2q"), F.asc("vec_id"))),
-    )
+    cand_codes = codes.join(probe_members, "vec_id").filter(F.col("vec_id") != 0)
+    topk = _adc_topk(cand_codes, dtable, k)
     q = F.array(*[F.lit(v) for v in qv])
     return topk.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "vec_id",
@@ -1269,6 +1293,56 @@ def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_d2q",
         F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
     )
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full IVF-PQ index: the ``ivf_write_index`` layout
+    (cluster-partitioned raw vectors for exact rerank + the centroid
+    table) PLUS the cluster-partitioned PQ code table under
+    ``path/codes/cluster=<c>/`` and the 32-row codebook under
+    ``path/codebook/``. An ADC search then reads ONLY the probed code
+    directories — at 64-dim float32 the code table is ~3% of the vector
+    bytes, so probe I/O at 100 TB is (n_probes/n_clusters) × 3% of the
+    corpus; the vector directories are touched only if the caller
+    reranks survivors."""
+    ivf_write_index(embeddings, assignments, centroids, path, id_col, vec_col)
+    from redcap_omop_etl_spark.sources.partitioned import write_partitioned
+
+    best, cs = pq_assign(embeddings)
+    codes = best.join(assignments.select(F.col(id_col).alias("vec_id"), "cluster"), "vec_id")
+    write_partitioned(codes, f"{path}/codes", "cluster")
+    cs.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_adc_from_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 4,
+) -> DataFrame:
+    """ADC search over a persisted IVF-PQ index WITHOUT touching raw
+    vectors: probes come from the tiny centroid parquet (driver-side,
+    like ``ivf_topk_from_index``), the distance table from the 32-row
+    codebook parquet, and candidates from a ``cluster IN (probes)`` scan
+    of the code table that prunes at file-listing time (``cluster`` is a
+    partition column — unprobed cells cost zero I/O, pinned in
+    ``tests/test_llm_ops.py::TestIvfPqIndex``)."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    probe_clusters = _nearest_cells(cents, query_vec, n_probes)
+    cs = spark.read.parquet(f"{path}/codebook")
+    dtable = _adc_dtable(cs, query_vec)
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    return _adc_topk(codes.select("vec_id", "subspace", "codeword"), dtable, k)
 
 
 

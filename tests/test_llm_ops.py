@@ -598,3 +598,48 @@ class TestContainmentCappedDegenerate:
         got = {(r.d1, r.d2, r.cont_1in2, r.cont_2in1) for r in pairs.collect()}
         assert overflow.count() == 0
         assert got == uncapped
+
+
+class TestIvfPqIndex:
+    def test_persisted_adc_matches_in_memory_and_reads_codes_only(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from redcap_omop_etl_spark.operators.similarity import (
+            _adc_dtable,
+            _adc_topk,
+            _nearest_cells,
+            ivf_build,
+            ivfpq_adc_from_index,
+            ivfpq_write_index,
+            pq_assign,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        assignments, centroids = ivf_build(emb, n_clusters=8, n_iters=2)
+        path = str(tmp_path / "ivfpq")
+        ivfpq_write_index(emb, assignments, centroids, path)
+
+        # in-memory reference over the same trained cells/codes
+        codes, cs = pq_assign(emb)
+        probes = _nearest_cells(centroids.collect(), qv, 3)
+        members = assignments.filter(F.col("cluster").isin(probes)).select("vec_id")
+        mem = _adc_topk(
+            codes.join(members, "vec_id"), _adc_dtable(cs, qv), 10
+        ).collect()
+
+        disk_df = ivfpq_adc_from_index(spark, path, qv, k=10, n_probes=3)
+        plan = disk_df._jdf.queryExecution().executedPlan().toString()
+        # the probe predicate prunes the CODE table at listing time
+        scan_line = next(
+            line for line in plan.splitlines() if "PartitionFilters" in line
+        )
+        assert "cluster" in scan_line.split("PartitionFilters")[1].split("]")[0]
+        # the search plan never scans the raw-vector directories
+        assert "/vectors" not in plan
+        disk = disk_df.collect()
+        assert [(r["vec_id"], r["adc_d2q"]) for r in disk] == [
+            (r["vec_id"], r["adc_d2q"]) for r in mem
+        ]

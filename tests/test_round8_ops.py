@@ -341,3 +341,23 @@ class TestIvfPqAdc:
         assert d2 == sorted(d2), "ADC distance must be nondecreasing in rank"
         assert all(r.vec_id != 0 for r in rows), "query itself excluded"
         assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+    def test_adc_recall_vs_exact_within_probes(self, spark):
+        # With the toy 4-codeword (2-bit) codebook the ADC proxy is
+        # deliberately coarse — this pins the WIRING (deterministic
+        # data + deterministic plan => deterministic overlap with the
+        # exact-cosine ranking inside the same probed cells), not a
+        # recall target; production recall comes from larger codebooks
+        # and the exact-rerank audit column.
+        from redcap_omop_etl_spark.operators.similarity import (
+            similarity_ann_ivf,
+            similarity_ivf_pq_adc,
+        )
+
+        exact = [
+            r.vec_id
+            for r in similarity_ann_ivf(spark, SF_SMOKE).orderBy("rank").collect()
+            if r.vec_id != 0
+        ][:9]
+        adc = {r.vec_id for r in similarity_ivf_pq_adc(spark, SF_SMOKE).collect()}
+        assert len(set(exact) & adc) >= 3
