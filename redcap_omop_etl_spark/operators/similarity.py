@@ -722,13 +722,17 @@ def semdedup_flags(
 
     Scale shape: the corpus is NEVER self-joined. Anchors come from
     ``keyed_topk`` (two-phase, parallelism bounded by partition count);
-    the anchor table is ≤ n_clusters × n_anchors rows — fixed by
-    PARAMETERS, not by corpus size — so it is explicitly
-    ``broadcast()`` per the join-strategy policy (DEPLOY.md: only
-    fixed-cardinality sides carry hints). Each member row then does ≤
-    n_anchors JVM-side cosines: one scan, linear in the corpus. The cap
-    is honest: a dup group whose survivor is not among its cell's
-    anchors is missed, exactly the recall/cost dial the capped
+    the anchor table is ≤ n_clusters × n_anchors rows and the anchor
+    join is deliberately UNHINTED — production SemDeDup scales
+    n_clusters with the corpus, so the anchor side is corpus-coupled
+    and a forced broadcast would be the misestimated-broadcast failure
+    the join-strategy policy bans (DEPLOY.md); the cost model
+    broadcasts it at small k, and at large k the equi-join on
+    ``cluster`` co-locates each cell's members with its anchors at
+    cell-count parallelism. Each member row then does ≤ n_anchors
+    JVM-side cosines: one scan, linear in the corpus. The cap is
+    honest: a dup group whose survivor is not among its cell's anchors
+    is missed, exactly the recall/cost dial the capped
     containment/PPJoin family documents; `n_anchors` plays the role of
     the candidate cap, and production SemDeDup scales n_clusters with
     the corpus so cells (and anchor coverage) stay constant-sized.
@@ -747,7 +751,16 @@ def semdedup_flags(
         F.col("__v").alias("a_v"),
     )
     dup_hits = (
-        members.join(F.broadcast(anchors), "cluster")
+        # UNHINTED by the join-strategy policy: the anchor table is
+        # n_clusters × n_anchors rows, and production SemDeDup scales
+        # n_clusters with the corpus — a forced broadcast of a
+        # corpus-coupled side is the exact 256× failure mode the round-7
+        # postmortem banned. At registered params (16×16) the cost model
+        # broadcasts it anyway; at scale the equi-join on `cluster`
+        # degrades to a shuffle that co-locates each cell's members with
+        # its ≤n_anchors anchors — parallelism = cell count, per-task
+        # work bounded by cell size.
+        members.join(anchors, "cluster")
         .filter(F.col("a_id") < F.col("vec_id"))
         .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= tau)
         .groupBy("vec_id")
@@ -809,8 +822,11 @@ def _semdedup_oracle_sql(
     "earlier-id anchor has cosine ≥ 0.30 (threshold chosen for the "
     "isotropic synthetic vectors; production ≈0.95). Output is "
     "corpus-sized per-doc keep flags, never a pair stream. Scale: no "
-    "corpus self-join anywhere — anchors are a parameter-bounded "
-    "(clusters × 16) broadcast from the two-phase keyed_topk, each row "
+    "corpus self-join anywhere — anchors come from the two-phase "
+    "keyed_topk and join UNHINTED on `cluster` (production scales "
+    "n_clusters with the corpus, so the anchor side is corpus-coupled "
+    "— the cost model broadcasts it at small k, shuffle-joins at "
+    "cell-count parallelism at large k), each row "
     "does ≤16 codegen'd cosines, and the k-means recurrence shuffles "
     "(cluster, dim, value) triples only. The anchor cap is the "
     "recall/cost dial (same contract as capped containment/PPJoin); "

@@ -558,3 +558,83 @@ class TestKeyedWindowProperties:
             assert got_i[r.id] == r.i
             assert got_t[r.id] == r.t
             assert got_s[r.id] == r.s
+
+
+class TestSemDeDupBruteforce:
+    def test_flags_match_python_reference(self, spark):
+        # Given the SAME Spark-trained k-means cells, the anchor/prune
+        # semantics must match an O(cells x members x anchors) Python
+        # reference exactly: pruned iff some lower-id anchor in the cell
+        # has round(cos, 4) >= tau.
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivf_build,
+            semdedup_flags,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        assignments, _ = ivf_build(emb, n_clusters=8, n_iters=2)
+        tau, n_anchors = 0.3, 4
+        got = {
+            r.vec_id: (r.n_dup_anchors, r.is_kept)
+            for r in semdedup_flags(
+                emb, assignments, tau=tau, n_anchors=n_anchors
+            ).collect()
+        }
+
+        vecs = {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        cells = {}
+        for r in assignments.collect():
+            cells.setdefault(r.cluster, []).append(int(r.vec_id))
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return round(dot / (na * nb), 4)
+
+        expected = {}
+        for cl, members in cells.items():
+            members = sorted(members)
+            anchors = members[:n_anchors]
+            for m in members:
+                hits = sum(
+                    1 for a in anchors if a < m and cos(vecs[a], vecs[m]) >= tau
+                )
+                expected[m] = (hits, hits == 0)
+        assert got == expected
+
+
+class TestAdcSumProperty:
+    def test_adc_equals_code_table_lookup_sum(self, spark):
+        # The ADC join+aggregate must equal a per-vector lookup-sum over
+        # the COLLECTED code and distance tables, and the top-k cut must
+        # equal the Python sort on (adc_d2q, vec_id).
+        from pyspark.sql import functions as F
+
+        from redcap_omop_etl_spark.operators.similarity import (
+            _adc_dtable,
+            _adc_topk,
+            pq_assign,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from tests.conftest import SF_SMOKE
+
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        codes, cs = pq_assign(emb)
+        dtable_df = _adc_dtable(cs, qv)
+        got = _adc_topk(codes, dtable_df, 10).collect()
+
+        dtable = {(r.subspace, r.codeword): r.qd2q for r in dtable_df.collect()}
+        by_vec = {}
+        for r in codes.collect():
+            by_vec.setdefault(r.vec_id, 0)
+            by_vec[r.vec_id] += dtable[(r.subspace, r.codeword)]
+        want = sorted(by_vec.items(), key=lambda t: (t[1], t[0]))[:10]
+        assert [(r.vec_id, r.adc_d2q) for r in got] == want
+        assert [r.adc_rank for r in got] == list(range(1, 11))

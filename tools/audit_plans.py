@@ -91,8 +91,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     "1-row broadcast crossJoin onto the 256-bucket ratio table",
     ("corpus_dsir_weights_fast", "bnlj"): "same plan as the md5 twin: "
     "1-row feature-total scalar broadcast crossJoin",
-    ("embedding_pq_audit", "global-window"): "codeword-init row_number "
-    "over the LIMIT-4 seed vectors (4 rows by construction)",
+    # NOTE: embedding_pq_audit's codeword-init row_number (a LIMIT-4
+    # global window, 4 rows by construction) no longer surfaces in the
+    # audited plan: pq_assign memoizes the code table per (session,
+    # corpus) behind localCheckpoint, so the registered query's plan
+    # starts from the checkpointed RDD — same situation as
+    # similarity_ann_ivf's vanished assignment BNLJ below.
     ("similarity_hard_negatives", "global-window"): "rank over the "
     "LIMIT-k survivors (10 rows)",
     ("retrieval_ndcg_eval", "global-window"): "rank windows over the two "
