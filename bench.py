@@ -190,8 +190,10 @@ HEADLINE = [
     "corpus_soft_dedup_weights",
     "stream_minhash_dedup",
     # round 8 continuation: SemDeDup embedding pruning + IVF-PQ ADC search
+    # + the embedding-space streaming ingest gate
     "dedup_semdedup",
     "similarity_ivf_pq_adc",
+    "stream_embedding_dedup",
 ]
 
 

@@ -217,3 +217,36 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redcap_omop_etl_spark.streaming.windows import stream_near_dup_gate
 
     return stream_near_dup_gate(Catalog(spark, sf_dir)["documents"]).select("sig_fp")
+
+
+def _semantic_sig_oracle(n_planes: int = 16, dim: int = 64) -> str:
+    from redcap_omop_etl_spark.operators.similarity import _sig_sql_expr
+
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT DISTINCT ({_sig_sql_expr(n_planes, dim)})::BIGINT AS sem_fp
+    FROM e
+    """
+
+
+@register(
+    "stream_embedding_dedup",
+    _semantic_sig_oracle(),
+    doc="Streaming §2.9 x similarity: SEMANTIC-duplicate ingest gate — "
+    "drop vectors whose 16-bit random-hyperplane signature (the LSH "
+    "bucket key, literal deterministic plane weights) was already "
+    "admitted within the watermark horizon; the embedding-space "
+    "analog of stream_minhash_dedup for re-encoded/mirrored content. "
+    "Signature is stateless per row (plane projections fold inside "
+    "the projection, zero shuffle), so the only stateful operator is "
+    "bounded-state dropDuplicatesWithinWatermark on the key; batch "
+    "form keeps the deterministic kept-KEY projection, oracle-"
+    "comparable via the shared _sig_sql_expr plane weights. Stream ≡ "
+    "batch pinned in tests/test_streaming.py.",
+)
+def stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.streaming.windows import stream_semantic_dedup_gate
+
+    return stream_semantic_dedup_gate(Catalog(spark, sf_dir)["embeddings"]).select(
+        "sem_fp"
+    )

@@ -51,6 +51,51 @@ def read_documents_stream(
     return reader.format("parquet").load(f"{sf_dir}/documents.parque[t]")
 
 
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The embeddings parquet as a file-source stream — the ingest shape
+    of an embedding pipeline (encoder output lands as shards)."""
+    schema = "vec_id long, embedding array<float>, label int"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(f"{sf_dir}/embeddings.parque[t]")
+
+
+def stream_semantic_dedup_gate(
+    emb: DataFrame, n_planes: int = 16, dim: int = 64, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming SEMANTIC-duplicate ingest gate: drop incoming vectors
+    whose random-hyperplane signature (``n_planes`` sign bits, the LSH
+    bucket key from ``similarity.hyperplane_bits``) was already admitted
+    within the watermark horizon — the embedding-space analog of the
+    MinHash ingest gate one operator up: near-identical embeddings land
+    on the same side of every plane, so re-encoded duplicates collapse
+    onto one admitted signature while the per-row computation stays
+    STATELESS (the 16 plane projections fold inside the projection with
+    literal weights — zero shuffle, no broadcast state). The only
+    stateful operator is bounded-state ``dropDuplicatesWithinWatermark``
+    on the signature key. Vectors carry no event time in this corpus, so
+    ingest time derives deterministically from ``vec_id`` — swap in the
+    real ingest timestamp in production. Batch fallback keeps the same
+    kept-KEY contract as ``stream_near_dup_gate``."""
+    from redcap_omop_etl_spark.operators.similarity import hyperplane_bits
+
+    # +1 day: vec_id 0 would land exactly ON epoch 0 — the stream's
+    # initial watermark — and be discarded as late before the dedup
+    # state ever sees it (measured: batch admitted one more signature
+    # than the stream until the offset).
+    src = emb.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("vec_id") + F.lit(86400))
+    ).withColumn("sem_fp", hyperplane_bits(F.col("embedding"), n_planes, dim))
+    if emb.isStreaming:
+        return src.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+            ["sem_fp"]
+        )
+    return src.dropDuplicates(["sem_fp"])
+
+
 def stream_near_dup_gate(
     docs: DataFrame, num_hashes: int = 64, n: int = 3, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -73,8 +118,12 @@ def stream_near_dup_gate(
     contract)."""
     from redcap_omop_etl_spark.operators.dedup import near_dup_signature
 
+    # +1 day guard: an id of 0 would land exactly ON epoch 0 — the
+    # stream's initial watermark — and be discarded as late before the
+    # dedup state sees it (measured on the embedding gate, whose corpus
+    # has vec_id 0; same latent edge here).
     src = docs.withColumn(
-        "ingest_ts", F.timestamp_seconds(F.col("doc_id"))
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400))
     ).withColumn("sig_fp", near_dup_signature(F.col("text"), num_hashes, n))
     if docs.isStreaming:
         return src.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(

@@ -80,6 +80,7 @@ _PRIORITY = [
     # lands on leads + most of the r3 cohort; the remainder tops round 9.
     "dedup_semdedup",
     "similarity_ivf_pq_adc",
+    "stream_embedding_dedup",
     "embedding_pq_audit",
     "similarity_ann_ivf",
     "dedup_minhash_clusters",

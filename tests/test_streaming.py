@@ -604,3 +604,35 @@ class TestNearDupGate:
         }
         assert sigs[1] == sigs[2]
         assert sigs[1] != sigs[3]
+
+
+class TestSemanticDedupGate:
+    def test_stream_equals_batch_on_kept_signature_set(self, spark):
+        # embedding-space analog of the near-dup gate: admitted 16-bit
+        # hyperplane-signature set must match batch-distinct exactly
+        # (which ROW survives per signature is arrival-dependent).
+        batch_emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        stream_emb = sw.read_embeddings_stream(spark, SF_SMOKE)
+        b = {r.sem_fp for r in sw.stream_semantic_dedup_gate(batch_emb).collect()}
+        s_df = _run_stream_to_memory(
+            spark, sw.stream_semantic_dedup_gate(stream_emb), "t_semgate", "append"
+        )
+        s = {r.sem_fp for r in s_df.collect()}
+        assert s == b
+        assert len(b) <= batch_emb.count()
+
+    def test_identical_vectors_collapse_distinct_do_not(self, spark):
+        from pyspark.sql import functions as F
+
+        dim = 64
+        v1 = [1.0 if d % 5 == 0 else -0.3 for d in range(dim)]
+        v2 = [-1.0 if d % 3 == 0 else 0.7 for d in range(dim)]
+        df = spark.createDataFrame(
+            [(1, v1, 0), (2, list(v1), 0), (3, v2, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = sw.stream_semantic_dedup_gate(df).collect()
+        sigs = {r.vec_id: r.sem_fp for r in out}
+        # ids 1 and 2 share a signature -> only one admitted
+        assert len(out) == 2
+        assert len({r.sem_fp for r in out}) == 2
