@@ -243,8 +243,15 @@ def test_pq_audit_argmin_is_aggregate_not_window(spark):
     # round-6 rewrite pin: the PQ assignment argmin must stay a
     # min(struct(d2q, codeword)) hash aggregate — the row_number-window
     # form exchanged and sorted rows x subspaces x 32 candidates. The only
-    # permitted Window is the 32-row codeword-seed init.
-    plan = _plan(spark, "embedding_pq_audit")
+    # permitted Window is the 32-row codeword-seed init. Pinned on the
+    # UN-memoized pq_assign build plan: the registered query now starts
+    # from the per-(session, corpus) localCheckpoint RDD, which hides the
+    # build shape (round-8 code-table memo).
+    from redcap_omop_etl_spark.operators.similarity import pq_assign
+    from redcap_omop_etl_spark.sources.readers import Catalog
+
+    best, _cs = pq_assign(Catalog(spark, SF_SMOKE)["embeddings"])
+    plan = best._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 1, plan
     assert "min(struct" in plan.replace(" ", "").lower() or "min(named_struct" in plan.lower() or "partial_min" in plan.lower(), plan
 
