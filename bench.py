@@ -205,6 +205,28 @@ def main() -> None:
         sf = -1.0
 
     spark = build_session("bench")
+
+    # Host-speed calibration probes, reported alongside the timings:
+    # absolute walls drift between driver sessions (fresh VM per round;
+    # an A/B re-run of identical code across two sessions measured a
+    # 2.2x inflation on CPU-bound queries), so cross-round totals are
+    # only comparable after normalizing by these. py_sec is a fixed
+    # single-core Python arithmetic loop; jvm_sec a fixed codegen'd
+    # range-aggregate on all cores (warmed once).
+    def _calibrate() -> dict[str, float]:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        py_sec = time.perf_counter() - t0
+        probe = "select sum(id * 2 + 1) from range(200000000)"
+        spark.sql(probe).collect()  # warm: codegen
+        t0 = time.perf_counter()
+        spark.sql(probe).collect()
+        jvm_sec = time.perf_counter() - t0
+        return {"py_sec": round(py_sec, 3), "jvm_sec": round(jvm_sec, 3)}
+
+    calib = _calibrate()
     qs = workload.queries()
     names = [n for n in HEADLINE if n in qs]
     # Dev convenience: `python bench.py q1_pricing_summary dedup_simhash`
@@ -252,6 +274,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "calib": calib,
         }
     )
     # The driver captures stdout and has truncated the tail mid-JSON before
