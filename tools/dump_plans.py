@@ -260,9 +260,11 @@ SHOWCASE: dict[str, str] = {
     "codegen'd hash in place of the oracle-portable interpreted md5.",
     "dedup_semdedup": "SemDeDup (round 8): k-means cells from the "
     "memoized ivf_build index, then each row does ≤16 codegen'd cosines "
-    "against a parameter-bounded broadcast ANCHOR table — no corpus "
-    "self-join, corpus-sized keep-flag output; the anchor cap is the "
-    "recall/cost dial (capped-containment contract).",
+    "against the per-cell ANCHOR table — UNHINTED join (cost model "
+    "broadcasts at small k; shuffle at cell-count parallelism when "
+    "production scales k with the corpus), no corpus self-join, "
+    "corpus-sized keep-flag output; the anchor cap is the recall/cost "
+    "dial (capped-containment contract).",
     "similarity_ivf_pq_adc": "IVF-PQ ADC search (round 8): candidates "
     "ranked from 8-byte PQ codes via a broadcast 8×4 integer distance "
     "table + hash-agg sum (exact, order-free); TakeOrdered heap for "
