@@ -978,7 +978,10 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_SUBSPACES = 8
 PQ_SUBDIM = 8  # 64-dim embeddings -> 8 subspaces x 8 dims
-PQ_CODEWORDS = 4
+# 16 codewords = 4-bit codes (production PQ uses 256 = 8-bit; 16 keeps
+# the unrolled one-Lloyd-round DuckDB oracle trivial while giving the
+# ADC proxy a realistic codebook size for the 500-5000-vector corpora)
+PQ_CODEWORDS = 16
 
 
 def _pq_sl(col: str, s: str) -> str:
@@ -988,10 +991,16 @@ def _pq_sl(col: str, s: str) -> str:
 
 def _pq_cte() -> str:
     """Shared DuckDB fragment mirroring ``pq_assign``: defines ``seeds``,
-    ``subs``, ``vs``, ``cs`` (codebook subvectors), ``j`` and ``best``
-    (code table with quantized distortion, rk=1 rows are the codes) —
+    ``subs``, ``vs``, the init codebook ``cs0``, ONE unrolled Lloyd
+    training round (assign ``b0``/``a0`` → per-(subspace, codeword, dim)
+    mean update → trained codebook ``cs``), then the final code table
+    ``best`` (quantized distortion; rk=1 rows are the codes) —
     comma-terminated CTE list consumed by the PQ audit and the IVF-PQ
-    ADC search so both oracle the IDENTICAL code assignment."""
+    ADC search so both oracle the IDENTICAL trained code assignment.
+    Deterministic for the same reasons as ``_kmeans_cte``: lowest-id
+    seeds, integer-quantized distances before every argmin, (d2q,
+    codeword) tie-break; a codeword left empty in a subspace drops out
+    of the update inner-join on BOTH engines."""
     subs = ", ".join(f"({s})" for s in range(PQ_SUBSPACES))
     return f"""
     seeds AS (
@@ -1001,9 +1010,29 @@ def _pq_cte() -> str:
     vs AS (
       SELECT vec_id, s AS subspace, {_pq_sl('embedding', 's')} AS sv
       FROM embeddings CROSS JOIN subs
-    ), cs AS (
+    ), cs0 AS (
       SELECT codeword, s AS subspace, {_pq_sl('embedding', 's')} AS cv
       FROM seeds CROSS JOIN subs
+    ), j0 AS (
+      SELECT vec_id, subspace, codeword,
+             floor((list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                    - 2 * list_dot_product(sv, cv)) * 10000 + 0.5)::BIGINT AS d2q
+      FROM vs JOIN cs0 USING (subspace)
+    ), a0 AS (
+      SELECT vec_id, subspace, codeword FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2q, codeword) AS rk
+        FROM j0) WHERE rk = 1
+    ), vsl AS (
+      SELECT vec_id, subspace, u.i AS dim, sv[u.i] AS val
+      FROM vs, LATERAL unnest(range(1, len(sv) + 1)) u(i)
+    ), csl AS (
+      SELECT a0.subspace, a0.codeword, vsl.dim, avg(vsl.val) AS cval
+      FROM a0 JOIN vsl ON a0.vec_id = vsl.vec_id AND a0.subspace = vsl.subspace
+      GROUP BY 1, 2, 3
+    ), cs AS (
+      SELECT subspace, codeword, list(cval ORDER BY dim) AS cv
+      FROM csl GROUP BY 1, 2
     ), j AS (
       SELECT vec_id, subspace, codeword,
              floor((list_dot_product(sv, sv) + list_dot_product(cv, cv)
@@ -1059,6 +1088,35 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_argmin(vs: DataFrame, cs: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    parameter-bounded codebook, integer-quantize the squared distance
+    (floor(d2·10⁴+0.5)) BEFORE the argmin, and take the min as a
+    min(struct(d2q, codeword)) hash aggregate — partial-aggregated
+    map-side so only rows × subspaces single-struct rows shuffle; the
+    lexicographic struct order reproduces the (d2q, codeword) tie-break
+    of the oracle's row_number exactly."""
+    d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
+        F.col("sv"), F.col("cv")
+    )
+    j = vs.join(F.broadcast(cs), "subspace").select(
+        "vec_id",
+        "subspace",
+        "codeword",
+        F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
+    )
+    return (
+        j.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2q", "codeword")).alias("m"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("m.codeword").alias("codeword"),
+            F.col("m.d2q").alias("d2q"),
+        )
+    )
+
+
 def _pq_sub_struct(col: str, alias: str):
     """Explode a vector column into (subspace, subvector) structs — an
     in-row fan-out, never a crossJoin of the vector table."""
@@ -1079,10 +1137,12 @@ _PQ_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = register_memo({})
 
 
 def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, DataFrame]:
-    """Product-quantization code assignment shared by the PQ audit and
-    the IVF-PQ ADC search: split each vector into PQ_SUBSPACES contiguous
-    PQ_SUBDIM-dim subvectors, assign each to its nearest of PQ_CODEWORDS
-    codewords (deterministic lowest-vec_id seeds). Returns
+    """Product-quantization codebook training (ONE Lloyd round from
+    deterministic lowest-vec_id seeds) + code assignment, shared by the
+    PQ audit and the IVF-PQ ADC search: split each vector into
+    PQ_SUBSPACES contiguous PQ_SUBDIM-dim subvectors, train the
+    per-subspace PQ_CODEWORDS-codeword codebook, assign each subvector
+    to its nearest trained codeword. Returns
     ``(best, cs)``: ``best(vec_id, subspace, codeword, d2q)`` — the code
     table plus the integer-quantized (×10⁴) squared distance to the
     chosen codeword — and ``cs(codeword, subspace, cv)`` — the codebook
@@ -1122,25 +1182,38 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
     cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(
         "codeword", "x.subspace", "x.cv"
     )
-    d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
-        F.col("sv"), F.col("cv")
-    )
-    j = vs.join(F.broadcast(cs), "subspace").select(
+    # ONE Lloyd training round (mirrored by the unrolled oracle): assign
+    # every subvector to its nearest init codeword, then replace each
+    # (subspace, codeword) cell with the mean of its assigned subvectors.
+    # The update shuffles (subspace, codeword, dim, value) triples only —
+    # rows × dim, same shape as ivf_build's centroid update — and the
+    # retrained codebook stays parameter-bounded (≤ subspaces×codewords
+    # rows, eagerly checkpointed like ivf_build's centroid table). A
+    # codeword left empty in a subspace drops out of the inner-join
+    # update on both engines.
+    assign0 = _pq_argmin(vs, cs)
+    vsl = vs.select(
         "vec_id",
         "subspace",
-        "codeword",
-        F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
+        F.posexplode(F.transform("sv", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        ),
     )
-    best = (
-        j.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d2q", "codeword")).alias("m"))
-        .select(
-            "vec_id",
-            "subspace",
-            F.col("m.codeword").alias("codeword"),
-            F.col("m.d2q").alias("d2q"),
+    cs = (
+        assign0.select("vec_id", "subspace", "codeword")
+        .join(vsl, ["vec_id", "subspace"])
+        .groupBy("subspace", "codeword", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("subspace", "codeword")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
         )
+        .localCheckpoint(eager=True)
     )
+    best = _pq_argmin(vs, cs)
     if memo_key is not None:
         # checkpoint-bound the memoized frames: the code table is read by
         # every subsequent search in the session, the codebook is tiny.
