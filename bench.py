@@ -194,6 +194,7 @@ HEADLINE = [
     "dedup_semdedup",
     "similarity_ivf_pq_adc",
     "stream_embedding_dedup",
+    "corpus_semdedup_budget",
 ]
 
 

@@ -777,15 +777,18 @@ def semdedup_flags(
     )
 
 
-def _semdedup_oracle_sql(
+def _semdedup_flags_cte(
     n_clusters: int = 16,
     n_iters: int = 2,
     tau: float = SEMDEDUP_TAU,
     n_anchors: int = SEMDEDUP_ANCHORS,
 ) -> str:
+    """Comma-terminated CTE prefix: the k-means fragment plus
+    ``members``, ``anchors`` and ``dup_hits`` — shared by the per-doc
+    flag query and the per-source budget rollup so both oracle the
+    IDENTICAL prune decision."""
     kmeans, _cl = _kmeans_cte(n_clusters, n_iters)
-    return f"""
-    WITH {kmeans}
+    return f"""{kmeans}
     members AS (
       SELECT e.id, afinal.cluster, e.v FROM e JOIN afinal ON e.id = afinal.id
     ),
@@ -803,7 +806,17 @@ def _semdedup_oracle_sql(
                   / (sqrt(list_dot_product(m.v, m.v))
                      * sqrt(list_dot_product(a.a_v, a.a_v))), 4) >= {tau}
       GROUP BY m.id
-    )
+    )"""
+
+
+def _semdedup_oracle_sql(
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    tau: float = SEMDEDUP_TAU,
+    n_anchors: int = SEMDEDUP_ANCHORS,
+) -> str:
+    return f"""
+    WITH {_semdedup_flags_cte(n_clusters, n_iters, tau, n_anchors)}
     SELECT m.id AS vec_id, m.cluster::BIGINT AS cluster,
            coalesce(d.n_dup_anchors, 0)::BIGINT AS n_dup_anchors,
            d.id IS NULL AS is_kept
@@ -837,6 +850,65 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
     assignments, _centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
     return semdedup_flags(emb, assignments)
+
+
+@register(
+    "corpus_semdedup_budget",
+    f"""
+    WITH {_semdedup_flags_cte()},
+    flags AS (
+      SELECT m.id AS doc_id, d.id IS NULL AS is_kept
+      FROM members m LEFT JOIN dup_hits d ON m.id = d.id
+    )
+    SELECT doc.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN f.is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           ((sum(CASE WHEN f.is_kept THEN 1 ELSE 0 END) * 1000000)
+            // count(*))::BIGINT AS kept_ppm,
+           sum(doc.n_chars)::BIGINT AS chars_total,
+           sum(CASE WHEN f.is_kept THEN doc.n_chars ELSE 0 END)::BIGINT
+             AS chars_kept,
+           ((sum(CASE WHEN f.is_kept THEN doc.n_chars ELSE 0 END) * 1000000)
+            // sum(doc.n_chars))::BIGINT AS chars_kept_ppm
+    FROM documents doc JOIN flags f USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Per-source SemDeDup budget report — what a curation run reads "
+    "before committing a threshold: docs/chars kept per source in exact "
+    "integer ppm (truncating integer division, identical on both "
+    "engines). The FIRST cross-modal composition in the registry: joins "
+    "the documents fact to the embedding-space keep flags on the shared "
+    "doc_id↔vec_id key — the canonical corpus-and-its-embeddings shape "
+    "of a real pipeline. Plan: the flag side reuses the memoized k-means "
+    "cells + the same anchor prune as dedup_semdedup (oracled through "
+    "the shared _semdedup_flags_cte fragment), the doc↔flag equi-join is "
+    "unhinted (both sides corpus-coupled), and the rollup is one "
+    "map-side-partial hash aggregate on the low-cardinality source key.",
+)
+def corpus_semdedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    emb, docs = cat["embeddings"], cat["documents"]
+    assignments, _centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    flags = semdedup_flags(emb, assignments).select(
+        F.col("vec_id").alias("doc_id"), "is_kept"
+    )
+    j = docs.select("doc_id", "source", "n_chars").join(flags, "doc_id")
+    kept = F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+    chars_kept = F.sum(F.when(F.col("is_kept"), F.col("n_chars")).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        F.expr(
+            "(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        ).cast("bigint").alias("kept_ppm"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        chars_kept.cast("bigint").alias("chars_kept"),
+        F.expr(
+            "(sum(CASE WHEN is_kept THEN n_chars ELSE 0 END) * 1000000)"
+            " div sum(n_chars)"
+        ).cast("bigint").alias("chars_kept_ppm"),
+    )
 
 
 @register(

@@ -81,6 +81,7 @@ _PRIORITY = [
     "dedup_semdedup",
     "similarity_ivf_pq_adc",
     "stream_embedding_dedup",
+    "corpus_semdedup_budget",
     "embedding_pq_audit",
     "similarity_ann_ivf",
     "dedup_minhash_clusters",
