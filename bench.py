@@ -195,6 +195,7 @@ HEADLINE = [
     "similarity_ivf_pq_adc",
     "stream_embedding_dedup",
     "corpus_semdedup_budget",
+    "multimodal_audio_features",
 ]
 
 

@@ -82,6 +82,7 @@ _PRIORITY = [
     "similarity_ivf_pq_adc",
     "stream_embedding_dedup",
     "corpus_semdedup_budget",
+    "multimodal_audio_features",
     "embedding_pq_audit",
     "similarity_ann_ivf",
     "dedup_minhash_clusters",
