@@ -196,6 +196,7 @@ HEADLINE = [
     "stream_embedding_dedup",
     "corpus_semdedup_budget",
     "multimodal_audio_features",
+    "multimodal_image_blocks",
 ]
 
 

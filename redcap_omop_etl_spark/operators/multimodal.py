@@ -410,6 +410,47 @@ def audio_frame_features(media: DataFrame, frame: int = 16) -> DataFrame:
     return media.select("doc_id", "wav").mapInPandas(feats, out_schema)
 
 
+def image_block_stats(media: DataFrame, block: int = 4) -> DataFrame:
+    """Real image DSP over DECODED 24-bit BMP pixels: per-channel-summed
+    pixel intensities pooled into non-overlapping ``block``×``block``
+    blocks (the downsample/patchify stage of any vision pipeline),
+    reduced to a block-index-weighted integer checksum. Ragged right/
+    bottom edges are dropped (standard pooling). All-integer, so the
+    closed-form SQL oracle reproduces the pooled values with no codec —
+    a decoder that mishandled the bottom-up row flip or the 4-byte row
+    padding pools the wrong pixels into each block and hash-mismatches
+    even when the byte multiset is right."""
+    out_schema = "doc_id long, width int, height int, n_blocks int, block_chk long"
+    codecs = _media_codecs()
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        _, decode_bmp, _, _ = codecs
+        for pdf in batches:
+            rows = []
+            for doc_id, bmp in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, logical = decode_bmp(bytes(bmp))
+                px = np.frombuffer(logical, dtype=np.uint8).astype(np.int64)
+                arr = px.reshape(h, w, 3).sum(axis=2)
+                by, bx = h // block, w // block
+                blocks = (
+                    arr[: by * block, : bx * block]
+                    .reshape(by, block, bx, block)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                )
+                wgt = np.arange(blocks.size, dtype=np.int64) % 83 + 1
+                rows.append(
+                    (int(doc_id), w, h, int(blocks.size), int((blocks * wgt).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_blocks", "block_chk"]
+            )
+
+    return media.select("doc_id", "bmp").mapInPandas(pool, out_schema)
+
+
 def media_feature_stats(docs: DataFrame) -> DataFrame:
     """End-to-end demo pipeline: synth ingest → Arrow featurize → payload
     dropped → aggregate. The shape a real multimodal pipeline takes."""
@@ -595,3 +636,45 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(Catalog(spark, sf_dir)["documents"])
     return audio_frame_features(synth_real_media(docs))
+
+
+@register(
+    "multimodal_image_blocks",
+    """
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             ((u.i // 3) % w) AS x, ((u.i // 3) // w) AS y,
+             (u.i * 7 + doc_id) % 256 AS v
+      FROM g, unnest(range(0, w * h * 3)) u(i)
+    ), bl AS (
+      SELECT doc_id, ((y // 4) * (w // 4) + (x // 4)) AS b, sum(v) AS bsum
+      FROM px
+      WHERE x < (w // 4) * 4 AND y < (h // 4) * 4
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, count(*)::INT AS n_blocks,
+             sum(bsum * (b % 83 + 1))::BIGINT AS block_chk
+      FROM bl GROUP BY 1
+    )
+    SELECT g.doc_id, w::INT AS width, h::INT AS height,
+           agg.n_blocks, agg.block_chk
+    FROM g JOIN agg USING (doc_id)
+    """,
+    doc="Real image DSP over decoded 24-bit BMP pixels (the vision twin "
+    "of multimodal_audio_features): channel-summed intensities pooled "
+    "into 4×4 blocks — the downsample/patchify stage of a vision "
+    "pipeline — reduced to a block-index-weighted integer checksum, "
+    "computed in an Arrow mapInPandas stage from the REAL container "
+    "bytes (bottom-up row flip + 4-byte row padding handled by the "
+    "pure-Python codec). The closed-form SQL oracle reproduces the "
+    "pooled values with no codec, so a row-flip or padding bug pools "
+    "the wrong pixels into each block and hash-mismatches even with "
+    "the right byte multiset. Bytes never leave the executors; output "
+    "is one row per doc.",
+)
+def multimodal_image_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir)["documents"])
+    return image_block_stats(synth_real_media(docs))

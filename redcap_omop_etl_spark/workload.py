@@ -83,6 +83,7 @@ _PRIORITY = [
     "stream_embedding_dedup",
     "corpus_semdedup_budget",
     "multimodal_audio_features",
+    "multimodal_image_blocks",
     "embedding_pq_audit",
     "similarity_ann_ivf",
     "dedup_minhash_clusters",
