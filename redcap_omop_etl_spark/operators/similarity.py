@@ -564,13 +564,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: rank cells by centroid distance to the query (the
     centroid table is tiny — collected like any broadcast dim), scan only
-    the ``n_probes`` nearest cells, brute-force cosine inside them."""
-    cents = centroids.collect()  # bounded: n_clusters × dim
-    scored = sorted(
-        ((c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], query_vec))) for c in cents),
-        key=lambda t: t[1],
-    )
-    probe_clusters = [c for c, _ in scored[:n_probes]]
+    the ``n_probes`` nearest cells, brute-force cosine inside them.
+    Probe selection goes through the shared ``_nearest_cells`` so the
+    (distance, cluster) tie-break is deterministic and identical across
+    every IVF consumer and the oracle's ``ORDER BY d, cluster``."""
+    probe_clusters = _nearest_cells(centroids.collect(), query_vec, n_probes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     candidates = embeddings.join(
         assignments.filter(F.col("cluster").isin(probe_clusters)).select(id_col), id_col
@@ -979,16 +977,11 @@ def ivf_topk_from_index(
     """Search a persisted IVF index: rank cells by centroid distance
     (driver-side, centroid table is tiny), then brute-force cosine over a
     scan whose ``cluster IN (probes)`` predicate prunes at file-listing
-    time — unprobed cells cost zero I/O."""
+    time — unprobed cells cost zero I/O. Probe selection shares
+    ``_nearest_cells`` for its deterministic (distance, cluster)
+    tie-break."""
     cents = spark.read.parquet(f"{path}/centroids").collect()
-    scored = sorted(
-        (
-            (c["cluster"], sum((float(v) - q) ** 2 for v, q in zip(c["centroid"], query_vec)))
-            for c in cents
-        ),
-        key=lambda t: t[1],
-    )
-    probe_clusters = [c for c, _ in scored[:n_probes]]
+    probe_clusters = _nearest_cells(cents, query_vec, n_probes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     candidates = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(probe_clusters))
     ranked = candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
@@ -1138,7 +1131,8 @@ def _pq_oracle_sql() -> str:
     "training), and report per-cell occupancy + average distortion — the "
     "memory-vs-recall audit behind every PQ/IVFPQ index. Plan: the "
     "subspace fan-out is an in-row explode (never a crossJoin of the "
-    "vector table), codewords are a 32-row broadcast, and the argmin is "
+    "vector table), codewords are a PQ_SUBSPACES×PQ_CODEWORDS-row "
+    "(8×16=128) broadcast, and the argmin is "
     "a min(struct(d2q, codeword)) hash AGGREGATE — partial-aggregated "
     "map-side so only rows x subspaces single-struct rows shuffle (the "
     "row_number-window form it replaced exchanged and sorted rows x "
@@ -1227,7 +1221,8 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
     the corpus per search query is pure waste (measured: the encode was
     ~5x the actual ADC search wall at 64x replication).
 
-    Plan: codewords are a 32-row broadcast; the argmin is a
+    Plan: codewords are a PQ_SUBSPACES×PQ_CODEWORDS-row (8×16=128)
+    broadcast; the argmin is a
     min(struct(d2q, codeword)) hash AGGREGATE — partial-aggregated
     map-side so only rows × subspaces single-struct rows shuffle (the
     row_number-window form it replaced exchanged and sorted rows ×
@@ -1362,7 +1357,8 @@ def _nearest_cells(cents, query_vec: list[float], n_probes: int) -> list[int]:
 
 def _adc_dtable(cs: DataFrame, query_vec: list[float]) -> DataFrame:
     """ADC distance table: per-subspace query subvectors as an in-row
-    literal fan-out joined against the codebook subvectors — 8×4 rows,
+    literal fan-out joined against the codebook subvectors —
+    PQ_SUBSPACES×PQ_CODEWORDS (8×16=128) rows,
     integer-quantized (floor(d2·10⁴+0.5)) so per-vector ADC sums are
     exact BIGINT arithmetic on every engine."""
     qsub = cs.sparkSession.range(1).select(
@@ -1394,7 +1390,8 @@ def _adc_dtable(cs: DataFrame, query_vec: list[float]) -> DataFrame:
 
 
 def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
-    """Rank candidate codes by ADC distance: broadcast the 32-row
+    """Rank candidate codes by ADC distance: broadcast the
+    PQ_SUBSPACES×PQ_CODEWORDS-row (128)
     distance table, hash-agg the per-vector BIGINT sum, TakeOrdered
     heap on (adc_d2q, vec_id), exact rank over the k survivors."""
     adc = (
@@ -1421,11 +1418,12 @@ def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
     "next to IVF-Flat and hyperplane LSH, and the one a 100 TB corpus "
     "actually affords: after IVF probing, candidate distances come from "
     "the 8-byte PQ CODES alone (per-subspace query→codeword distance "
-    "table, 32 entries, summed per vector) — the raw float vectors are "
+    "table, PQ_SUBSPACES×PQ_CODEWORDS = 128 entries, summed per "
+    "vector) — the raw float vectors are "
     "touched only to add the exact-cosine audit column on the 10 "
     "survivors, so search I/O is probes/cells of the CODE table (~3% "
     "of raw vector bytes at 64-dim float32 → 8×1B codes). Plan: the "
-    "distance table is a parameter-bounded (8×4) broadcast built from "
+    "distance table is a parameter-bounded (8×16) broadcast built from "
     "the codebook + the collected query vector; the ADC sum is a hash "
     "aggregate over integer-quantized distances (exact, "
     "order-insensitive); top-k is TakeOrderedAndProject on (adc_d2q, "
@@ -1463,20 +1461,24 @@ def ivfpq_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    memo_key: str | None = None,
 ) -> None:
     """Persist the full IVF-PQ index: the ``ivf_write_index`` layout
     (cluster-partitioned raw vectors for exact rerank + the centroid
     table) PLUS the cluster-partitioned PQ code table under
-    ``path/codes/cluster=<c>/`` and the 32-row codebook under
-    ``path/codebook/``. An ADC search then reads ONLY the probed code
-    directories — at 64-dim float32 the code table is ~3% of the vector
-    bytes, so probe I/O at 100 TB is (n_probes/n_clusters) × 3% of the
-    corpus; the vector directories are touched only if the caller
-    reranks survivors."""
+    ``path/codes/cluster=<c>/`` and the PQ_SUBSPACES×PQ_CODEWORDS-row
+    codebook under ``path/codebook/``. An ADC search then reads ONLY the
+    probed code directories — at 64-dim float32 the code table is ~3% of
+    the vector bytes, so probe I/O at 100 TB is (n_probes/n_clusters) ×
+    3% of the corpus; the vector directories are touched only if the
+    caller reranks survivors. Pass ``memo_key`` (the corpus directory,
+    mirroring the registered queries' ``sf_dir``) so writing an index
+    REUSES the session's memoized code table instead of re-training the
+    codebook and re-encoding the corpus a second time."""
     ivf_write_index(embeddings, assignments, centroids, path, id_col, vec_col)
     from redcap_omop_etl_spark.sources.partitioned import write_partitioned
 
-    best, cs = pq_assign(embeddings)
+    best, cs = pq_assign(embeddings, memo_key=memo_key)
     codes = best.join(assignments.select(F.col(id_col).alias("vec_id"), "cluster"), "vec_id")
     write_partitioned(codes, f"{path}/codes", "cluster")
     cs.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
@@ -1491,7 +1493,8 @@ def ivfpq_adc_from_index(
 ) -> DataFrame:
     """ADC search over a persisted IVF-PQ index WITHOUT touching raw
     vectors: probes come from the tiny centroid parquet (driver-side,
-    like ``ivf_topk_from_index``), the distance table from the 32-row
+    like ``ivf_topk_from_index``), the distance table from the
+    PQ_SUBSPACES×PQ_CODEWORDS-row (128)
     codebook parquet, and candidates from a ``cluster IN (probes)`` scan
     of the code table that prunes at file-listing time (``cluster`` is a
     partition column — unprobed cells cost zero I/O, pinned in

@@ -79,7 +79,19 @@ def stream_semantic_dedup_gate(
     on the signature key. Vectors carry no event time in this corpus, so
     ingest time derives deterministically from ``vec_id`` — swap in the
     real ingest timestamp in production. Batch fallback keeps the same
-    kept-KEY contract as ``stream_near_dup_gate``."""
+    kept-KEY contract as ``stream_near_dup_gate``.
+
+    HORIZON BOUND (what bounded state buys and costs): stream ≡ batch
+    holds only while duplicate signatures arrive within the watermark
+    horizon of each other. ``ingest_ts`` is ``vec_id`` seconds, so a
+    corpus whose ids span more than the horizon (7200 s at the default
+    "2 hours") can see a signature's state EVICTED and a later
+    duplicate re-admitted — the documented at-least-once contract of
+    every horizon-bounded dedup gate (the batch ``dropDuplicates``
+    would have suppressed it). The registered corpora (≤5000 ids) fit
+    inside the horizon so the pinned equality is exact; the eviction →
+    re-admission behavior itself is pinned, not just stated, in
+    ``tests/test_streaming.py::TestLateDataReadmission``."""
     from redcap_omop_etl_spark.operators.similarity import hyperplane_bits
 
     # +1 day: vec_id 0 would land exactly ON epoch 0 — the stream's
@@ -115,7 +127,11 @@ def stream_near_dup_gate(
     unchanged. Batch fallback: ``dropDuplicates`` on the same key (which
     row survives is arrival-dependent in stream mode, so equivalence is
     asserted on the KEPT KEY SET — the ``stream_watermark_dedup``
-    contract)."""
+    contract). Same HORIZON BOUND as ``stream_semantic_dedup_gate``:
+    kept-set equality with batch holds within the watermark horizon
+    (ids spanning > 7200 s at the default can evict a signature and
+    re-admit a later duplicate — at-least-once, pinned in
+    ``tests/test_streaming.py::TestLateDataReadmission``)."""
     from redcap_omop_etl_spark.operators.dedup import near_dup_signature
 
     # +1 day guard: an id of 0 would land exactly ON epoch 0 — the
