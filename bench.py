@@ -197,6 +197,11 @@ HEADLINE = [
     "corpus_semdedup_budget",
     "multimodal_audio_features",
     "multimodal_image_blocks",
+    # round 9: xxHash64 signature twins for the cluster-table path (the
+    # md5-tax knob), frozen-codebook IVF-PQ append + search.
+    "dedup_minhash_clusters_fast",
+    "corpus_soft_dedup_weights_fast",
+    "ivfpq_append_search",
 ]
 
 

@@ -406,7 +406,13 @@ def _prefix_jaccard_pipeline(
     return pairs, overflow
 
 
-def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def shingle_hashes(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "md5",
+) -> DataFrame:
     """Per-document array of 31-bit shingle hashes (the minhash input).
 
     Computed once and intended to be persisted by callers: every
@@ -414,11 +420,29 @@ def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     the tokenize→shingle→hash pipeline runs exactly once per document
     (Spark's projection collapse would otherwise re-inline it into each of
     the 64 signature expressions).
+
+    ``family`` picks the per-shingle hash: ``"md5"`` (default) is
+    ``portable_hash60`` — bit-for-bit reproducible in DuckDB, which is
+    what keeps every MinHash oracle value-checked end-to-end; ``"xxh"``
+    is Spark's codegen'd ``xxhash64`` (pmod-folded into the same 31-bit
+    space) — the PRODUCTION hash family, 5-7× the md5 throughput on
+    identical plans (the documented md5-tax class: DSIR / classifier /
+    bootstrap / cluster signatures), with no DuckDB twin. Everything
+    downstream of the 31-bit fold — the (a·h+b) mod p permutation
+    family, banding, star edges, components — is byte-identical between
+    families.
     """
     sh = shingles(F.col(text_col), n)
-    # portable_hash60 is non-negative (< 2^60), so plain % p is already a
-    # pmod — and the whole reduction replays exactly in the DuckDB oracle.
-    hashed = F.array_distinct(F.transform(sh, lambda s: portable_hash60(s) % _MERSENNE_P))
+    if family == "xxh":
+        hashed = F.array_distinct(
+            F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+        )
+    else:
+        # portable_hash60 is non-negative (< 2^60), so plain % p is already
+        # a pmod — and the reduction replays exactly in the DuckDB oracle.
+        hashed = F.array_distinct(
+            F.transform(sh, lambda s: portable_hash60(s) % _MERSENNE_P)
+        )
     return fan_out(df).select(F.col(id_col).alias("doc"), hashed.alias("hashes"))
 
 
@@ -445,11 +469,17 @@ def _minhash_sig(hashes: Column, num_hashes: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    (a_i * h + b_i) mod p over 31-bit shingle hashes. Zero shuffles."""
-    base = shingle_hashes(df, n, text_col, id_col)
+    (a_i * h + b_i) mod p over 31-bit shingle hashes. Zero shuffles.
+    ``family`` picks the shingle hash (see ``shingle_hashes``)."""
+    base = shingle_hashes(df, n, text_col, id_col, family=family)
     return base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
 
 
@@ -538,15 +568,18 @@ def minhash_band_table(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
     """LSH band table ``(doc, band, bucket)`` — the shared prefix of
     pair-emitting LSH (``minhash_lsh_pairs``) and the bounded-output
     cluster path (``minhash_star_edges``). Zero shuffles: signatures fold
     per-row over the hashed-shingle array; the explode is docs × bands.
     Same deterministic (a·h+b) mod p family and raw-slice bucket keys as
-    ``minhash_lsh_pairs``, so the banding replays verbatim in DuckDB."""
+    ``minhash_lsh_pairs``, so the banding replays verbatim in DuckDB
+    (md5 family; the ``"xxh"`` family swaps only the per-shingle hash —
+    see ``shingle_hashes``)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, family=family)
     return (
         sigs.select(
             "doc",
@@ -579,6 +612,7 @@ def minhash_star_edges(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    family: str = "md5",
 ) -> DataFrame:
     """Bucket-co-membership STAR edges ``(d1, d2)`` — the linear-output
     near-dup representation a 100 TB dedup run actually materializes.
@@ -596,8 +630,10 @@ def minhash_star_edges(
     S-curve, 16 bands × 4 rows ⇒ P(collide) = 1-(1-j⁴)¹⁶, and a verify
     that REJECTED a hub edge could disconnect true members anyway).
     One window shuffle on the high-cardinality (band, bucket) key + one
-    distinct; both linear in docs × bands."""
-    banded = minhash_band_table(df, num_hashes, bands, n, text_col, id_col)
+    distinct; both linear in docs × bands. ``family`` picks the shingle
+    hash (``"md5"`` oracle-portable / ``"xxh"`` production throughput;
+    see ``shingle_hashes``) — the star construction is identical."""
+    banded = minhash_band_table(df, num_hashes, bands, n, text_col, id_col, family=family)
     from pyspark.sql.window import Window
 
     m = F.min("doc").over(Window.partitionBy("band", "bucket"))

@@ -47,6 +47,14 @@ from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
 
+# Observability: star-contraction round count of the most recent
+# connected_components() call (None before any call). Written, not
+# returned, so the 5 registered cluster consumers keep their signatures;
+# read by tools/bench_scale.py's --skewed regime to publish how many
+# rounds the heavy-hub graph takes vs the bounded-radius one.
+CC_LAST_ROUNDS: int | None = None
+
+
 def connected_components(
     edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 30
 ) -> DataFrame:
@@ -101,7 +109,9 @@ def connected_components(
             lone.select(F.col("n").alias("node"), F.col("n").alias("component"))
         )
 
+    global CC_LAST_ROUNDS
     if not e.take(1):
+        CC_LAST_ROUNDS = 0
         empty = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         return _with_singletons(empty)
 
@@ -115,7 +125,7 @@ def connected_components(
         return (row.n, row.h)
 
     sig = _signature(e)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # LARGE-STAR: center a over ALL neighbors b (both directions);
         # every strictly-greater neighbor rewires to the center's
         # neighborhood min. Output edges all point larger -> smaller.
@@ -146,6 +156,7 @@ def connected_components(
         new_sig = _signature(small)
         e = small
         if new_sig == sig:
+            CC_LAST_ROUNDS = rounds
             break
         sig = new_sig
     else:
@@ -1121,14 +1132,75 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_COMP_MEMO: dict = register_memo({})
 
 
-def _minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _minhash_components(spark: SparkSession, sf_dir: str, family: str = "md5") -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, family)
     if key in _MINHASH_COMP_MEMO:
         return _MINHASH_COMP_MEMO[key]
     docs = Catalog(spark, sf_dir)["documents"]
-    comp = connected_components(minhash_star_edges(docs)).localCheckpoint(eager=True)
+    comp = connected_components(
+        minhash_star_edges(docs, family=family)
+    ).localCheckpoint(eager=True)
     _MINHASH_COMP_MEMO[key] = comp
     return comp
+
+
+def _cluster_table_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+    """Shared body of ``dedup_minhash_clusters`` and its xxHash64
+    production twin: per-document (cluster_rep, is_survivor,
+    cluster_size) over the MinHash star-edge component table. The hash
+    ``family`` changes ONLY the per-shingle hash inside the signature
+    fold (``shingle_hashes``); banding, star edges, star-contraction CC
+    and this projection are plan-identical."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    comp = _minhash_components(spark, sf_dir, family=family)
+    percol = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_rep")
+        )
+    )
+    return percol.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
+        .otherwise(0)
+        .alias("is_survivor"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+def _soft_dedup_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+    """Shared body of ``corpus_soft_dedup_weights`` and its xxHash64
+    production twin (per-source n_docs / n_clusters / effective ppm over
+    the same memoized component table — both families share the
+    ``_minhash_components`` memo with ``dedup_minhash_clusters``)."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    comp = _minhash_components(spark, sf_dir, family=family)
+    percol = (
+        docs.select("doc_id", "source")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+        )
+    )
+    sized = percol.withColumn(
+        "csz", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_rep").cast("long").alias("n_clusters"),
+        F.sum(F.expr("1000000 div csz")).cast("long").alias("effective_docs_ppm"),
+    )
 
 
 @register(
@@ -1165,28 +1237,28 @@ def _minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive-CTE closure.",
 )
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    return _cluster_table_frame(spark, sf_dir, family="md5")
 
-    docs = Catalog(spark, sf_dir)["documents"]
-    comp = _minhash_components(spark, sf_dir)
-    percol = (
-        docs.select("doc_id")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("component", "doc_id").alias("cluster_rep")
-        )
-    )
-    return percol.select(
-        "doc_id",
-        "cluster_rep",
-        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
-        .otherwise(0)
-        .alias("is_survivor"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_rep"))
-        .cast("long")
-        .alias("cluster_size"),
-    )
+
+@register(
+    "dedup_minhash_clusters_fast",
+    None,  # xxHash64 has no DuckDB implementation — rows-only check; the
+    # md5 twin (dedup_minhash_clusters) value-oracles the identical plan.
+    doc="Production-hash twin of dedup_minhash_clusters: the same band "
+    "table -> per-bucket star edges -> large-star/small-star contraction "
+    "-> per-doc (cluster_rep, is_survivor, cluster_size) plan, with the "
+    "per-shingle hash swapped from the oracle-portable interpreted md5 "
+    "(portable_hash60) to Spark's codegen'd xxhash64. SCALE_r08 "
+    "decomposed the md5 path's 256x wall (73.3 s) as ~59 s of signature "
+    "generation — the same md5-tax class as DSIR/classifier/bootstrap, "
+    "hash THROUGHPUT, not plan shape — so this is the knob a 100 TB "
+    "dedup deployment turns (cluster membership is probabilistic either "
+    "way; the family choice only has to be consistent corpus-wide). "
+    "Shares the component memo discipline (keyed by family) and is the "
+    "frame corpus_soft_dedup_weights_fast composes over.",
+)
+def dedup_minhash_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_table_frame(spark, sf_dir, family="xxh")
 
 
 # Capped composition: the PRODUCTION configuration of the cluster
@@ -1505,24 +1577,20 @@ def sampling_leakage_safe_split_capped(spark: SparkSession, sf_dir: str) -> Data
     "count on the high-cardinality cluster_rep key, one hash agg.",
 )
 def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    return _soft_dedup_frame(spark, sf_dir, family="md5")
 
-    docs = Catalog(spark, sf_dir)["documents"]
-    comp = _minhash_components(spark, sf_dir)
-    percol = (
-        docs.select("doc_id", "source")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce("component", "doc_id").alias("cluster_rep"),
-        )
-    )
-    sized = percol.withColumn(
-        "csz", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
-    )
-    return sized.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_distinct("cluster_rep").cast("long").alias("n_clusters"),
-        F.sum(F.expr("1000000 div csz")).cast("long").alias("effective_docs_ppm"),
-    )
+
+@register(
+    "corpus_soft_dedup_weights_fast",
+    None,  # xxHash64 has no DuckDB implementation — rows-only check; the
+    # md5 twin (corpus_soft_dedup_weights) value-oracles the identical plan.
+    doc="Production-hash twin of corpus_soft_dedup_weights: identical "
+    "per-source soft-dedup rollup (1/cluster_size weights in exact "
+    "integer ppm) composed over the xxhash64 star-edge component table "
+    "that dedup_minhash_clusters_fast materializes — the two fast twins "
+    "SHARE the family-keyed _minhash_components memo, exactly like their "
+    "md5 twins share the md5 one, so a production run pays signature "
+    "generation once per corpus snapshot regardless of hash family.",
+)
+def corpus_soft_dedup_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _soft_dedup_frame(spark, sf_dir, family="xxh")

@@ -58,12 +58,71 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Queries surfaced first to the driver's (bounded, first ~50) per-round
-# correctness gate. Cumulative state entering round 8: all 243 round-7
-# queries driver-checked at least once across rounds 1-7, latest result
-# green for every one; 3 queries are new this round. Rotation policy:
+# correctness gate. Cumulative state entering round 9: every round-8
+# query driver-checked at least once across rounds 1-8 (latest result
+# green for all); 3 queries are new this round. Rotation policy:
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
+    # -- round-9 rotation (round-8 verdict item 1: retire the stale
+    # cohorts; no registered query should go >5 rounds unchecked).
+    # Leads: the 3 new round-9 queries; then the 6 whose PLAN changed
+    # this round (the SemDeDup pair now reads the memoized keep-flag
+    # table; the two IVF searches share _nearest_cells probe tie-break;
+    # the md5 cluster/soft-weight pair moved onto the shared
+    # family-parameterized frame builders); then the FULL r2 cohort
+    # (20, six rounds stale) and the FULL r3 cohort (17, five rounds
+    # stale). 3+6+20+17 = 46 slots — everything fits one driver window,
+    # leaving headroom for the gate's ~50 cut.
+    "dedup_minhash_clusters_fast",
+    "corpus_soft_dedup_weights_fast",
+    "ivfpq_append_search",
+    # plan changed this round
+    "dedup_semdedup",
+    "corpus_semdedup_budget",
+    "similarity_ann_ivf",
+    "similarity_ivf_pq_adc",
+    "dedup_minhash_clusters",
+    "corpus_soft_dedup_weights",
+    # r2 cohort (oldest evidence, full set)
+    "q6_forecast_revenue",
+    "q7_volume_by_year",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_share_window",
+    "rfm_segmentation",
+    "scd2_history",
+    "session_paths",
+    "sort_paginate",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "timeseries_gapfill",
+    "window_forward_fill",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_agg",
+    "window_topk_per_group",
+    # r3 cohort (next-oldest, full set)
+    "sampling_split_counts",
+    "sessionize_gap",
+    "similarity_ann_lsh",
+    "similarity_cosine_topk",
+    "similarity_topk_per_label",
+    "skew_key_stats",
+    "state_durations",
+    "stream_static_enrich",
+    "stream_watermark_dedup",
+    "text_boilerplate_ngrams",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "time_weighted_avg",
+    "try_arithmetic_suite",
+    "udaf_geo_mean",
+    "udtf_eav_emit",
+    "window_moving_median",
     # -- round-8 rotation. Leads: the new round-8 queries (SemDeDup
     # embedding pruning + IVF-PQ ADC search and the two queries whose
     # oracle SQL was refactored onto the shared _kmeans_cte/_pq_cte

@@ -182,10 +182,43 @@ def _mutated_text(r: int) -> F.Column:
     return F.concat_ws(" ", mutated)
 
 
-def materialize(spark, m: int, neardup: bool = False) -> str:
-    if m == 1:
+# --skewed regime: POWER-LAW duplicate families. The --neardup mutated
+# replication keeps dup-cluster radius bounded (realistic for generic
+# crawls), but real crawls ALSO have one giant template family (cookie
+# banners, mirrored boilerplate): --skewed overrides ~10% of ALL docs
+# (hash-selected by doc_id across every replica, so the family grows
+# with the corpus) with a shared 60-token template, lightly per-doc
+# mutated (~6% of tokens) so members are near-dups, not byte-dups.
+# Pairwise Jaccard within the family ≈ 0.88 -> members co-bucket under
+# the 16x4 banding with high probability -> per-bucket star edges hub
+# onto the family minimum: the exact heavy-hub shape large-star
+# contraction is designed for (hub absorbs leaves in one rewire; the
+# chain regime is what needs the log rounds). Non-family docs keep the
+# --neardup nested token mutation, so the corpus is a MIX of one giant
+# family and bounded-radius families.
+SKEW_TEMPLATE = " ".join(
+    f"template{i} boiler{i % 7} plate{i % 5} nav{i % 3}" for i in range(15)
+)  # 60 tokens, deterministic
+SKEW_FAMILY_MOD = 10  # xxhash64(doc_id) % 10 == 0 -> ~10% of docs
+
+
+def _skew_family_text() -> F.Column:
+    toks = F.split(F.lit(SKEW_TEMPLATE), r"\s+")
+    mutated = F.transform(
+        toks,
+        lambda t, i: F.when(
+            F.pmod(F.xxhash64(t, i, F.col("doc_id")), F.lit(1000)) < F.lit(60),
+            F.concat(t, F.lit("~"), (F.col("doc_id") % 97).cast("string")),
+        ).otherwise(t),
+    )
+    return F.concat_ws(" ", mutated)
+
+
+def materialize(spark, m: int, neardup: bool = False, skewed: bool = False) -> str:
+    tag = "sk" if skewed else ("nd" if neardup else "m")
+    if m == 1 and not skewed:
         return BASE
-    out = os.path.join(CACHE, f"{'nd' if neardup else 'm'}{m}")
+    out = os.path.join(CACHE, f"{tag}{m}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -199,14 +232,28 @@ def materialize(spark, m: int, neardup: bool = False) -> str:
         df = spark.read.parquet(f"{BASE}/{t}.parquet").crossJoin(F.broadcast(reps))
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_rep") * F.lit(OFFSET))
-        if neardup and t == "documents":
+        if (neardup or skewed) and t == "documents":
             # rebuild text per replica with the nested token mutation;
             # n_chars follows the rewritten text so length filters stay
             # honest. _rep 0 keeps the original text exactly.
             muts = F.col("text")
             for r in range(1, m):
                 muts = F.when(F.col("_rep") == r, _mutated_text(r)).otherwise(muts)
-            df = df.withColumn("text", muts).withColumn("n_chars", F.length("text"))
+            df = df.withColumn("text", muts)
+            if skewed:
+                # override the hash-selected ~10% with the lightly-
+                # mutated shared template — ONE power-law family whose
+                # size grows with the corpus (post-rekey doc_id so the
+                # family spans replicas)
+                df = df.withColumn(
+                    "text",
+                    F.when(
+                        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SKEW_FAMILY_MOD))
+                        == 0,
+                        _skew_family_text(),
+                    ).otherwise(F.col("text")),
+                )
+            df = df.withColumn("n_chars", F.length("text"))
         df.drop("_rep").write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     open(done, "w").close()
     return out
@@ -215,21 +262,24 @@ def materialize(spark, m: int, neardup: bool = False) -> str:
 def main() -> None:
     names = QUERIES
     ms_args = []
-    neardup = False
+    neardup = skewed = False
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
             names = [q for q in a.split("=", 1)[1].split(",") if q]
         elif a == "--neardup":
             neardup = True
+        elif a == "--skewed":
+            skewed = True
         else:
             ms_args.append(int(a))
-    if neardup and names is QUERIES:
+    if (neardup or skewed) and names is QUERIES:
         names = NEARDUP_QUERIES
     ms = ms_args or [1, 4, 16]
     spark = build_session("bench_scale")
     qs = {**workload.queries(), **_extra_queries()}
-    dirs = {m: materialize(spark, m, neardup) for m in ms}
+    dirs = {m: materialize(spark, m, neardup, skewed) for m in ms}
     results: dict[str, dict[int, float]] = {}
+    cc_rounds: dict[str, dict[int, int]] = {}
     for name in names:
         results[name] = {}
         for m in ms:
@@ -237,6 +287,13 @@ def main() -> None:
             clear_session_memos()  # cold slopes: memoized cluster tables must recompute
             spark.catalog.clearCache()
             qs[name](spark, dirs[m]).count()  # warm: codegen + file index
+            from redcap_omop_etl_spark.operators import graph as _g
+
+            if _g.CC_LAST_ROUNDS is not None:
+                # star-contraction rounds of the warm build (the timed
+                # trials below hit the memoized component table)
+                cc_rounds.setdefault(name, {})[m] = _g.CC_LAST_ROUNDS
+                _g.CC_LAST_ROUNDS = None
             trials = []
             for _ in range(2):  # min-of-2: damps JVM/GC state variance
                 t0 = time.time()
@@ -247,17 +304,17 @@ def main() -> None:
     slope = {
         n: round(r[hi] / max(r[min(ms)], 1e-9), 2) for n, r in results.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_stress",
-                "multipliers": ms,
-                "base_sf": 0.1,
-                "queries": results,
-                f"slope{hi}": slope,
-            }
-        )
-    )
+    out = {
+        "metric": "scale_stress",
+        "multipliers": ms,
+        "base_sf": 0.1,
+        "regime": "skewed" if skewed else ("neardup" if neardup else "standard"),
+        "queries": results,
+        f"slope{hi}": slope,
+    }
+    if cc_rounds:
+        out["cc_rounds"] = cc_rounds
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
