@@ -124,30 +124,39 @@ def connected_components(
         ).collect()[0]
         return (row.n, row.h)
 
+    from pyspark.sql.window import Window
+
     sig = _signature(e)
     for rounds in range(1, max_iter + 1):
         # LARGE-STAR: center a over ALL neighbors b (both directions);
         # every strictly-greater neighbor rewires to the center's
         # neighborhood min. Output edges all point larger -> smaller.
+        # The neighborhood min attaches via a KEYED WINDOW over the
+        # center instead of the groupBy-min + join-back it replaced:
+        # one exchange per half-round instead of three (round-9 rewrite;
+        # the CC loop measured as ~60% of the cluster-table build wall,
+        # and per-round exchanges — not data volume — were the cost).
         nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        mins = nbrs.groupBy("a").agg(F.min("b").alias("mb"))
-        mins = mins.select("a", F.least("mb", F.col("a")).alias("m"))
+        m_a = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
         large = (
-            nbrs.join(mins, "a")
+            nbrs.withColumn("m", m_a)
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: key by the larger endpoint; it and all its (smaller)
-        # neighbors rewire to the neighborhood min.
-        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        # neighbors rewire to the neighborhood min. Same keyed-window
+        # fusion; `large` is deliberately NOT distinct'd first — its row
+        # count is exactly one per directed (b > a) edge, duplicates of
+        # (u, v) pairs don't change the window min, and the single
+        # canonical distinct below dedups the round's output once.
+        m_u = F.min("v").over(Window.partitionBy("u"))
+        sm_all = large.withColumn("m", m_u)
         small = (
-            large.join(sm, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(sm.select(F.col("u"), F.col("m").alias("v")))
+            sm_all.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm_all.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
@@ -1248,14 +1257,17 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table -> per-bucket star edges -> large-star/small-star contraction "
     "-> per-doc (cluster_rep, is_survivor, cluster_size) plan, with the "
     "per-shingle hash swapped from the oracle-portable interpreted md5 "
-    "(portable_hash60) to Spark's codegen'd xxhash64. SCALE_r08 "
-    "decomposed the md5 path's 256x wall (73.3 s) as ~59 s of signature "
-    "generation — the same md5-tax class as DSIR/classifier/bootstrap, "
-    "hash THROUGHPUT, not plan shape — so this is the knob a 100 TB "
-    "dedup deployment turns (cluster membership is probabilistic either "
-    "way; the family choice only has to be consistent corpus-wide). "
-    "Shares the component memo discipline (keyed by family) and is the "
-    "frame corpus_soft_dedup_weights_fast composes over.",
+    "(portable_hash60) to Spark's codegen'd xxhash64. Registered per the "
+    "round-8 brief, then MEASURED honestly: the family swap moves the "
+    "cold component build only ~5% (74.8 -> 71.2 s at 256x mutated) "
+    "because this path's wall is the contraction loop (~60%) plus the "
+    "family-INDEPENDENT 64-permutation signature fold (~13%) — unlike "
+    "the per-row hashers (DSIR/classifier/bootstrap) where md5 IS the "
+    "wall. The twin stays registered as the (free, real) family knob "
+    "for deployments standardizing on xxhash64; the wall itself was "
+    "fixed by the round-9 keyed-window CC rewrite (DEPLOY.md). Shares "
+    "the component memo discipline (keyed by family) and is the frame "
+    "corpus_soft_dedup_weights_fast composes over.",
 )
 def dedup_minhash_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_table_frame(spark, sf_dir, family="xxh")

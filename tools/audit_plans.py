@@ -58,6 +58,17 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("similarity_ivf_pq_adc", "global-window"): "PQ-seed/centroid-init "
     "row_number over LIMIT-codewords + adc_rank over the LIMIT-k (10) "
     "survivors of the TakeOrdered ADC heap",
+    ("ivfpq_append_search", "global-window"): "same shape as "
+    "similarity_ivf_pq_adc (shared frozen index state + _adc_topk): "
+    "adc_rank over the LIMIT-k (10) survivors of the TakeOrdered ADC "
+    "heap; batch encode/assign windows are bounded by the broadcast "
+    "codebook/centroid dims",
+    ("ivfpq_append_search", "bnlj"): "the append batch's coarse assign "
+    "(_ivf_assign: batch vectors x broadcast 16-row FROZEN centroid "
+    "table) — the same parameter-bounded assignment crossJoin "
+    "similarity_ann_ivf's NOTE documents; it surfaces here because the "
+    "batch encode runs un-memoized inside the audited plan (base codes "
+    "come from the checkpointed memo, the batch is new by definition)",
     ("rfm_segmentation", "global-window"): "ntile quartiles are global by "
     "definition; input is the per-customer aggregate (dim-sized next to the "
     "orders fact it summarizes)",
