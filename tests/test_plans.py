@@ -26,6 +26,7 @@ _NESTED_LOOP_OK = {
     "q22_idle_customers",  # scalar AVG(acctbal) threshold (1 row)
     "join_range_bands",  # 3-row literal band dim, range predicate
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
+    "ivfpq_append_search",  # append-batch coarse assign vs the bounded FROZEN centroid table
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
     "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join
