@@ -202,6 +202,8 @@ HEADLINE = [
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",
     "ivfpq_append_search",
+    "ivfpq_recall_audit",
+    "dedup_minhash_clusters_append",
 ]
 
 

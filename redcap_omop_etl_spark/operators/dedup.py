@@ -77,7 +77,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1))))
 
 
-def shingle_sql_cte(key: str = "doc_id", gram: str = "s", materialized: bool = False) -> str:
+def shingle_sql_cte(
+    key: str = "doc_id",
+    gram: str = "s",
+    materialized: bool = False,
+    table: str = "documents",
+) -> str:
     """DuckDB CTE fragment mirroring ``shingles()`` EXACTLY — the single
     source of truth for every shingle-set oracle (splice right after
     ``WITH``; emits ``__tok`` and ``__sh({key}, {gram})``).
@@ -94,7 +99,7 @@ def shingle_sql_cte(key: str = "doc_id", gram: str = "s", materialized: bool = F
     mat = " MATERIALIZED" if materialized else ""
     return (
         f"__tok AS (\n"
-        f"      SELECT {key}, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents\n"
+        f"      SELECT {key}, string_split_regex(lower(trim(text)), '\\s+') AS w FROM {table}\n"
         f"    ), __sh AS{mat} (\n"
         f"      SELECT DISTINCT {key}, concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS {gram}\n"
         f"      FROM __tok, unnest(range(1, greatest(len(w) - 1, 2))) u(i)\n"

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from redcap_omop_etl_spark.caching import tracked_persist
 from redcap_omop_etl_spark.operators.dedup import (
     _PPJOIN_GATE_CAP,
+    minhash_band_table,
     minhash_banded_sql_cte,
     minhash_star_edges,
     minhash_star_sql_cte,
@@ -1134,23 +1135,51 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Materialized-view memo for the MinHash star-edge component table — the
-# shared prefix of dedup_minhash_clusters and corpus_soft_dedup_weights
-# (same discipline as _doc_near_dup_clusters: a production deployment
-# materializes the per-corpus cluster table once, not once per consumer).
+# Materialized-view memo for the MinHash cluster STATE — the component
+# table (doc -> cluster label) AND the per-(band, bucket) hub table,
+# both derived from ONE band-table materialization per (session, corpus,
+# family). The component table is the shared prefix of
+# dedup_minhash_clusters and corpus_soft_dedup_weights; the hub table is
+# the frozen index state the INCREMENTAL append path joins new documents
+# against (same discipline as the IVF-PQ codebook/centroids: a
+# production deployment persists exactly these two linear-sized tables
+# per corpus snapshot).
 _MINHASH_COMP_MEMO: dict = register_memo({})
 
 
-def _minhash_components(spark: SparkSession, sf_dir: str, family: str = "md5") -> DataFrame:
+def _minhash_cluster_state(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> tuple[DataFrame, DataFrame]:
+    """(components, hubs) for the corpus at ``sf_dir``: ``components
+    (node, component)`` over the star-edge graph and ``hubs(band,
+    bucket, hub)`` = each LSH bucket's minimum doc id. One band-table
+    pass feeds both (signature generation is the shared cost)."""
+    from pyspark.sql.window import Window
+
     key = (spark.sparkContext.applicationId, sf_dir, family)
     if key in _MINHASH_COMP_MEMO:
         return _MINHASH_COMP_MEMO[key]
     docs = Catalog(spark, sf_dir)["documents"]
-    comp = connected_components(
-        minhash_star_edges(docs, family=family)
-    ).localCheckpoint(eager=True)
-    _MINHASH_COMP_MEMO[key] = comp
-    return comp
+    banded = minhash_band_table(docs, family=family).localCheckpoint(eager=True)
+    hubs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.min("doc").alias("hub"))
+        .localCheckpoint(eager=True)
+    )
+    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    star = (
+        banded.withColumn("m", m)
+        .filter(F.col("doc") != F.col("m"))
+        .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+        .distinct()
+    )
+    comp = connected_components(star).localCheckpoint(eager=True)
+    _MINHASH_COMP_MEMO[key] = (comp, hubs)
+    return comp, hubs
+
+
+def _minhash_components(spark: SparkSession, sf_dir: str, family: str = "md5") -> DataFrame:
+    return _minhash_cluster_state(spark, sf_dir, family)[0]
 
 
 def _cluster_table_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
@@ -1606,3 +1635,172 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_soft_dedup_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _soft_dedup_frame(spark, sf_dir, family="xxh")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: incremental cluster-table maintenance (the near-dup analog of
+# the frozen-codebook IVF-PQ append)
+# ---------------------------------------------------------------------------
+
+# Derived append batch for the registered incremental query: every 25th
+# document (mod-class 23) appended TWICE — ids re-keyed past the corpus
+# range, with a shared 3-token suffix — so the batch exercises BOTH
+# incremental paths: the untouched leading shingles co-bucket with the
+# source document (edges into EXISTING clusters via the frozen hub
+# table), while the suffix shingles create batch-only buckets shared by
+# the two copies (star edges among NEW docs).
+_CLUSTER_APPEND_SHIFT = 1_000_000
+_CLUSTER_APPEND_MOD, _CLUSTER_APPEND_RES = 25, 23
+_CLUSTER_APPEND_SUFFIX = " zzappend zzmarker zztail"
+
+
+def incremental_minhash_components(
+    base_comp: DataFrame, hubs: DataFrame, batch_banded: DataFrame
+) -> DataFrame:
+    """Attach a batch of NEW documents to an existing MinHash cluster
+    state WITHOUT recomputing base signatures or re-running components
+    over the corpus — the O(batch) ingest tick of a 100 TB dedup
+    pipeline (vs the O(corpus) full rebuild).
+
+    Inputs: ``base_comp(node, component)`` (the persisted component
+    table; singleton docs absent, as produced by ``connected_components``
+    over star edges), ``hubs(band, bucket, hub)`` (each bucket's minimum
+    BASE doc id — the frozen index state), ``batch_banded(doc, band,
+    bucket)`` (the batch's band table; batch ids must be STRICTLY
+    GREATER than every base id).
+
+    Returns ``(node, component)`` covering every batch doc that gained
+    an edge plus every base component whose label CHANGED (a batch doc
+    transitively bridging two base clusters merges them — handled
+    exactly, not deferred).
+
+    EQUIVALENCE to the full rebuild, which the registered query's oracle
+    replays end-to-end: because batch ids exceed all base ids, a full
+    rebuild's per-bucket minima are unchanged wherever a bucket has a
+    base member, so its star edges decompose into (base star edges) ∪
+    (bucket hub -> batch member) ∪ (batch-only-bucket stars) — exactly
+    the edges this function adds; contracting each base component to its
+    representative before the merge CC preserves connectivity and the
+    min-reachable labels (every rep IS its component's minimum, and all
+    base ids < batch ids).
+
+    Scale shape: the shared-bucket join hits the hub table on its
+    (band, bucket) key; the merge graph has ≤ batch × bands edges over
+    rep/batch nodes, so the star-contraction CC here is BATCH-sized
+    regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    shared = batch_banded.join(hubs, ["band", "bucket"])
+    hub_rep = shared.join(
+        base_comp.withColumnRenamed("node", "hub"), "hub", "left"
+    ).select(
+        F.coalesce("component", "hub").alias("d1"), F.col("doc").alias("d2")
+    )
+    e1 = hub_rep.distinct()
+    only = batch_banded.join(hubs, ["band", "bucket"], "left_anti")
+    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    e2 = (
+        only.withColumn("m", m)
+        .filter(F.col("doc") != F.col("m"))
+        .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+        .distinct()
+    )
+    # merge graph over {base reps} ∪ {batch docs} — batch-sized
+    return connected_components(e1.unionByName(e2))
+
+
+@register(
+    "dedup_minhash_clusters_append",
+    f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_CLUSTER_APPEND_SHIFT}, text || '{_CLUSTER_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_CLUSTER_APPEND_MOD} = {_CLUSTER_APPEND_RES}
+      UNION ALL
+      SELECT doc_id + {2 * _CLUSTER_APPEND_SHIFT}, text || '{_CLUSTER_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_CLUSTER_APPEND_MOD} = {_CLUSTER_APPEND_RES}
+    ),
+    {shingle_sql_cte(table="alldocs")},
+    {minhash_banded_sql_cte()},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS is_survivor,
+           count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size,
+           doc_id >= {_CLUSTER_APPEND_SHIFT} AS is_appended
+    FROM percol
+    """,
+    doc="Incremental near-dup cluster-table maintenance — the dedup "
+    "analog of ivfpq_append_search, closing the ingest story: new "
+    "documents are banded against the FROZEN per-bucket hub table and "
+    "the existing component table (the two linear-sized tables "
+    "_minhash_cluster_state memoizes per corpus snapshot), gaining "
+    "edges into existing clusters through bucket hubs plus star edges "
+    "among themselves in batch-only buckets; the merge CC then runs "
+    "over a BATCH-sized rep/batch graph — so a daily ingest tick costs "
+    "O(batch), never an O(corpus) rebuild, and cross-base-cluster "
+    "merges caused by bridging batch docs resolve exactly rather than "
+    "deferring to the next rebuild. Because appended ids exceed every "
+    "base id, bucket minima are unchanged and the incremental result "
+    "PROVABLY equals the full rebuild over the union corpus — which is "
+    "exactly what the oracle replays (full banded-minhash + star + "
+    "recursive closure over documents UNION the derived batch), so the "
+    "equivalence is value-checked cross-engine, not just argued. "
+    "Output is the updated per-doc cluster table plus an is_appended "
+    "audit column.",
+)
+def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    base_comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
+    one = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(_CLUSTER_APPEND_MOD)) == _CLUSTER_APPEND_RES
+    ).select("doc_id", F.concat(F.col("text"), F.lit(_CLUSTER_APPEND_SUFFIX)).alias("text"))
+    batch = one.select(
+        (F.col("doc_id") + F.lit(_CLUSTER_APPEND_SHIFT)).alias("doc_id"), "text"
+    ).unionByName(
+        one.select(
+            (F.col("doc_id") + F.lit(2 * _CLUSTER_APPEND_SHIFT)).alias("doc_id"),
+            "text",
+        )
+    )
+    batch_banded = minhash_band_table(batch).transform(tracked_persist)
+    merged = incremental_minhash_components(base_comp, hubs, batch_banded).transform(
+        tracked_persist
+    )
+    # final label per base doc: its (possibly remapped) base rep
+    rep_map = merged.select(
+        F.col("node").alias("__rep"), F.col("component").alias("__final")
+    )
+    base_lbl = (
+        docs.select("doc_id")
+        .join(base_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("__rep"))
+        .join(rep_map, "__rep", "left")
+        .select("doc_id", F.coalesce("__final", "__rep").alias("cluster_rep"))
+    )
+    batch_lbl = (
+        batch.select("doc_id")
+        .join(merged.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
+    )
+    percol = base_lbl.unionByName(batch_lbl)
+    return percol.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0).alias(
+            "is_survivor"
+        ),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
+        (F.col("doc_id") >= _CLUSTER_APPEND_SHIFT).alias("is_appended"),
+    )

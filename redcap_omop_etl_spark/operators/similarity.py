@@ -1438,6 +1438,29 @@ def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _ivfpq_adc_parts(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_probes: int = 4
+):
+    """Shared body of the ADC search and its recall audit: memoized
+    index state (cells + codes), driver-side probe selection, candidate
+    codes from the probed cells, ADC top-k. Returns
+    ``(emb, qv, cand, topk)`` so consumers add their own projection
+    without re-deriving index state."""
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    codes, cs = pq_assign(emb, memo_key=sf_dir)
+    probe_clusters = _nearest_cells(centroids.collect(), qv, n_probes)
+    dtable = _adc_dtable(cs, qv)
+    probe_members = assignments.filter(
+        F.col("cluster").isin(probe_clusters)
+    ).select("vec_id")
+    cand = codes.join(probe_members, "vec_id").filter(F.col("vec_id") != 0)
+    topk = _adc_topk(cand, dtable, k)
+    return emb, qv, cand, topk
+
+
 @register(
     "similarity_ivf_pq_adc",
     _ivfpq_oracle_sql(n_clusters=16, n_iters=2, k=10, n_probes=4),
@@ -1459,25 +1482,117 @@ def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
     "fragments (_kmeans_cte, _pq_cte).",
 )
 def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir)["embeddings"]
-    k, n_probes = 10, 4
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in qrow[0]]
-    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
-    codes, cs = pq_assign(emb, memo_key=sf_dir)
-    probe_clusters = _nearest_cells(centroids.collect(), qv, n_probes)
-    dtable = _adc_dtable(cs, qv)
-    probe_members = assignments.filter(
-        F.col("cluster").isin(probe_clusters)
-    ).select("vec_id")
-    cand_codes = codes.join(probe_members, "vec_id").filter(F.col("vec_id") != 0)
-    topk = _adc_topk(cand_codes, dtable, k)
+    emb, qv, _cand, topk = _ivfpq_adc_parts(spark, sf_dir, k=10, n_probes=4)
     q = F.array(*[F.lit(v) for v in qv])
     return topk.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "vec_id",
         "adc_rank",
         "adc_d2q",
         F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
+    )
+
+
+def _ivfpq_recall_oracle_sql(
+    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+) -> str:
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}{_pq_cte()}
+    codes AS (SELECT vec_id, subspace, codeword FROM best WHERE rk = 1),
+    qsub AS (
+      SELECT s AS subspace, {_pq_sl('embedding', 's')} AS qv_s
+      FROM embeddings CROSS JOIN subs WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cs.subspace, cs.codeword,
+             floor((list_dot_product(cv, cv) + list_dot_product(qv_s, qv_s)
+                    - 2 * list_dot_product(cv, qv_s)) * 10000 + 0.5)::BIGINT AS qd2q
+      FROM cs JOIN qsub USING (subspace)
+    ),
+    probes AS (
+      SELECT {cl}.cluster
+      FROM {cl} JOIN el q ON q.id = 0 AND q.dim = {cl}.dim
+      GROUP BY {cl}.cluster
+      ORDER BY sum(({cl}.cval - q.val) ^ 2), {cl}.cluster
+      LIMIT {n_probes}
+    ),
+    adc AS (
+      SELECT c.vec_id, sum(d.qd2q)::BIGINT AS adc_d2q
+      FROM codes c
+      JOIN afinal ON c.vec_id = afinal.id
+      JOIN dtable d ON c.subspace = d.subspace AND c.codeword = d.codeword
+      WHERE afinal.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    adc10 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_d2q, vec_id) AS adc_rank
+        FROM adc) WHERE adc_rank <= {k}
+    ),
+    qv AS (SELECT v FROM e WHERE id = 0),
+    ex10 AS (
+      SELECT vec_id FROM (
+        SELECT e.id AS vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(e.v, qv.v)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(qv.v, qv.v))), 4) DESC,
+                 e.id) AS rk
+        FROM e, qv WHERE e.id <> 0) WHERE rk <= {k}
+    )
+    SELECT {k}::BIGINT AS k,
+           (SELECT count(*) FROM adc)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM ex10 JOIN adc10 USING (vec_id))::BIGINT AS n_overlap,
+           ((SELECT count(*) FROM ex10 JOIN adc10 USING (vec_id)) * 1000000
+            // {k})::BIGINT AS recall_ppm
+    """
+
+
+@register(
+    "ivfpq_recall_audit",
+    _ivfpq_recall_oracle_sql(),
+    doc="IVF-PQ recall audit — the ANN analog of dedup_lsh_recall_audit: "
+    "measure recall@10 of the ADC search (probed cells + 8-byte code "
+    "distances) against the exact brute-force cosine top-10, plus the "
+    "candidate count the probes admitted. This is the number a "
+    "deployment watches when tuning n_probes / codebook size: ADC "
+    "recall loss decomposes into probe loss (true neighbor in an "
+    "unprobed cell) and quantization loss (code distance misranks "
+    "inside a probed cell), and this audit reports the combined figure "
+    "the user actually experiences. recall_ppm is an exact integer "
+    "ratio (overlap x 1e6 div k) so the row value-oracles. Plan: both "
+    "top-k sets are TakeOrdered heaps (never corpus-wide windows), the "
+    "overlap is a k-row join, and the two 1-row summary sides combine "
+    "via broadcast 1-row crossJoins (the sanctioned scalar pattern); "
+    "index state is the same memoized cells/codes every other ANN "
+    "query reads.",
+)
+def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 10
+    emb, qv, cand, topk = _ivfpq_adc_parts(spark, sf_dir, k=k, n_probes=4)
+    q = F.array(*[F.lit(v) for v in qv])
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 4).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    n_cand = cand.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    ov = (
+        exact10.join(topk.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        ov.crossJoin(F.broadcast(n_cand))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_candidates",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000 div {k}").cast("bigint").alias("recall_ppm"),
+        )
     )
 
 

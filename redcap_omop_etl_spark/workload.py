@@ -77,6 +77,8 @@ _PRIORITY = [
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",
     "ivfpq_append_search",
+    "ivfpq_recall_audit",
+    "dedup_minhash_clusters_append",
     # plan changed this round
     "dedup_semdedup",
     "corpus_semdedup_budget",

@@ -63,6 +63,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     "adc_rank over the LIMIT-k (10) survivors of the TakeOrdered ADC "
     "heap; batch encode/assign windows are bounded by the broadcast "
     "codebook/centroid dims",
+    # NOTE (round 9): ivfpq_recall_audit consumes only topk.vec_id, so
+    # Catalyst PRUNES the adc_rank window column out of the audited plan
+    # entirely — no global-window entry needed (same vanishing-shape
+    # class as the memo NOTEs above).
+    ("ivfpq_recall_audit", "bnlj"): "1-row overlap-count x 1-row "
+    "candidate-count summary crossJoin (the sanctioned scalar pattern)",
     ("ivfpq_append_search", "bnlj"): "the append batch's coarse assign "
     "(_ivf_assign: batch vectors x broadcast 16-row FROZEN centroid "
     "table) — the same parameter-bounded assignment crossJoin "
