@@ -384,27 +384,34 @@ def _prefix_jaccard_pipeline(
         matched.groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(
             F.max(ub).alias("ub"),
-            F.first(F.col("a.sz")).alias("psz1"),
-            F.first(F.col("b.sz")).alias("psz2"),
+            F.first(F.col("a.sz")).alias("sz1"),
+            F.first(F.col("b.sz")).alias("sz2"),
         )
         .filter(
             F.col("ub")
-            >= F.lit(threshold) / (1.0 + threshold) * (F.col("psz1") + F.col("psz2"))
+            >= F.lit(threshold) / (1.0 + threshold) * (F.col("sz1") + F.col("sz2"))
             - F.lit(1e-9)
         )
-        .select("d1", "d2")
+        .select("d1", "d2", "sz1", "sz2")
     )
+    # the candidate row already carries BOTH full shingle-set sizes:
+    # ranked.sz is count-over-doc of the (distinct-shingle) token table,
+    # i.e. exactly what a separate sizes aggregate would recompute — so
+    # jaccard needs no size re-attach joins after the verify (round 9
+    # removed two sort-merge joins of the corpus-sized size table against
+    # the pair stream here; result-identical by construction).
     inter = (
         cand.join(toks.alias("x").hint("merge"), F.col("x.doc") == F.col("d1"))
         .join(toks.alias("y").hint("merge"), (F.col("y.doc") == F.col("d2")) & (F.col("y.t") == F.col("x.t")))
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
-        inter.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1")).hint("merge"), "d1")
-        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2")).hint("merge"), "d2")
-        .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
+        inter.withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
