@@ -265,6 +265,16 @@ SHOWCASE: dict[str, str] = {
     "production scales k with the corpus), no corpus self-join, "
     "corpus-sized keep-flag output; the anchor cap is the recall/cost "
     "dial (capped-containment contract).",
+    "dedup_minhash_clusters_append": "Incremental cluster-table "
+    "maintenance (round 9): the batch bands against the FROZEN "
+    "hub/component state (localCheckpoint scans in the plan — base "
+    "signatures never recompute), the merge CC runs over a batch-sized "
+    "rep/batch graph, and only the output window touches the corpus.",
+    "ivfpq_recall_audit": "IVF-PQ recall audit (round 9): both top-k "
+    "sets are TakeOrderedAndProject heaps, the overlap is a k-row "
+    "join, and the two 1-row summary sides combine via broadcast "
+    "crossJoins — Catalyst prunes the unused adc_rank window out of "
+    "the plan entirely.",
     "similarity_ivf_pq_adc": "IVF-PQ ADC search (round 8): candidates "
     "ranked from 8-byte PQ codes via a broadcast 8×4 integer distance "
     "table + hash-agg sum (exact, order-free); TakeOrdered heap for "
