@@ -439,7 +439,8 @@ def shingle_hashes(
     is Spark's codegen'd ``xxhash64`` (pmod-folded into the same 31-bit
     space) — the PRODUCTION hash family, 5-7× the md5 throughput on
     identical plans (the documented md5-tax class: DSIR / classifier /
-    bootstrap / cluster signatures), with no DuckDB twin. Everything
+    bootstrap / cluster signatures), value-oracled through the SQL XXH64
+    kernel (``functions/xxh_sql.py``). Everything
     downstream of the 31-bit fold — the (a·h+b) mod p permutation
     family, banding, star edges, components — is byte-identical between
     families.
@@ -681,19 +682,44 @@ def minhash_banded_sql_cte(
     bands: int = 16,
     gram: str = "s",
     doc_filter: str = "",
+    family: str = "md5",
 ) -> str:
     """DuckDB mirror of ``minhash_band_table`` — splice after a shingle
     CTE that emitted ``__sh(doc_id, {gram})``; emits ``hs``, ``params``,
     ``sigs``, ``banded``. ``doc_filter`` restricts which documents get
     signatures (e.g. the capped-composition overflow channel). Single
-    source of truth for every LSH-banded oracle."""
+    source of truth for every LSH-banded oracle.
+
+    ``family`` mirrors ``shingle_hashes``: ``"md5"`` replays
+    ``portable_hash60 % p``; ``"xxh"`` replays Spark's ``xxhash64``
+    through the SQL XXH64 kernel (``functions/xxh_sql.py``) — each
+    DISTINCT shingle string is hashed once and joined back to the
+    (doc, shingle) stream, since the kernel is ~100x costlier per call
+    than native md5."""
     rows = num_hashes // bands
+    if family == "xxh":
+        from redcap_omop_etl_spark.functions.xxh_sql import xxh64_pmod, xxh64_sql_cte
+
+        hs = (
+            f"__xd AS (\n"
+            f"      SELECT DISTINCT {gram} AS s FROM __sh {doc_filter}\n"
+            f"    ), {xxh64_sql_cte('__xd', col='s')},\n"
+            f"    hs AS (\n"
+            f"      SELECT DISTINCT __sh.doc_id AS doc,\n"
+            f"             {xxh64_pmod(2147483647)} AS h\n"
+            f"      FROM __sh JOIN __xxh ON __sh.{gram} = __xxh.__xs {doc_filter.replace('WHERE', 'AND') if doc_filter else ''}\n"
+            f"    )"
+        )
+    else:
+        hs = (
+            f"hs AS (\n"
+            f"      SELECT DISTINCT doc_id AS doc,\n"
+            f"             ('0x' || substring(md5({gram}), 1, 15))::BIGINT % 2147483647 AS h\n"
+            f"      FROM __sh {doc_filter}\n"
+            f"    )"
+        )
     return (
-        f"hs AS (\n"
-        f"      SELECT DISTINCT doc_id AS doc,\n"
-        f"             ('0x' || substring(md5({gram}), 1, 15))::BIGINT % 2147483647 AS h\n"
-        f"      FROM __sh {doc_filter}\n"
-        f"    ), params AS (\n"
+        f"{hs}, params AS (\n"
         f"      SELECT r.i, 2 * r.i + 1 AS a, (104729 * (r.i + 1)) % 2147483647 AS b\n"
         f"      FROM unnest(range({num_hashes})) r(i)\n"
         f"    ), sigs AS (\n"

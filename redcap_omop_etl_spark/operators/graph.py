@@ -1280,8 +1280,20 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_clusters_fast",
-    None,  # xxHash64 has no DuckDB implementation — rows-only check; the
-    # md5 twin (dedup_minhash_clusters) value-oracles the identical plan.
+    f"""
+    WITH {shingle_sql_cte()},
+    {minhash_banded_sql_cte(family="xxh")},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS is_survivor,
+           count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
+    FROM percol
+    """,
     doc="Production-hash twin of dedup_minhash_clusters: the same band "
     "table -> per-bucket star edges -> large-star/small-star contraction "
     "-> per-doc (cluster_rep, is_survivor, cluster_size) plan, with the "
@@ -1623,8 +1635,26 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_soft_dedup_weights_fast",
-    None,  # xxHash64 has no DuckDB implementation — rows-only check; the
-    # md5 twin (corpus_soft_dedup_weights) value-oracles the identical plan.
+    f"""
+    WITH {shingle_sql_cte()},
+    {minhash_banded_sql_cte(family="xxh")},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), sized AS (
+      SELECT doc_id, source, cluster_rep,
+             count(*) OVER (PARTITION BY cluster_rep) AS csz
+      FROM percol
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT cluster_rep)::BIGINT AS n_clusters,
+           sum(1000000 // csz)::BIGINT AS effective_docs_ppm
+    FROM sized GROUP BY source
+    """,
     doc="Production-hash twin of corpus_soft_dedup_weights: identical "
     "per-source soft-dedup rollup (1/cluster_size weights in exact "
     "integer ppm) composed over the xxhash64 star-edge component table "

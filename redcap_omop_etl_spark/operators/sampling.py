@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redcap_omop_etl_spark.functions.xxh_sql import xxh64_pmod, xxh64_sql_cte
 from redcap_omop_etl_spark.sources.readers import Catalog
 from redcap_omop_etl_spark.workload import register
 
@@ -36,9 +37,10 @@ def hash_bucket(key: Column, n_buckets: int = 100, family: str = "md5") -> Colum
     order of magnitude cheaper per call than interpreted md5+conv, which
     matters for the scan-bound per-token hashers (DSIR weights, the hashed
     quality classifier) whose 64x slopes are dominated by md5 throughput.
-    xxHash64 has no DuckDB twin, so xxh-family queries get the driver's
-    rows-only check instead of a value oracle — the md5 twin IS the value
-    oracle for the shared plan shape."""
+    xxh-family queries are value-oracled too: ``functions/xxh_sql.py``
+    replays Spark's xxhash64 bit-for-bit as pure DuckDB SQL (hash the
+    DISTINCT key strings, join back — the kernel is ~100x costlier per
+    call than native md5, and key streams are Zipfian)."""
     if family == "xxh":
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(n_buckets)).cast("bigint")
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
@@ -1279,8 +1281,41 @@ def sampling_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sampling_poisson_bootstrap_fast",
-    None,  # xxHash64 has no DuckDB twin — rows-only check; the md5 twin
-    # (sampling_poisson_bootstrap) value-oracles the identical plan shape.
+    f"""
+    WITH ks AS (
+      SELECT d.source, d.n_chars, reps2.b,
+             d.doc_id::VARCHAR || ':' || reps2.b::VARCHAR AS k
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(1, {N_BOOTSTRAP + 1})) AS b) reps2
+    ), {xxh64_sql_cte("ks", col="k", keys=("source", "n_chars", "b"))},
+    w AS (
+      SELECT source, n_chars, b,
+             (CASE WHEN u < {_POISSON1_CUTS[0]} THEN 0
+                   WHEN u < {_POISSON1_CUTS[1]} THEN 1
+                   WHEN u < {_POISSON1_CUTS[2]} THEN 2
+                   WHEN u < {_POISSON1_CUTS[3]} THEN 3
+                   ELSE 4 END) AS wt
+      FROM (SELECT source, n_chars, b, {xxh64_pmod(1000000)} AS u FROM __xxh)
+    ), means AS (
+      SELECT source, b,
+             sum(wt * n_chars)::DOUBLE / nullif(sum(wt), 0) AS mean_b
+      FROM w GROUP BY source, b
+    ), ranked AS (
+      SELECT source, mean_b,
+             row_number() OVER (PARTITION BY source ORDER BY mean_b, b) AS rk
+      FROM means WHERE mean_b IS NOT NULL
+    ), base AS (
+      SELECT source, count(*) AS n_docs,
+             sum(n_chars)::DOUBLE / count(*) AS mean_chars
+      FROM documents GROUP BY source
+    )
+    SELECT base.source, base.n_docs::BIGINT AS n_docs,
+           round(base.mean_chars, 4) AS mean_chars,
+           round(min(CASE WHEN rk = 2 THEN mean_b END), 4) AS ci_lo,
+           round(min(CASE WHEN rk = {N_BOOTSTRAP - 1} THEN mean_b END), 4) AS ci_hi
+    FROM base JOIN ranked USING (source)
+    GROUP BY base.source, base.n_docs, base.mean_chars
+    """,
     doc="Production-hash twin of sampling_poisson_bootstrap: identical "
     "plan (rows x B Poisson-weight explode, one (source, b) map-side-"
     "combined agg, B-bounded rank), drawing u from Spark's codegen'd "
@@ -1470,8 +1505,40 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dsir_weights_fast",
-    None,  # xxHash64 has no DuckDB twin — rows-only check; the md5 twin
-    # (corpus_dsir_weights) value-oracles the identical plan shape.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), gd AS (
+      SELECT DISTINCT g AS k FROM g0
+    ), {xxh64_sql_cte("gd", col="k")},
+    bg AS (
+      SELECT g0.doc_id, g0.lang, {xxh64_pmod(_DSIR_B)} AS b
+      FROM g0 JOIN __xxh ON g0.g = __xxh.__xs
+    ), raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS nr,
+                   (SELECT sum(ct) FROM tgt)::BIGINT AS nt),
+    tab AS (
+      SELECT raw.b,
+             CAST(round((1000000.0 * (coalesce(ct, 0) + 1) * (nr + {_DSIR_B}))
+                        / ((cr + 1) * (nt + {_DSIR_B}))) AS BIGINT) AS ratio_micro
+      FROM raw LEFT JOIN tgt USING (b), tot
+    )
+    SELECT doc_id, lang,
+           count(*)::BIGINT AS n_feats,
+           sum(ratio_micro)::BIGINT AS score_micro,
+           (sum(ratio_micro)::BIGINT // count(*)) AS mean_ratio_micro,
+           CAST(CASE WHEN sum(ratio_micro)::BIGINT // count(*) >= 1000000
+                     THEN 1 ELSE 0 END AS INT) AS target_like
+    FROM bg JOIN tab USING (b)
+    GROUP BY doc_id, lang
+    """,
     doc="Production-hash twin of corpus_dsir_weights: identical single-pass "
     "plan (one bigram explode, conditional raw/target 256-bucket agg, "
     "micro-quantized ratio table broadcast back), bucketed with Spark's "

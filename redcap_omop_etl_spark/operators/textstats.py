@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redcap_omop_etl_spark.functions.xxh_sql import xxh64_pmod, xxh64_sql_cte
 from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
 from redcap_omop_etl_spark.workload import register
 from redcap_omop_etl_spark.caching import tracked_cache, tracked_persist
@@ -493,7 +494,7 @@ def winnow_near_pairs(
     GROUP BY 1, 2 HAVING count(*) >= 5
     """,
     doc="Winnowing near-dup pairs (≥5 shared fingerprints, stop-fp cap "
-    "100) — the fully-oracled near-dup path (MinHash is rows-only).",
+    "100) — an independently-oracled near-dup path beside MinHash.",
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_near_pairs(Catalog(spark, sf_dir)["documents"])
@@ -2260,8 +2261,35 @@ def _quality_classifier_frame(
 
 @register(
     "text_quality_classifier_fast",
-    None,  # xxHash64 has no DuckDB twin — rows-only check; the md5 twin
-    # (text_quality_classifier) value-oracles the identical plan shape.
+    f"""
+    WITH lst AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, l[i] AS f
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM lst)
+      UNION ALL
+      SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lst)
+    ), wk AS (
+      SELECT i, 'w:' || i::VARCHAR AS k FROM generate_series(0, {_CLF_B - 1}) AS gs(i)
+    ), {xxh64_sql_cte("wk", col="k", keys=("i",), prefix="__u")},
+    w AS (
+      SELECT i AS b, ({xxh64_pmod(2001)}) - 1000 AS w_milli FROM __uxh
+    ), fd AS (
+      SELECT DISTINCT f AS k FROM feats
+    ), {xxh64_sql_cte("fd", col="k")},
+    scored AS (
+      SELECT feats.doc_id, {xxh64_pmod(_CLF_B)} AS b
+      FROM feats JOIN __xxh ON feats.f = __xxh.__xs
+    )
+    SELECT doc_id,
+           count(*)::BIGINT                                   AS n_features,
+           round(sum(w_milli) / (1000.0 * count(*)), 6)       AS score,
+           sum(w_milli) > 0                                   AS keep
+    FROM scored JOIN w USING (b)
+    GROUP BY doc_id
+    """,
     doc="Production-hash twin of text_quality_classifier: same features, "
     "same broadcast weight-table join, same exact integer milli-unit "
     "aggregation — but bucketed with Spark's codegen'd xxHash64 instead "
