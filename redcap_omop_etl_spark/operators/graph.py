@@ -53,11 +53,20 @@ from redcap_omop_etl_spark.workload import register
 # returned, so the 5 registered cluster consumers keep their signatures;
 # read by tools/bench_scale.py's --skewed regime to publish how many
 # rounds the heavy-hub graph takes vs the bounded-radius one.
+# CONTRACT: single-threaded, read-immediately-after-call — a mutable
+# module global, so thread-parallel query execution or a query that runs
+# CC twice interleaves/overwrites it. It is diagnostics for the
+# sequential bench_scale harness ONLY; nothing in the registered query
+# surface reads it, and no correctness path may ever depend on it.
 CC_LAST_ROUNDS: int | None = None
 
 
 def connected_components(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 30,
+    neighborhood_min: str = "window",
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -79,13 +88,33 @@ def connected_components(
     converging in a handful). Large-star/small-star contracts chain
     diameter exponentially instead of walking it.
 
-    Scale: each half-round is one groupBy-min over edge endpoints + one
-    post-shuffle-free rewire join — linear in |E|; no collect, no
-    driver-side graph. ``localCheckpoint`` per round keeps the plan O(1)
-    deep. Convergence is a fixpoint of the edge set, detected by an
-    order-free (count, xxhash64-sum) signature; exhausting ``max_iter``
-    RAISES instead of returning unconverged labels.
+    Scale: each half-round attaches the neighborhood minimum and rewires
+    — linear in |E|; no collect, no driver-side graph.
+    ``localCheckpoint`` per round keeps the plan O(1) deep. Convergence
+    is a fixpoint of the edge set, detected by an order-free (count,
+    xxhash64-sum) signature; exhausting ``max_iter`` RAISES instead of
+    returning unconverged labels.
+
+    ``neighborhood_min`` picks how the per-center minimum attaches:
+
+    - ``"window"`` (default): ``min().over(Window.partitionBy(center))``
+      — ONE exchange per half-round (round-9 rewrite, cold cluster
+      builds −20–32%). Bound, stated plainly: a window has no map-side
+      partial aggregation, so one task receives each center's FULL
+      neighborhood; an extreme first-round hub (a template family that
+      is a large fraction of the corpus) concentrates its degree in a
+      single task. The ``--skewed`` regime (one family = 10% of docs)
+      holds fine because star edges already cap per-BUCKET degree and
+      contraction halves hub degree per round, but the exposure is real
+      for adversarially hub-heavy edge inputs fed directly.
+    - ``"groupby"``: groupBy-min + join-back — three exchanges per
+      half-round, but the aggregation combines map-side, so a
+      giant-hub neighborhood arrives at the reducer as one partial per
+      mapper. The spill-safe fallback for hub-degree ≫ task-memory
+      graphs.
     """
+    if neighborhood_min not in ("window", "groupby"):
+        raise ValueError(f"neighborhood_min: {neighborhood_min!r}")
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # a node appearing ONLY in self-loops is still a node of the graph —
     # a singleton component (the pre-round-8 propagation semantics,
@@ -140,10 +169,16 @@ def connected_components(
         nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        m_a = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        if neighborhood_min == "window":
+            m_a = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+            with_min = nbrs.withColumn("m", m_a)
+        else:
+            mins = nbrs.groupBy("a").agg(F.min("b").alias("__mb"))
+            with_min = nbrs.join(mins, "a").withColumn(
+                "m", F.least(F.col("__mb"), F.col("a"))
+            )
         large = (
-            nbrs.withColumn("m", m_a)
-            .where(F.col("b") > F.col("a"))
+            with_min.where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
@@ -153,8 +188,14 @@ def connected_components(
         # count is exactly one per directed (b > a) edge, duplicates of
         # (u, v) pairs don't change the window min, and the single
         # canonical distinct below dedups the round's output once.
-        m_u = F.min("v").over(Window.partitionBy("u"))
-        sm_all = large.withColumn("m", m_u)
+        if neighborhood_min == "window":
+            sm_all = large.withColumn(
+                "m", F.min("v").over(Window.partitionBy("u"))
+            )
+        else:
+            umins = large.groupBy("u").agg(F.min("v").alias("__mu"))
+            sm_all = large.join(umins, "u").withColumn("m", F.col("__mu"))
+        sm_all = sm_all.select("u", "v", "m")
         small = (
             sm_all.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(sm_all.select("u", F.col("m").alias("v")))
@@ -1696,8 +1737,9 @@ def incremental_minhash_components(
     table; singleton docs absent, as produced by ``connected_components``
     over star edges), ``hubs(band, bucket, hub)`` (each bucket's minimum
     BASE doc id — the frozen index state), ``batch_banded(doc, band,
-    bucket)`` (the batch's band table; batch ids must be STRICTLY
-    GREATER than every base id).
+    bucket)`` (the batch's band table; batch ids must be DISJOINT from
+    base ids — no ordering between the two ranges is required, see the
+    equivalence argument).
 
     Returns ``(node, component)`` covering every batch doc that gained
     an edge plus every base component whose label CHANGED (a batch doc
@@ -1705,14 +1747,26 @@ def incremental_minhash_components(
     exactly, not deferred).
 
     EQUIVALENCE to the full rebuild, which the registered query's oracle
-    replays end-to-end: because batch ids exceed all base ids, a full
-    rebuild's per-bucket minima are unchanged wherever a bucket has a
-    base member, so its star edges decompose into (base star edges) ∪
-    (bucket hub -> batch member) ∪ (batch-only-bucket stars) — exactly
-    the edges this function adds; contracting each base component to its
-    representative before the merge CC preserves connectivity and the
-    min-reachable labels (every rep IS its component's minimum, and all
-    base ids < batch ids).
+    replays end-to-end. Argue at the PARTITION level, not the edge
+    level: (1) star edges per bucket connect exactly the bucket's
+    members, so any banded+star CC equals the connected components of
+    the bucket CO-OCCURRENCE graph — which bucket member plays star
+    center is irrelevant to connectivity; (2) the union corpus's
+    co-occurrence graph is (base co-occurrence) ∪ (batch doc — every
+    member of each bucket it lands in), and the edges this function
+    feeds the merge CC — frozen hub's rep for shared buckets, batch
+    stars for batch-only buckets — connect precisely those member sets
+    through nodes already connected in base; so the merged partition
+    equals the rebuild partition; (3) labels are min member id on both
+    paths: the merge CC minimizes over {base reps} ∪ {batch ids}, and
+    each rep IS its base component's minimum, so min(reps, batch ids)
+    = min(all member ids) for every merged component regardless of how
+    base and batch id ranges interleave. (The round-9 phrasing required
+    batch ids > all base ids so the rebuild's star EDGES decompose
+    verbatim; tools/bench_scale.py's replicated corpora violate that
+    ordering while the registered oracle stayed green — the partition
+    argument above is the invariant that actually carries the proof,
+    and it needs only id disjointness.)
 
     Scale shape: the shared-bucket join hits the hub table on its
     (band, bucket) key; the merge graph has ≤ batch × bands edges over
@@ -1833,4 +1887,107 @@ def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("cluster_size"),
         (F.col("doc_id") >= _CLUSTER_APPEND_SHIFT).alias("is_appended"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: cluster-table DELETION maintenance ("delete, don't rebuild" —
+# the takedown/opt-out complement of dedup_minhash_clusters_append)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_DELETE_MOD, _CLUSTER_DELETE_RES = 10, 3
+
+
+@register(
+    "dedup_minhash_clusters_delete",
+    f"""
+    WITH keep AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_CLUSTER_DELETE_MOD} <> {_CLUSTER_DELETE_RES}
+    ),
+    {shingle_sql_cte(table="keep")},
+    {minhash_banded_sql_cte()},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM keep d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS is_survivor,
+           count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
+    FROM percol
+    """,
+    doc="Cluster-table DELETION maintenance — the takedown/opt-out "
+    "complement of dedup_minhash_clusters_append, completing the "
+    "maintain-don't-rebuild story (a delete can SPLIT a component or "
+    "retire its min-id label, which the append-side merge-CC cannot "
+    "express). Plan: (1) touched components = those containing a "
+    "deleted doc (deleted singletons touch nothing); every OTHER doc "
+    "keeps its frozen label untouched — no recompute, no shuffle of the "
+    "unaffected corpus; (2) the touched components' REMAINING members "
+    "are re-banded (signatures are deterministic per doc, so deriving "
+    "the subset's band rows equals reading them back from a banded "
+    "index clustered by component — the partition-pruned production "
+    "read) and star-contraction CC reruns over that subset only. "
+    "EQUIVALENCE to the full rebuild over documents-minus-batch, which "
+    "the oracle replays end-to-end: co-bucketing docs are always in one "
+    "base component (a shared bucket IS an edge), so buckets never span "
+    "base components and deletion never creates new co-occurrence — the "
+    "reduced corpus's co-bucket graph therefore decomposes per base "
+    "component; untouched components keep an identical edge set (same "
+    "partition, same min-id labels), and each touched component's "
+    "remaining members see exactly their rebuild-time bucket partners. "
+    "Cost is O(touched members x bands) — at 100 TB a takedown batch "
+    "touches a handful of components, not the corpus.",
+)
+def dedup_minhash_clusters_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    base_comp, _hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
+    is_del = (
+        F.pmod(F.col("doc_id"), F.lit(_CLUSTER_DELETE_MOD)) == _CLUSTER_DELETE_RES
+    )
+    deleted = docs.filter(is_del).select("doc_id")
+    touched = (
+        base_comp.join(
+            deleted.withColumnRenamed("doc_id", "node"), "node", "left_semi"
+        )
+        .select("component")
+        .distinct()
+    )
+    members = base_comp.join(touched, "component", "left_semi")
+    remaining = members.join(
+        deleted.withColumnRenamed("doc_id", "node"), "node", "left_anti"
+    ).transform(tracked_persist)
+    # re-band ONLY the touched components' survivors (deterministic
+    # signatures == partition-pruned read of a component-clustered index)
+    sub_docs = docs.join(
+        remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
+    )
+    sub_comp = connected_components(minhash_star_edges(sub_docs))
+    untouched_lbl = (
+        docs.filter(~is_del)
+        .select("doc_id")
+        .join(members.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti")
+        .join(base_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
+    )
+    touched_lbl = (
+        remaining.select(F.col("node").alias("doc_id"))
+        .join(sub_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
+    )
+    percol = untouched_lbl.unionByName(touched_lbl)
+    return percol.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
+        .otherwise(0)
+        .alias("is_survivor"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
     )

@@ -190,20 +190,38 @@ def _decode_bytes(payload: bytes) -> "object":
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def extract_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_features(
+    media_df: DataFrame, batch_size_hint: int = 256, decode: str = "bytes"
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     mapInPandas: each Python worker receives record batches, vectorizes
     over the batch with numpy, and emits a narrow (payload-free) feature
     frame. This is the template for any real decode/embed stage.
+
+    ``decode`` picks the per-payload decoder:
+
+    - ``"bytes"`` (default): byte-histogram stub over the raw payload —
+      deterministic on every container, which is what keeps the
+      registered queries' closed-form SQL oracles valid REGARDLESS of
+      which codec libs the environment carries (installing pillow must
+      never change an oracled result; the round-9 branch that raised
+      when PIL was present is gone).
+    - ``"pil"``: real pixel decode via pillow (ImportError at plan time
+      if not installed); the same stats computed over the decoded pixel
+      array — the production path for real image corpora.
     """
+    if decode not in ("bytes", "pil"):
+        raise ValueError(f"decode: {decode!r} (expected 'bytes' or 'pil')")
+    if decode == "pil" and not _HAS_PIL:
+        raise ImportError("extract_features(decode='pil') requires pillow")
 
     # The closure must be SELF-CONTAINED (locals + stdlib/pandas/numpy
     # only): referencing module-level helpers would make cloudpickle
     # serialize them by module reference, and the driver's Python workers
     # cannot import this package when the driver runs from another cwd
     # (measured: ModuleNotFoundError under the external driver harness).
-    has_pil = _HAS_PIL
+    use_pil = decode == "pil"
     out_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,9 +231,18 @@ def extract_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFra
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if has_pil:
-                    raise NotImplementedError("real PIL decode path not wired in this container")
-                arr = np.frombuffer(payload, dtype=np.uint8)  # stub decode (see _decode_bytes)
+                if use_pil:
+                    import io
+
+                    from PIL import Image  # worker-side import
+
+                    arr = (
+                        np.asarray(Image.open(io.BytesIO(payload)))
+                        .ravel()
+                        .astype(np.uint8)
+                    )
+                else:
+                    arr = np.frombuffer(payload, dtype=np.uint8)  # stub decode
                 hist = np.histogram(arr, bins=16, range=(0, 256))[0].astype("float64")
                 rows.append(
                     (

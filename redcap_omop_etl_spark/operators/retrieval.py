@@ -579,3 +579,111 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: incremental inverted-index / BM25-stat maintenance — the
+# retrieval-side "append, don't rebuild" (round-9 verdict stretch item),
+# completing the pattern set by dedup_minhash_clusters_append,
+# ivfpq_append_search and semdedup_flags_append: every index in the
+# engine is now incrementally maintainable.
+# ---------------------------------------------------------------------------
+
+_IDX_APPEND_MOD, _IDX_APPEND_RES = 20, 5
+_IDX_APPEND_SHIFT = 1_000_000
+# two tokens absent from the synthetic corpus, so the batch also
+# exercises the new-term (outer-join) path of the stat merge
+_IDX_APPEND_SUFFIX = " zzqterm zzidxterm"
+
+from redcap_omop_etl_spark.caching import register_memo as _register_memo
+
+_TERM_STATS_MEMO: dict = _register_memo({})
+
+
+def term_stats_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen per-term index statistics (term, df, cf) for the base
+    corpus — computed once per (session, corpus) and localCheckpoint-
+    pinned. This is the state a production incremental index persists:
+    BM25's idf needs only (df, N) and its length normalization only
+    (dl, avgdl), all exact integer sums, so an ingest tick updates them
+    by ADDITION — no base-corpus rescan, ever."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TERM_STATS_MEMO:
+        return _TERM_STATS_MEMO[key]
+    d = Catalog(spark, sf_dir)["documents"]
+    tf = _tokens(d).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .localCheckpoint(eager=True)
+    )
+    _TERM_STATS_MEMO[key] = stats
+    return stats
+
+
+@register(
+    "retrieval_index_append",
+    f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_IDX_APPEND_SHIFT}, text || '{_IDX_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_IDX_APPEND_MOD} = {_IDX_APPEND_RES}
+    ), toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM alldocs
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*)::BIGINT AS df,
+           sum(tf)::BIGINT AS cf,
+           count(CASE WHEN doc_id >= {_IDX_APPEND_SHIFT} THEN 1 END)::BIGINT
+             AS df_appended
+    FROM tf GROUP BY term HAVING count(*) >= 3
+    """,
+    doc="Incremental inverted-index statistics maintenance: a new "
+    "document batch updates the per-term (df, cf) table — the state "
+    "BM25 idf and the posting-list directory shard by — WITHOUT "
+    "rescanning the base corpus. df/cf are exact integer counts, so "
+    "the tick is a full-outer merge of the FROZEN base stat table "
+    "(term_stats_memo, the persisted index state) with the batch's own "
+    "aggregate: existing terms add, unseen terms (the appended suffix "
+    "tokens) enter through the outer join's null side. The oracle "
+    "replays the full rebuild over documents UNION the derived batch, "
+    "so base+batch=rebuild is value-checked cross-engine — exact "
+    "because integer addition is associative, the same argument as the "
+    "cluster/SemDeDup appends but with no monotonic-id condition "
+    "needed at all. Corpus scalars (N' = N + batch docs, total_dl' = "
+    "total_dl + batch tokens) ride the same addition; df_appended is "
+    "the audit column proving both generations contribute. Plan: one "
+    "batch-sized tokenize+agg, one vocabulary-keyed outer join "
+    "(unhinted — both sides corpus-coupled), zero base-text reads.",
+)
+def retrieval_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    base = term_stats_memo(spark, sf_dir)
+    batch = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(_IDX_APPEND_MOD)) == _IDX_APPEND_RES
+    ).select(
+        (F.col("doc_id") + F.lit(_IDX_APPEND_SHIFT)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_IDX_APPEND_SUFFIX)).alias("text"),
+    )
+    btf = _tokens(batch).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    bstats = btf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_b"), F.sum("tf").alias("cf_b")
+    )
+    merged = base.join(bstats, "term", "full_outer")
+    return (
+        merged.select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_b", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_b", F.lit(0)))
+            .cast("long")
+            .alias("cf"),
+            F.coalesce("df_b", F.lit(0)).cast("long").alias("df_appended"),
+        )
+        .filter(F.col("df") >= 3)
+    )

@@ -802,6 +802,36 @@ def semdedup_flags_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+_SEMDEDUP_ANCHOR_MEMO: dict = register_memo({})
+
+
+def semdedup_anchors_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup anchor table (cluster, a_id, a_v) for ``sf_dir`` —
+    ≤ n_clusters × n_anchors rows, computed once per (session, corpus)
+    and localCheckpoint-pinned. A production curation run persists this
+    next to the keep-flag table: it is the frozen state the incremental
+    append ticks against (the embedding-space analog of the MinHash hub
+    table)."""
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEMDEDUP_ANCHOR_MEMO:
+        return _SEMDEDUP_ANCHOR_MEMO[key]
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    assignments, _centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    members = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+    ).join(assignments.select("vec_id", "cluster"), "vec_id")
+    anchors = keyed_topk(
+        members, ["cluster"], [F.col("vec_id").asc()], k=SEMDEDUP_ANCHORS
+    ).select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v")
+    ).localCheckpoint(eager=True)
+    _SEMDEDUP_ANCHOR_MEMO[key] = anchors
+    return anchors
+
+
 def _semdedup_flags_cte(
     n_clusters: int = 16,
     n_iters: int = 2,
@@ -933,6 +963,142 @@ def corpus_semdedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(CASE WHEN is_kept THEN n_chars ELSE 0 END) * 1000000)"
             " div sum(n_chars)"
         ).cast("bigint").alias("chars_kept_ppm"),
+    )
+
+
+# deterministic ingest batch for the incremental SemDeDup tick: every
+# 25th vector (mod-class 9) re-keyed past the corpus id range (same
+# 1e6 shift convention as the IVF-PQ append batch)
+_SEM_APPEND_SHIFT = 1_000_000
+_SEM_APPEND_MOD, _SEM_APPEND_RES = 25, 9
+
+
+def _semdedup_append_oracle_sql(
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    tau: float = SEMDEDUP_TAU,
+    n_anchors: int = SEMDEDUP_ANCHORS,
+) -> str:
+    """DuckDB mirror of the frozen-state SemDeDup append: k-means trains
+    on the BASE corpus only (the frozen cells), the batch coarse-assigns
+    to the final centroids, and the anchor/prune pass runs over the
+    union membership — which, because batch ids exceed every base id,
+    keeps each cell's base anchors in place (batch members only FILL
+    under-populated cells' remaining anchor slots) and cannot add hits
+    to any base member (a new anchor's id exceeds theirs)."""
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}
+    newv AS (
+      SELECT vec_id + {_SEM_APPEND_SHIFT} AS vec_id, embedding
+      FROM embeddings WHERE vec_id % {_SEM_APPEND_MOD} = {_SEM_APPEND_RES}
+    ),
+    nel AS (
+      SELECT vec_id AS id, u.i AS dim, (embedding::DOUBLE[])[u.i] AS val
+      FROM newv, LATERAL unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    nassign AS (
+      SELECT id, cluster FROM (
+        SELECT nel.id, {cl}.cluster,
+               row_number() OVER (
+                 PARTITION BY nel.id
+                 ORDER BY sum((nel.val - {cl}.cval) ^ 2), {cl}.cluster) AS rn
+        FROM nel JOIN {cl} ON nel.dim = {cl}.dim
+        GROUP BY nel.id, {cl}.cluster) WHERE rn = 1
+    ),
+    allm AS (
+      SELECT e.id, afinal.cluster, e.v FROM e JOIN afinal ON e.id = afinal.id
+      UNION ALL
+      SELECT n.vec_id AS id, na.cluster, n.embedding::DOUBLE[] AS v
+      FROM newv n JOIN nassign na ON n.vec_id = na.id
+    ),
+    anchors AS (
+      SELECT id AS a_id, cluster, v AS a_v FROM (
+        SELECT id, cluster, v,
+               row_number() OVER (PARTITION BY cluster ORDER BY id) AS rk
+        FROM allm) WHERE rk <= {n_anchors}
+    ),
+    dup_hits AS (
+      SELECT m.id, count(*) AS n_dup_anchors
+      FROM allm m JOIN anchors a
+        ON m.cluster = a.cluster AND a.a_id < m.id
+      WHERE round(list_dot_product(m.v, a.a_v)
+                  / (sqrt(list_dot_product(m.v, m.v))
+                     * sqrt(list_dot_product(a.a_v, a.a_v))), 4) >= {tau}
+      GROUP BY m.id
+    )
+    SELECT m.id AS vec_id, m.cluster::BIGINT AS cluster,
+           coalesce(d.n_dup_anchors, 0)::BIGINT AS n_dup_anchors,
+           d.id IS NULL AS is_kept,
+           m.id >= {_SEM_APPEND_SHIFT} AS is_appended
+    FROM allm m LEFT JOIN dup_hits d ON m.id = d.id
+    """
+
+
+@register(
+    "semdedup_flags_append",
+    _semdedup_append_oracle_sql(),
+    doc="Incremental SemDeDup — the embedding-space ingest tick "
+    "(round-9 verdict item 4), completing the pattern set by "
+    "dedup_minhash_clusters_append and ivfpq_append_search: a new "
+    "vector batch coarse-assigns to the FROZEN k-means cells (no "
+    "retrain), compares against the FROZEN persisted anchor table "
+    "(semdedup_anchors_memo — the embedding-space hub table) plus "
+    "earlier-id batch members that FILL any under-populated cell's "
+    "remaining anchor slots, and only the batch's flags are computed — "
+    "the memoized base keep-flag table is passed through untouched. "
+    "EQUIVALENCE to the frozen-cell rebuild over the union corpus, "
+    "which the oracle replays end-to-end: batch ids exceed every base "
+    "id, so (1) the union's per-cell lowest-id anchor sets extend — "
+    "never displace — the base anchors, and (2) no base member can "
+    "gain a hit (every new anchor's id exceeds its own), so base flags "
+    "are invariant; batch flags see exactly the rebuild's anchor set. "
+    "Cost: O(batch x n_anchors) cosines + one batch-sized assign — a "
+    "daily tick, never an O(corpus) re-prune. Output adds is_appended.",
+)
+def semdedup_flags_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    base_flags = semdedup_flags_memo(spark, sf_dir)
+    anchors_base = semdedup_anchors_memo(spark, sf_dir)
+    _assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(_SEM_APPEND_MOD)) == _SEM_APPEND_RES
+    ).select((F.col("vec_id") + F.lit(_SEM_APPEND_SHIFT)).alias("vec_id"), "embedding")
+    nassign = _ivf_assign(
+        batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
+        centroids,
+    ).select(F.col("__vid").alias("vec_id"), "cluster")
+    bmembers = batch.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+    ).join(nassign, "vec_id")
+    cand = anchors_base.unionByName(
+        bmembers.select(
+            "cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v")
+        )
+    )
+    anchors_union = keyed_topk(
+        cand, ["cluster"], [F.col("a_id").asc()], k=SEMDEDUP_ANCHORS
+    )
+    # UNHINTED anchor join — same corpus-coupled-side policy as
+    # semdedup_flags (anchor count scales with n_clusters in production)
+    hits = (
+        bmembers.join(anchors_union, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    batch_flags = bmembers.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+        F.col("n_dup_anchors").isNull().alias("is_kept"),
+    )
+    return base_flags.unionByName(batch_flags).withColumn(
+        "is_appended", F.col("vec_id") >= F.lit(_SEM_APPEND_SHIFT)
     )
 
 
@@ -1318,13 +1484,21 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
 
 
 def _ivfpq_oracle_sql(
-    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    k: int = 10,
+    n_probes: int = 4,
+    cand_filter: str = "",
 ) -> str:
     """DuckDB mirror of the IVF-PQ ADC search: the shared k-means
     fragment supplies cells+probes, the shared PQ fragment supplies the
     code table, and the ADC distance is the BIGINT sum of the per-
     subspace quantized query→codeword distances — integer arithmetic end
-    to end, so the top-k set and its tie-breaks agree cross-engine."""
+    to end, so the top-k set and its tie-breaks agree cross-engine.
+    ``cand_filter`` (an ``AND …`` fragment on ``c.vec_id``) restricts
+    which codes survive as candidates — the deletion-maintenance twin
+    replays "search after takedown" with it while the frozen centroids/
+    codebook still train on the FULL corpus, exactly like the index."""
     kmeans, cl = _kmeans_cte(n_clusters, n_iters)
     return f"""
     WITH {kmeans}{_pq_cte()}
@@ -1352,6 +1526,7 @@ def _ivfpq_oracle_sql(
       JOIN afinal ON c.vec_id = afinal.id
       JOIN dtable d ON c.subspace = d.subspace AND c.codeword = d.codeword
       WHERE afinal.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
+        {cand_filter}
       GROUP BY c.vec_id
     ),
     ranked AS (
@@ -1441,10 +1616,11 @@ def _adc_topk(codes: DataFrame, dtable: DataFrame, k: int) -> DataFrame:
 def _ivfpq_adc_parts(
     spark: SparkSession, sf_dir: str, k: int = 10, n_probes: int = 4
 ):
-    """Shared body of the ADC search and its recall audit: memoized
-    index state (cells + codes), driver-side probe selection, candidate
-    codes from the probed cells, ADC top-k. Returns
-    ``(emb, qv, cand, topk)`` so consumers add their own projection
+    """Shared body of the ADC search, its recall audit, and the
+    deletion-maintenance twin: memoized index state (cells + codes),
+    driver-side probe selection, candidate codes from the probed cells,
+    ADC top-k. Returns ``(emb, qv, cand, topk, dtable)`` so consumers
+    add their own projection — or re-rank a filtered candidate set —
     without re-deriving index state."""
     emb = Catalog(spark, sf_dir)["embeddings"]
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1458,7 +1634,7 @@ def _ivfpq_adc_parts(
     ).select("vec_id")
     cand = codes.join(probe_members, "vec_id").filter(F.col("vec_id") != 0)
     topk = _adc_topk(cand, dtable, k)
-    return emb, qv, cand, topk
+    return emb, qv, cand, topk, dtable
 
 
 @register(
@@ -1482,7 +1658,7 @@ def _ivfpq_adc_parts(
     "fragments (_kmeans_cte, _pq_cte).",
 )
 def similarity_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb, qv, _cand, topk = _ivfpq_adc_parts(spark, sf_dir, k=10, n_probes=4)
+    emb, qv, _cand, topk, _dt = _ivfpq_adc_parts(spark, sf_dir, k=10, n_probes=4)
     q = F.array(*[F.lit(v) for v in qv])
     return topk.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "vec_id",
@@ -1569,7 +1745,7 @@ def _ivfpq_recall_oracle_sql(
 )
 def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
-    emb, qv, cand, topk = _ivfpq_adc_parts(spark, sf_dir, k=k, n_probes=4)
+    emb, qv, cand, topk, _dt = _ivfpq_adc_parts(spark, sf_dir, k=k, n_probes=4)
     q = F.array(*[F.lit(v) for v in qv])
     exact10 = (
         emb.filter(F.col("vec_id") != 0)
@@ -1805,6 +1981,109 @@ def ivfpq_append_index(
     base.join(assign, "vec_id").write.partitionBy("cluster").mode("append").parquet(
         f"{path}/vectors"
     )
+
+
+# deterministic takedown batch for the registered deletion query: every
+# 40th vector (mod-class 11 — never the query anchor vec_id=0)
+_DELETE_MOD, _DELETE_RES = 40, 11
+
+
+@register(
+    "ivfpq_delete_search",
+    _ivfpq_oracle_sql(
+        n_clusters=16,
+        n_iters=2,
+        k=10,
+        n_probes=4,
+        cand_filter=f"AND c.vec_id % {_DELETE_MOD} <> {_DELETE_RES}",
+    ),
+    doc="IVF-PQ deletion maintenance — 'delete, don't rebuild', the "
+    "takedown/opt-out complement of ivfpq_append_search: removed "
+    "vectors drop out of the CANDIDATE code set while the trained "
+    "codebook and coarse centroids stay FROZEN (no retrain — remaining "
+    "codes stay valid, exactly the index contract the on-disk twin "
+    "ivfpq_delete_from_index implements by rewriting only the cluster "
+    "partitions containing deleted ids, untouched partitions pinned "
+    "byte-identical in tests/test_round10_ops.py). Search then ranks "
+    "the surviving codes by the same broadcast ADC distance table; "
+    "the oracle replays the full frozen-state pipeline (k-means + PQ "
+    "trained on the ORIGINAL corpus) with the takedown batch excluded "
+    "from candidates, so 'search after takedown' is value-checked "
+    "cross-engine. Plan: memoized index state, candidate filter is a "
+    "codegen'd pmod predicate pushed onto the code stream — cost "
+    "identical to the base ADC search.",
+)
+def ivfpq_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, qv, cand, _topk, dtable = _ivfpq_adc_parts(spark, sf_dir, k=10, n_probes=4)
+    survivors = cand.filter(
+        F.pmod(F.col("vec_id"), F.lit(_DELETE_MOD)) != _DELETE_RES
+    )
+    topk = _adc_topk(survivors, dtable, 10)
+    q = F.array(*[F.lit(v) for v in qv])
+    return topk.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "adc_rank",
+        "adc_d2q",
+        F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
+    )
+
+
+def ivfpq_delete_from_index(
+    spark: SparkSession,
+    path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove a batch of vector ids from a persisted IVF-PQ index with
+    the FROZEN index state — the on-disk twin of the registered
+    ``ivfpq_delete_search``: no codebook retrain, no centroid update,
+    and the rewrite touches ONLY the cluster partitions that contain a
+    deleted id. Unaffected cells keep their files byte-identical
+    (pinned in ``tests/test_round10_ops.py``), so a takedown batch at
+    100 TB costs I/O proportional to the touched cells, never the
+    index.
+
+    Mechanics: the deleted ids' clusters come from a column-pruned
+    (vec_id, cluster) scan of the code table; each affected partition's
+    survivors are rewritten via dynamic partition overwrite
+    (lineage cut with ``localCheckpoint`` — Spark refuses to overwrite
+    a path it is still reading); a partition whose every row was
+    deleted produces no rows for dynamic overwrite to replace, so its
+    directory is dropped explicitly."""
+    dels = (
+        delete_ids.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hadoop = spark._jvm.org.apache.hadoop.fs
+    fs = hadoop.FileSystem.get(spark._jsc.hadoopConfiguration())
+    for sub in ("codes", "vectors"):
+        tbl = spark.read.parquet(f"{path}/{sub}")
+        affected = [
+            r["cluster"]
+            for r in tbl.join(dels, "vec_id", "left_semi")
+            .select("cluster")
+            .distinct()
+            .collect()
+        ]  # bounded: <= n_clusters rows
+        if not affected:
+            continue
+        survivors = (
+            tbl.filter(F.col("cluster").isin(affected))
+            .join(dels, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        (
+            survivors.write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/{sub}")
+        )
+        still = {
+            r["cluster"] for r in survivors.select("cluster").distinct().collect()
+        }
+        for c in set(affected) - still:
+            fs.delete(hadoop.Path(f"{path}/{sub}/cluster={c}"), True)
 
 
 def ivfpq_write_index(

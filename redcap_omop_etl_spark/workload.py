@@ -64,6 +64,63 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
+    # -- round-10 rotation. Leads: the 4 new round-10 maintenance
+    # queries (cluster delete / IVF-PQ delete / SemDeDup append /
+    # retrieval-index append); then the 5 fast twins whose oracles
+    # changed from rows-only to full value checks this round (the
+    # DuckDB XXH64 replay — the driver must re-verify them as oracled);
+    # then the FULL r4 cohort (39 queries, six rounds stale — verdict
+    # item 6). 4+5+39 = 48 slots, fits the driver's ~50 window.
+    "dedup_minhash_clusters_delete",
+    "ivfpq_delete_search",
+    "semdedup_flags_append",
+    "retrieval_index_append",
+    # re-oracled this round (XXH64 replay)
+    "dedup_minhash_clusters_fast",
+    "corpus_soft_dedup_weights_fast",
+    "sampling_poisson_bootstrap_fast",
+    "corpus_dsir_weights_fast",
+    "text_quality_classifier_fast",
+    # r4 cohort (oldest evidence, full set)
+    "agg_approx",
+    "agg_listagg_ordered",
+    "agg_sketch_reaggregation",
+    "anomaly_mad",
+    "corpus_cross_contamination",
+    "corpus_quality_funnel",
+    "corpus_source_divergence",
+    "corpus_temperature_mixture",
+    "dedup_chunk_level",
+    "dedup_containment",
+    "dedup_incremental",
+    "dq_distribution_drift",
+    "embedding_covariance",
+    "embedding_quantize_error",
+    "embedding_random_projection",
+    "event_pattern_regex",
+    "graph_pagerank",
+    "join_asof_nearest",
+    "json_variant_extract",
+    "pandas_penny_allocation",
+    "retrieval_bm25_topk",
+    "retrieval_heavy_hitters",
+    "retrieval_inverted_index",
+    "retrieval_rrf_fusion",
+    "sampling_stratified_quota",
+    "sampling_weighted_topk",
+    "sketch_countmin",
+    "sql_api_lateral_topn",
+    "sql_api_recursive_hierarchy",
+    "stream_interval_join_outer",
+    "text_chunk_windows",
+    "ts_autocorr",
+    "ts_cusum_changepoint",
+    "ts_decay_features",
+    "ts_forecast_backtest",
+    "ts_markov_transitions",
+    "ts_ols_trend",
+    "udtf_sessionize_tvf",
+    "window_sliding_distinct",
     # -- round-9 rotation (round-8 verdict item 1: retire the stale
     # cohorts; no registered query should go >5 rounds unchecked).
     # Leads: the 3 new round-9 queries; then the 6 whose PLAN changed

@@ -75,6 +75,15 @@ ALLOWED: dict[tuple[str, str], str] = {
     "similarity_ann_ivf's NOTE documents; it surfaces here because the "
     "batch encode runs un-memoized inside the audited plan (base codes "
     "come from the checkpointed memo, the batch is new by definition)",
+    ("ivfpq_delete_search", "global-window"): "same shape as "
+    "similarity_ivf_pq_adc (shared frozen index state + _adc_topk over "
+    "the takedown survivors): adc_rank over the LIMIT-k (10) survivors "
+    "of the TakeOrdered ADC heap",
+    ("semdedup_flags_append", "bnlj"): "the ingest batch's coarse assign "
+    "(_ivf_assign: batch vectors x broadcast 16-row FROZEN centroid "
+    "table) — identical parameter-bounded crossJoin to "
+    "ivfpq_append_search's; base flags come from the checkpointed memo, "
+    "only the batch assigns inside the audited plan",
     ("rfm_segmentation", "global-window"): "ntile quartiles are global by "
     "definition; input is the per-customer aggregate (dim-sized next to the "
     "orders fact it summarizes)",

@@ -35,12 +35,19 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
         q = {k: v for k, v in d["queries"].items() if isinstance(v, (int, float))}
         return q, d.get("calib") or {}
     # driver BENCH_r{N}.json wrapper: {"n", "rc", "tail", ...} where tail
-    # may be a truncated suffix of the JSON line — regex-extract pairs
+    # may be a truncated suffix of the JSON line — regex-extract pairs,
+    # but ONLY from within the '"queries": {...}' span so numeric wrapper
+    # fields present on both sides (n/rc/elapsed/…) can never masquerade
+    # as shared queries and skew the normalized totals; fall back to the
+    # whole tail only when the queries object's opening brace was itself
+    # truncated away, with the denylist as the last guard.
     tail = d["tail"] if d is not None and "tail" in d else raw
+    qm = re.search(r'"queries": \{([^}]*)', tail)
+    span = qm.group(1) if qm else tail
     q = {
         k: float(v)
-        for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
-        if k not in ("py_sec", "jvm_sec", "sf", "value")
+        for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', span)
+        if k not in ("py_sec", "jvm_sec", "sf", "value", "n", "rc", "elapsed")
     }
     m = re.search(r'"calib": \{"py_sec": ([0-9.]+), "jvm_sec": ([0-9.]+)\}', tail)
     calib = {"py_sec": float(m.group(1)), "jvm_sec": float(m.group(2))} if m else {}
