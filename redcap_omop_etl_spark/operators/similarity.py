@@ -1772,6 +1772,154 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _ivfpq_sweep_oracle_sql(
+    n_clusters: int = 16, n_iters: int = 2, k: int = 10
+) -> str:
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    ks = ", ".join(str(p) for p in _SWEEP_PROBES)
+    return f"""
+    WITH {kmeans}{_pq_cte()}
+    codes AS (SELECT vec_id, subspace, codeword FROM best WHERE rk = 1),
+    qsub AS (
+      SELECT s AS subspace, {_pq_sl('embedding', 's')} AS qv_s
+      FROM embeddings CROSS JOIN subs WHERE vec_id = 0
+    ),
+    dtable AS (
+      SELECT cs.subspace, cs.codeword,
+             floor((list_dot_product(cv, cv) + list_dot_product(qv_s, qv_s)
+                    - 2 * list_dot_product(cv, qv_s)) * 10000 + 0.5)::BIGINT AS qd2q
+      FROM cs JOIN qsub USING (subspace)
+    ),
+    cellrank AS (
+      SELECT {cl}.cluster,
+             row_number() OVER (
+               ORDER BY sum(({cl}.cval - q.val) ^ 2), {cl}.cluster) AS prk
+      FROM {cl} JOIN el q ON q.id = 0 AND q.dim = {cl}.dim
+      GROUP BY {cl}.cluster
+    ),
+    adc AS MATERIALIZED (
+      SELECT c.vec_id, cr.prk, sum(d.qd2q)::BIGINT AS adc_d2q
+      FROM codes c
+      JOIN afinal ON c.vec_id = afinal.id
+      JOIN cellrank cr ON afinal.cluster = cr.cluster
+      JOIN dtable d ON c.subspace = d.subspace AND c.codeword = d.codeword
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id, cr.prk
+    ),
+    qv AS (SELECT v FROM e WHERE id = 0),
+    ex10 AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT e.id AS vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(e.v, qv.v)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(qv.v, qv.v))), 4) DESC,
+                 e.id) AS rk
+        FROM e, qv WHERE e.id <> 0) WHERE rk <= {k}
+    ),
+    ks(np) AS (SELECT unnest([{ks}])),
+    topk_k AS (
+      SELECT np, vec_id FROM (
+        SELECT ks.np, vec_id,
+               row_number() OVER (PARTITION BY ks.np
+                                  ORDER BY adc_d2q, vec_id) AS rk
+        FROM adc JOIN ks ON adc.prk <= ks.np) WHERE rk <= {k}
+    ),
+    cands AS (
+      SELECT ks.np, count(*) AS n_candidates
+      FROM adc JOIN ks ON adc.prk <= ks.np GROUP BY ks.np
+    ),
+    ov AS (
+      SELECT np, count(*) AS n_overlap
+      FROM topk_k JOIN ex10 USING (vec_id) GROUP BY np
+    )
+    SELECT cands.np::BIGINT AS n_probes,
+           cands.n_candidates::BIGINT AS n_candidates,
+           coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           (coalesce(ov.n_overlap, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+    FROM cands LEFT JOIN ov USING (np)
+    """
+
+
+@register(
+    "ivfpq_recall_sweep",
+    _ivfpq_sweep_oracle_sql(),
+    doc="IVF-PQ n_probes tuning TABLE — the sweep the single-point "
+    "ivfpq_recall_audit motivates: recall@10 and admitted-candidate "
+    "count for n_probes in {1,2,4,8} in one pass, i.e. the actual "
+    "recall/cost curve a deployment reads to pick its probe budget. "
+    "Candidates scale ~linearly with probes; recall is NOT guaranteed "
+    "monotone — a newly probed cell can inject codes whose quantized "
+    "distance underestimates the true distance and evict true "
+    "neighbors from the ADC top-k (quantization loss vs probe loss), "
+    "which is precisely why the curve must be MEASURED, not assumed "
+    "(the smoke corpus exhibits the inversion). Plan: ADC distances "
+    "and each vector's "
+    "cell's probe rank are computed ONCE over the memoized codes "
+    "(16-row broadcast rank map + 128-row broadcast distance table, "
+    "one hash agg), tracked_cache'd, then each sweep arm is a FILTER "
+    "(prk <= np) + TakeOrdered-10 heap + 1-row scalar rollup — four "
+    "statically-unrolled arms, no range join, no corpus-wide window, "
+    "nothing rescanned. Exact brute-force top-10 computed once. All "
+    "outputs exact integers (recall in ppm), fully value-oracled.",
+)
+def ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 10
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    codes, cs = pq_assign(emb, memo_key=sf_dir)
+    order = _nearest_cells(centroids.collect(), qv, n_probes=16)
+    prk_map = spark.createDataFrame(
+        [(int(c), i + 1) for i, c in enumerate(order)], "cluster int, prk int"
+    )
+    dtable = _adc_dtable(cs, qv)
+    adc_all = (
+        codes.join(assignments.select("vec_id", "cluster"), "vec_id")
+        .join(F.broadcast(prk_map), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtable), ["subspace", "codeword"])
+        .groupBy("vec_id", "prk")
+        .agg(F.sum("qd2q").alias("adc_d2q"))
+        .transform(tracked_cache)
+    )
+    q = F.array(*[F.lit(v) for v in qv])
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 4).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+        .transform(tracked_cache)
+    )
+    arms = []
+    for np_ in _SWEEP_PROBES:
+        cand = adc_all.filter(F.col("prk") <= np_)
+        top = cand.orderBy(F.asc("adc_d2q"), F.asc("vec_id")).limit(k).select("vec_id")
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        ov = exact10.join(top, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+        )
+        arms.append(
+            ov.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(np_).cast("bigint").alias("n_probes"),
+                "n_candidates",
+                "n_overlap",
+                F.expr(f"n_overlap * 1000000 div {k}").cast("bigint").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 # Derived append batch for the registered incremental-append query:
 # every 50th vector (mod-class 7) re-keyed past the corpus id range —
 # deterministic, no RNG, and guaranteed non-empty at every bundled SF.

@@ -75,6 +75,7 @@ _PRIORITY = [
     "ivfpq_delete_search",
     "semdedup_flags_append",
     "retrieval_index_append",
+    "ivfpq_recall_sweep",
     # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",

@@ -27,7 +27,9 @@ _NESTED_LOOP_OK = {
     "join_range_bands",  # 3-row literal band dim, range predicate
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
     "ivfpq_append_search",  # append-batch coarse assign vs the bounded FROZEN centroid table
+    "semdedup_flags_append",  # ingest-batch coarse assign vs the bounded FROZEN centroid table
     "ivfpq_recall_audit",  # 1-row overlap x 1-row candidate-count summary crossJoin
+    "ivfpq_recall_sweep",  # four 1-row overlap x candidate-count scalar crossJoins (one per arm)
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join
     "corpus_quality_funnel",  # inherits the unigram-LM scalar cross join
     "corpus_source_divergence",  # corpus-total scalar: 1-row broadcast cross join

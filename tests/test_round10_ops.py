@@ -310,3 +310,30 @@ class TestMultimodalDecodeKnob:
         )
         with pytest.raises(ValueError):
             multimodal.extract_features(multimodal.synth_media(docs), decode="gif")
+
+
+class TestRecallSweep:
+    def test_monotone_and_consistent_with_single_audit(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivfpq_recall_audit,
+            ivfpq_recall_sweep,
+        )
+
+        rows = {
+            r["n_probes"]: r
+            for r in ivfpq_recall_sweep(spark, SF_SMOKE).collect()
+        }
+        assert sorted(rows) == [1, 2, 4, 8]
+        # candidates grow with probes (strict superset). Recall is NOT
+        # asserted monotone: a newly probed cell can inject codes whose
+        # QUANTIZED distance underestimates the true distance, evicting
+        # true neighbors from the ADC top-10 (quantization loss) — the
+        # smoke corpus actually exhibits this (np=1 recall 0.5 > np=2
+        # recall 0.2), which is exactly why the sweep exists.
+        for lo, hi in [(1, 2), (2, 4), (4, 8)]:
+            assert rows[lo]["n_candidates"] <= rows[hi]["n_candidates"]
+        assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows.values())
+        # the np=4 arm IS the registered single-point audit
+        audit = ivfpq_recall_audit(spark, SF_SMOKE).head()
+        assert rows[4]["n_candidates"] == audit["n_candidates"]
+        assert rows[4]["recall_ppm"] == audit["recall_ppm"]

@@ -75,6 +75,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "similarity_ann_ivf's NOTE documents; it surfaces here because the "
     "batch encode runs un-memoized inside the audited plan (base codes "
     "come from the checkpointed memo, the batch is new by definition)",
+    ("ivfpq_recall_sweep", "bnlj"): "four 1-row overlap x 1-row "
+    "candidate-count scalar crossJoins (one per statically-unrolled "
+    "sweep arm) — the same sanctioned scalar pattern as "
+    "ivfpq_recall_audit's single arm",
     ("ivfpq_delete_search", "global-window"): "same shape as "
     "similarity_ivf_pq_adc (shared frozen index state + _adc_topk over "
     "the takedown survivors): adc_rank over the LIMIT-k (10) survivors "

@@ -280,6 +280,26 @@ SHOWCASE: dict[str, str] = {
     "table + hash-agg sum (exact, order-free); TakeOrdered heap for "
     "top-k; raw vectors touched only for the exact-cosine audit column "
     "on the 10 survivors.",
+    "dedup_minhash_clusters_delete": "Cluster-table DELETION "
+    "maintenance (round 10): untouched components' labels stream "
+    "straight off the frozen localCheckpoint scan (left-anti against "
+    "the touched-member set — no recompute); only the touched "
+    "components' survivors re-band and re-contract; the single corpus "
+    "window is the output cluster_size count.",
+    "semdedup_flags_append": "Incremental SemDeDup (round 10): base "
+    "keep-flags are a frozen localCheckpoint scan passed through "
+    "verbatim; the batch coarse-assigns via the parameter-bounded "
+    "centroid crossJoin (allowlisted) and does ≤16 codegen'd cosines "
+    "against the frozen anchor table — batch-sized work end to end.",
+    "retrieval_index_append": "Incremental retrieval stats (round 10): "
+    "the frozen per-term df/cf table (localCheckpoint scan) full-outer-"
+    "merges with the batch's own tokenize+agg on the vocabulary key — "
+    "zero base-text reads in the plan; exact integer addition.",
+    "ivfpq_recall_sweep": "n_probes tuning sweep (round 10): ADC "
+    "distances + per-cell probe rank computed ONCE over the memoized "
+    "codes (InMemoryTableScan reused by all arms), then four "
+    "statically-unrolled filter + TakeOrdered-10 arms with 1-row "
+    "scalar rollups — no range join, no corpus-wide window.",
 }
 
 
