@@ -687,3 +687,62 @@ def retrieval_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+_IDX_DELETE_MOD, _IDX_DELETE_RES = 15, 4
+
+
+@register(
+    "retrieval_index_delete",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_IDX_DELETE_MOD} = {_IDX_DELETE_RES} AS is_del,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, is_del, count(*) AS tf
+      FROM toks GROUP BY term, doc_id, is_del
+    )
+    SELECT term,
+           count(CASE WHEN NOT is_del THEN 1 END)::BIGINT AS df,
+           coalesce(sum(CASE WHEN NOT is_del THEN tf END), 0)::BIGINT AS cf,
+           count(CASE WHEN is_del THEN 1 END)::BIGINT AS df_deleted
+    FROM tf GROUP BY term
+    HAVING count(CASE WHEN NOT is_del THEN 1 END) >= 3
+    """,
+    doc="Retrieval-index DELETION maintenance — the subtraction "
+    "direction of retrieval_index_append, closing the last cell of the "
+    "maintenance matrix: a takedown batch's per-term (df, cf) aggregate "
+    "is SUBTRACTED from the frozen stat table (exact, because integer "
+    "addition is associative and commutative — the same argument as the "
+    "append, again with no id-ordering condition); terms whose df hits "
+    "zero drop out, the df>=3 output floor re-applies to the post-"
+    "delete counts (a term can fall below the floor by deletion). The "
+    "batch's text is read back batch-sized from the corpus store "
+    "(takedown requests carry ids; the store still holds the docs until "
+    "the delete commits). Oracle replays the rebuild over the reduced "
+    "corpus with a df_deleted audit column proving the subtrahend. "
+    "Plan: one batch-sized tokenize+agg, one vocabulary-keyed left "
+    "join (deleted terms are a subset of base terms by construction), "
+    "zero surviving-text reads.",
+)
+def retrieval_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    base = term_stats_memo(spark, sf_dir)
+    batch = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(_IDX_DELETE_MOD)) == _IDX_DELETE_RES
+    )
+    btf = _tokens(batch).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    bstats = btf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_b"), F.sum("tf").alias("cf_b")
+    )
+    merged = base.join(bstats, "term", "left")
+    return (
+        merged.select(
+            "term",
+            (F.col("df") - F.coalesce("df_b", F.lit(0))).cast("long").alias("df"),
+            (F.col("cf") - F.coalesce("cf_b", F.lit(0))).cast("long").alias("cf"),
+            F.coalesce("df_b", F.lit(0)).cast("long").alias("df_deleted"),
+        )
+        .filter(F.col("df") >= 3)
+    )

@@ -837,15 +837,19 @@ def _semdedup_flags_cte(
     n_iters: int = 2,
     tau: float = SEMDEDUP_TAU,
     n_anchors: int = SEMDEDUP_ANCHORS,
+    member_filter: str = "",
 ) -> str:
     """Comma-terminated CTE prefix: the k-means fragment plus
     ``members``, ``anchors`` and ``dup_hits`` — shared by the per-doc
     flag query and the per-source budget rollup so both oracle the
-    IDENTICAL prune decision."""
+    IDENTICAL prune decision. ``member_filter`` (a ``WHERE …`` fragment
+    on ``e.id``) restricts membership while the cells stay trained on
+    the FULL corpus — the frozen-cell replay the deletion twin needs."""
     kmeans, _cl = _kmeans_cte(n_clusters, n_iters)
     return f"""{kmeans}
     members AS (
       SELECT e.id, afinal.cluster, e.v FROM e JOIN afinal ON e.id = afinal.id
+      {member_filter}
     ),
     anchors AS (
       SELECT id AS a_id, cluster, v AS a_v FROM (
@@ -1100,6 +1104,86 @@ def semdedup_flags_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base_flags.unionByName(batch_flags).withColumn(
         "is_appended", F.col("vec_id") >= F.lit(_SEM_APPEND_SHIFT)
     )
+
+
+# deterministic takedown batch for the SemDeDup deletion tick: every
+# 30th vector (mod-class 2 — never the anchor query vec_id 0). At the
+# gate corpus most vectors are anchors (16 cells x 16 anchors vs 500
+# vectors), so the batch reliably exercises the anchor-promotion path.
+_SEM_DELETE_MOD, _SEM_DELETE_RES = 30, 2
+
+
+@register(
+    "semdedup_flags_delete",
+    f"""
+    WITH {_semdedup_flags_cte(member_filter=f"WHERE e.id % {_SEM_DELETE_MOD} <> {_SEM_DELETE_RES}")}
+    SELECT m.id AS vec_id, m.cluster::BIGINT AS cluster,
+           coalesce(d.n_dup_anchors, 0)::BIGINT AS n_dup_anchors,
+           d.id IS NULL AS is_kept
+    FROM members m LEFT JOIN dup_hits d ON m.id = d.id
+    """,
+    doc="SemDeDup DELETION maintenance — corrects the naive assumption "
+    "that a keep-flag delete is a row filter: flags are computed "
+    "AGAINST the cell's anchor set, so deleting an ANCHOR changes its "
+    "cell's lowest-id anchor roster and can flip other members' flags "
+    "(a doc pruned only by a now-removed anchor must come back). The "
+    "tick therefore splits cells: (1) cells that lost NO anchor pass "
+    "their frozen flags through minus the deleted rows — deleting a "
+    "non-anchor member never changes the lowest-n_anchors set, and a "
+    "member's flag depends only on its cell's anchors, so pass-through "
+    "is exact; (2) cells that lost an anchor recompute from their "
+    "surviving members only (frozen cells, batch-of-cells-sized work). "
+    "Oracle replays the frozen-cell rebuild over survivors (k-means "
+    "trained on the FULL corpus, membership filtered) end-to-end.",
+)
+def semdedup_flags_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    base_flags = semdedup_flags_memo(spark, sf_dir)
+    anchors = semdedup_anchors_memo(spark, sf_dir)
+    assignments, _centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    is_del = F.pmod(F.col("vec_id"), F.lit(_SEM_DELETE_MOD)) == _SEM_DELETE_RES
+    deleted = emb.filter(is_del).select("vec_id")
+    touched = (
+        anchors.join(
+            deleted.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi"
+        )
+        .select(F.col("cluster").cast("bigint").alias("cluster"))
+        .distinct()
+    )
+    untouched_flags = base_flags.join(touched, "cluster", "left_anti").filter(~is_del)
+    members = (
+        emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+        )
+        .join(
+            assignments.select(
+                "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+            ),
+            "vec_id",
+        )
+        .join(touched, "cluster", "left_semi")
+        .filter(~is_del)
+    )
+    anchors2 = keyed_topk(
+        members, ["cluster"], [F.col("vec_id").asc()], k=SEMDEDUP_ANCHORS
+    ).select("cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v"))
+    hits = (
+        members.join(anchors2, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    touched_flags = members.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+        F.col("n_dup_anchors").isNull().alias("is_kept"),
+    )
+    return untouched_flags.unionByName(touched_flags)
 
 
 @register(

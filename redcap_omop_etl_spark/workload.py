@@ -76,6 +76,8 @@ _PRIORITY = [
     "semdedup_flags_append",
     "retrieval_index_append",
     "ivfpq_recall_sweep",
+    "semdedup_flags_delete",
+    "retrieval_index_delete",
     # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",

@@ -337,3 +337,71 @@ class TestRecallSweep:
         audit = ivfpq_recall_audit(spark, SF_SMOKE).head()
         assert rows[4]["n_candidates"] == audit["n_candidates"]
         assert rows[4]["recall_ppm"] == audit["recall_ppm"]
+
+
+class TestSemDeDupDelete:
+    """semdedup_flags_delete: pass-through for cells that lost no
+    anchor; full recompute only inside anchor-losing cells."""
+
+    def test_untouched_cells_pass_through_and_deleted_gone(self, spark):
+        from redcap_omop_etl_spark.operators.similarity import (
+            _SEM_DELETE_MOD,
+            _SEM_DELETE_RES,
+            semdedup_anchors_memo,
+            semdedup_flags_delete,
+            semdedup_flags_memo,
+        )
+
+        base = {
+            r["vec_id"]: (r["cluster"], r["n_dup_anchors"], r["is_kept"])
+            for r in semdedup_flags_memo(spark, SF_SMOKE).collect()
+        }
+        anchors = semdedup_anchors_memo(spark, SF_SMOKE).collect()
+        deleted = {
+            v for v in base if v % _SEM_DELETE_MOD == _SEM_DELETE_RES
+        }
+        touched_cells = {
+            r["cluster"] for r in anchors if r["a_id"] in deleted
+        }
+        # the derived batch must exercise the anchor-promotion path
+        assert deleted and touched_cells
+        after = {
+            r["vec_id"]: (r["cluster"], r["n_dup_anchors"], r["is_kept"])
+            for r in semdedup_flags_delete(spark, SF_SMOKE).collect()
+        }
+        assert not (set(after) & deleted)
+        assert set(after) == set(base) - deleted
+        for v, row in after.items():
+            if row[0] not in touched_cells:
+                assert row == base[v], f"untouched-cell vec {v} changed"
+
+
+class TestRetrievalIndexDelete:
+    def test_subtraction_consistent_with_rebuild(self, spark):
+        from redcap_omop_etl_spark.operators.retrieval import (
+            _IDX_DELETE_MOD,
+            _IDX_DELETE_RES,
+            _tokens,
+            retrieval_index_delete,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        rows = {
+            r["term"]: r for r in retrieval_index_delete(spark, SF_SMOKE).collect()
+        }
+        assert rows and all(
+            r["df"] >= 3 and r["df_deleted"] >= 0 for r in rows.values()
+        )
+        # direct rebuild over survivors must agree term-for-term
+        d = Catalog(spark, SF_SMOKE)["documents"].filter(
+            F.pmod(F.col("doc_id"), F.lit(_IDX_DELETE_MOD)) != _IDX_DELETE_RES
+        )
+        tf = _tokens(d).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        direct = {
+            r["term"]: (r["df"], r["cf"])
+            for r in tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .filter(F.col("df") >= 3)
+            .collect()
+        }
+        assert {t: (r["df"], r["cf"]) for t, r in rows.items()} == direct
