@@ -204,6 +204,15 @@ HEADLINE = [
     "ivfpq_append_search",
     "ivfpq_recall_audit",
     "dedup_minhash_clusters_append",
+    # round 10: the deletion side of the maintenance matrix, the
+    # incremental SemDeDup/retrieval ticks, and the n_probes sweep.
+    "dedup_minhash_clusters_delete",
+    "ivfpq_delete_search",
+    "semdedup_flags_append",
+    "semdedup_flags_delete",
+    "retrieval_index_append",
+    "retrieval_index_delete",
+    "ivfpq_recall_sweep",
 ]
 
 
