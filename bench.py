@@ -213,6 +213,7 @@ HEADLINE = [
     "retrieval_index_append",
     "retrieval_index_delete",
     "ivfpq_recall_sweep",
+    "dedup_prefix_jaccard_append",
 ]
 
 

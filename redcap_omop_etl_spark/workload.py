@@ -78,6 +78,8 @@ _PRIORITY = [
     "ivfpq_recall_sweep",
     "semdedup_flags_delete",
     "retrieval_index_delete",
+    "dedup_prefix_jaccard_append",
+    "dedup_prefix_jaccard_cap64",
     # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",

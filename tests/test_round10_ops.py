@@ -405,3 +405,64 @@ class TestRetrievalIndexDelete:
             .collect()
         }
         assert {t: (r["df"], r["cf"]) for t, r in rows.items()} == direct
+
+
+class TestPpjoinAppend:
+    """dedup_prefix_jaccard_append: incremental exact pairs against the
+    frozen prefix index — every output pair involves a batch doc, the
+    guaranteed batch structure (source pair + twin pair) is found, and
+    the frozen-order extension leaves base prefixes untouched."""
+
+    def test_batch_pairs_found_and_no_base_base(self, spark):
+        from redcap_omop_etl_spark.operators.dedup import (
+            _PPJ_APPEND_MOD,
+            _PPJ_APPEND_RES,
+            _PPJ_APPEND_SHIFT,
+            dedup_prefix_jaccard_append,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        rows = dedup_prefix_jaccard_append(spark, SF_SMOKE).collect()
+        assert rows
+        # every pair involves a batch doc; d1 < d2 by construction
+        assert all(r["d2"] >= _PPJ_APPEND_SHIFT and r["d1"] < r["d2"] for r in rows)
+        srcs = [
+            r["doc_id"]
+            for r in Catalog(spark, SF_SMOKE)["documents"]
+            .filter(F.pmod(F.col("doc_id"), F.lit(_PPJ_APPEND_MOD)) == _PPJ_APPEND_RES)
+            .select("doc_id")
+            .collect()
+        ]
+        assert srcs
+        pairs = {(r["d1"], r["d2"]): r["pair_kind"] for r in rows}
+        for s in srcs:
+            # twin pair (new_new) is J=1 and must always be found
+            assert (
+                pairs.get((s + _PPJ_APPEND_SHIFT, s + 2 * _PPJ_APPEND_SHIFT))
+                == "new_new"
+            )
+
+    def test_frozen_state_prefix_matches_uncapped_pipeline_order(self, spark):
+        # the memoized prefix must be the same (dfr, t)-ordered prefix the
+        # uncapped pipeline derives — spot-check sizes and per-doc counts
+        from redcap_omop_etl_spark.operators.dedup import ppjoin_frozen_state
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from redcap_omop_etl_spark.operators.dedup import shingles
+
+        dfreq, prefix = ppjoin_frozen_state(spark, SF_SMOKE)
+        docs = Catalog(spark, SF_SMOKE)["documents"]
+        sz = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", F.size(shingles(F.col("text"), 3)).alias("n")
+            ).collect()
+        }
+        import math
+
+        got = {}
+        for r in prefix.collect():
+            got[r["doc"]] = got.get(r["doc"], 0) + 1
+            assert r["sz"] == sz[r["doc"]]
+        for doc, n_prefix in got.items():
+            expected = sz[doc] - math.ceil(sz[doc] * 0.6) + 1
+            assert n_prefix == expected, (doc, n_prefix, expected)
