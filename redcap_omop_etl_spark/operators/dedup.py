@@ -2135,7 +2135,14 @@ def ppjoin_frozen_state(spark: SparkSession, sf_dir: str):
     "ORDER-INDEPENDENT — restricted to pairs involving a batch doc, so "
     "incremental ≡ rebuild is value-checked cross-engine. Cost: "
     "O(batch prefixes x bucket) candidates + candidate-sized verify — "
-    "never a base-base re-pairing.",
+    "never a base-base re-pairing. BOUNDARY, measured (SCALE_r10): on "
+    "dup-DENSE corpora the tick is superlinear (28x at 16x mutated "
+    "replicas) because every batch doc's prefix hits all ~m of its "
+    "near-dup partners — the SAME dup-density cliff as the base "
+    "uncapped PPJoin, with the same escapes: emitted-pair volume IS "
+    "the output (exactness costs what the true pairs cost), and "
+    "dense-batch ingest belongs on dedup_minhash_clusters_append "
+    "(bounded star edges, no pair emission) or a capped composition.",
 )
 def dedup_prefix_jaccard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
