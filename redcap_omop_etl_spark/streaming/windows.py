@@ -470,3 +470,100 @@ def stream_to_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_cluster_index(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """foreachBatch bridge into the incremental near-dup cluster
+    maintenance — the full production ingest shape: a stream of new
+    documents ``(doc_id, text)`` lands micro-batch by micro-batch, each
+    batch bands against the PERSISTED frozen hub/component state under
+    ``state_path`` and updates it through the batch-sized merge CC
+    (``graph.incremental_minhash_components``), so the on-disk cluster
+    table is continuously current without ever re-running components
+    over the corpus.
+
+    State layout: ``{state_path}/components`` (node, component) and
+    ``{state_path}/hubs`` (band, bucket, hub). Per batch:
+
+    - existing state: merge-CC the batch against it; base components
+      whose label changed remap through the rep map, batch docs that
+      gained an edge append, and batch-only buckets' minima extend the
+      hub table (existing hubs stay frozen — an edge to a hub's rep
+      preserves connectivity regardless of later smaller ids, per the
+      partition-level equivalence argument on
+      ``incremental_minhash_components``).
+    - first batch (no state yet): plain star + contraction bootstrap.
+
+    Batch ids must be DISJOINT from all earlier ids (the usual ingest
+    contract); by induction each tick leaves the state equal to a full
+    rebuild over everything ingested so far — pinned end-to-end by
+    ``tests/test_round10_ops.py::TestStreamClusterIndex`` (multi-batch
+    stream ≡ one-shot rebuild, including a cross-batch cluster merge).
+    State writes localCheckpoint first (Spark refuses to overwrite a
+    path it is still reading); production would swap in a manifest
+    commit like the chunked sink's 2PC."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from redcap_omop_etl_spark.operators.dedup import minhash_band_table
+    from redcap_omop_etl_spark.operators.graph import (
+        connected_components,
+        incremental_minhash_components,
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        banded = minhash_band_table(batch_df).localCheckpoint(eager=True)
+        comp_dir = f"{state_path}/components"
+        if os.path.exists(comp_dir):
+            comp = spark.read.parquet(comp_dir)
+            hubs = spark.read.parquet(f"{state_path}/hubs")
+            merged = incremental_minhash_components(comp, hubs, banded)
+            rep_map = merged.select(
+                F.col("node").alias("__rep"), F.col("component").alias("__final")
+            )
+            base_upd = (
+                comp.join(rep_map, comp["component"] == rep_map["__rep"], "left")
+                .select(
+                    "node", F.coalesce("__final", "component").alias("component")
+                )
+            )
+            new_nodes = merged.join(comp.select("node"), "node", "left_anti")
+            comp_out = base_upd.unionByName(
+                new_nodes.select("node", "component")
+            ).localCheckpoint(eager=True)
+            new_hubs = (
+                banded.join(hubs, ["band", "bucket"], "left_anti")
+                .groupBy("band", "bucket")
+                .agg(F.min("doc").alias("hub"))
+            )
+            hubs_out = hubs.unionByName(new_hubs).localCheckpoint(eager=True)
+        else:
+            m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+            star = (
+                banded.withColumn("m", m)
+                .filter(F.col("doc") != F.col("m"))
+                .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+                .distinct()
+            )
+            comp_out = connected_components(star).localCheckpoint(eager=True)
+            hubs_out = (
+                banded.groupBy("band", "bucket")
+                .agg(F.min("doc").alias("hub"))
+                .localCheckpoint(eager=True)
+            )
+        comp_out.write.mode("overwrite").parquet(comp_dir)
+        hubs_out.write.mode("overwrite").parquet(f"{state_path}/hubs")
+
+    writer = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(availableNow=True).start()
