@@ -79,6 +79,7 @@ _PRIORITY = [
     "semdedup_flags_delete",
     "retrieval_index_delete",
     "dedup_prefix_jaccard_append",
+    "dedup_prefix_jaccard_append_capped",
     "dedup_prefix_jaccard_cap64",
     # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",

@@ -537,3 +537,29 @@ class TestStreamClusterIndex:
         assert lbl[2] == 1 and lbl[30] == 1
         assert lbl[11] == lbl[10]
         assert 20 not in lbl  # singleton never entered the edge graph
+
+
+class TestPpjoinAppendCapped:
+    """dedup_prefix_jaccard_append_capped: batch additions can push a
+    base prefix bucket over the cap, so BASE docs appear as newly-routed
+    overflow rows (the retraction signal) — and clean candidates stay
+    cap-bounded."""
+
+    def test_newly_hot_base_docs_are_routed(self, spark):
+        from redcap_omop_etl_spark.operators.dedup import (
+            _PPJ_APPEND_SHIFT,
+            dedup_prefix_jaccard_append_capped,
+        )
+
+        rows = dedup_prefix_jaccard_append_capped(spark, SF_SMOKE).collect()
+        over = [r["d1"] for r in rows if r["kind"] == "overflow"]
+        assert over
+        # the registered cap (2) plus the two appended copies per source
+        # guarantees some BASE doc's prefix bucket crosses the cap
+        assert any(d < _PPJ_APPEND_SHIFT for d in over)
+        # overflow rows carry null pair fields; pair rows involve a batch doc
+        for r in rows:
+            if r["kind"] == "overflow":
+                assert r["d2"] is None and r["jaccard"] is None
+            else:
+                assert r["d2"] >= _PPJ_APPEND_SHIFT and r["jaccard"] >= 0.6
