@@ -214,6 +214,7 @@ HEADLINE = [
     "retrieval_index_delete",
     "ivfpq_recall_sweep",
     "dedup_prefix_jaccard_append",
+    "dedup_prefix_jaccard_append_capped",
 ]
 
 
