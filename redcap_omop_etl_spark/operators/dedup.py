@@ -1390,16 +1390,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAIN_GATE_CAP = 2
 
 
-@register(
-    "dedup_containment_capped",
-    f"""
+def containment_capped_sql(cap: int) -> str:
+    """Full DuckDB oracle for the capped containment at a given bucket
+    cap — shared by the gate-cap registration (cap=2, exercises the
+    overflow channel at sf0.01 density) and the production-default
+    cap=64 registration."""
+    return f"""
     WITH {shingle_sql_cte(materialized=True)}, dfreq AS MATERIALIZED (
       SELECT s, count(*) AS dfr FROM __sh GROUP BY s
     ), sh AS MATERIALIZED (
       SELECT doc_id, __sh.s FROM __sh JOIN dfreq ON __sh.s = dfreq.s
       WHERE dfr <= 100
     ), warm AS MATERIALIZED (
-      SELECT s FROM dfreq WHERE dfr <= 100 AND dfr > {_CONTAIN_GATE_CAP}
+      SELECT s FROM dfreq WHERE dfr <= 100 AND dfr > {cap}
     ), overflow AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM warm)
     ), clean AS MATERIALIZED (
@@ -1421,7 +1424,12 @@ _CONTAIN_GATE_CAP = 2
     SELECT 'overflow' AS kind, doc_id AS d1, NULL::BIGINT AS d2,
            NULL::DOUBLE AS cont_1in2, NULL::DOUBLE AS cont_2in1
     FROM overflow
-    """,
+    """
+
+
+@register(
+    "dedup_containment_capped",
+    containment_capped_sql(_CONTAIN_GATE_CAP),
     doc="Scale-capped containment (the SCALE_r06 16.1×-slope fix, "
     "porting the capped-PPJoin overflow pattern): in-metric shingles "
     f"whose document frequency exceeds the cap ({_CONTAIN_GATE_CAP} "
@@ -2428,3 +2436,35 @@ def dedup_prefix_jaccard_append_capped(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     return pairs.unionByName(overflow_rows)
+
+
+@register(
+    "dedup_containment_cap64",
+    containment_capped_sql(64),
+    doc="The capped containment at its PRODUCTION default "
+    "(bucket_cap=64) — like dedup_prefix_jaccard_cap64, previously a "
+    "scale-only bench callable, now registered so the deployed "
+    "configuration is the driver-verified one. At gate density the cap "
+    "is inert (uncapped-within-df_cap pair set, empty overflow) — the "
+    "property worth pinning; the cap=2 twin exercises the routing "
+    "channel.",
+)
+def dedup_containment_cap64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, overflow = containment_pairs_capped(
+        Catalog(spark, sf_dir)["documents"],
+        threshold=0.5,
+        n=3,
+        df_cap=100,
+        bucket_cap=64,
+    )
+    return pairs.select(
+        F.lit("pair").alias("kind"), "d1", "d2", "cont_1in2", "cont_2in1"
+    ).unionByName(
+        overflow.select(
+            F.lit("overflow").alias("kind"),
+            F.col("doc").alias("d1"),
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("double").alias("cont_1in2"),
+            F.lit(None).cast("double").alias("cont_2in1"),
+        )
+    )

@@ -64,13 +64,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-10 rotation. Leads: the 4 new round-10 maintenance
-    # queries (cluster delete / IVF-PQ delete / SemDeDup append /
-    # retrieval-index append); then the 5 fast twins whose oracles
-    # changed from rows-only to full value checks this round (the
-    # DuckDB XXH64 replay — the driver must re-verify them as oracled);
-    # then the FULL r4 cohort (39 queries, six rounds stale — verdict
-    # item 6). 4+5+39 = 48 slots, fits the driver's ~50 window.
+    # -- round-10 rotation. Leads: the 11 new round-10 queries (the
+    # full append+delete maintenance matrix, the n_probes recall sweep,
+    # the incremental exact/capped PPJoin ticks, the two production-cap
+    # registrations); then the 5 fast twins whose oracles changed from
+    # rows-only to full value checks this round (the DuckDB XXH64
+    # replay — the driver must re-verify them as oracled); then the
+    # FULL r4 cohort (39 queries, six rounds stale — verdict item 6).
+    # 11+5+39 = 55: the ~50-slot gate covers leads + most of the r4
+    # cohort; the tail tops round 11's window.
     "dedup_minhash_clusters_delete",
     "ivfpq_delete_search",
     "semdedup_flags_append",
@@ -81,6 +83,7 @@ _PRIORITY = [
     "dedup_prefix_jaccard_append",
     "dedup_prefix_jaccard_append_capped",
     "dedup_prefix_jaccard_cap64",
+    "dedup_containment_cap64",
     # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",
