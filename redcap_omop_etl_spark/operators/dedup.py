@@ -707,7 +707,7 @@ def minhash_banded_sql_cte(
             f"    hs AS (\n"
             f"      SELECT DISTINCT __sh.doc_id AS doc,\n"
             f"             {xxh64_pmod(2147483647)} AS h\n"
-            f"      FROM __sh JOIN __xxh ON __sh.{gram} = __xxh.__xs {doc_filter.replace('WHERE', 'AND') if doc_filter else ''}\n"
+            f"      FROM __sh JOIN __xxh ON __sh.{gram} = __xxh.__xs {('AND ' + doc_filter.removeprefix('WHERE ')) if doc_filter else ''}\n"
             f"    )"
         )
     else:

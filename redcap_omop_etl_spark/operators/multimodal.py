@@ -236,11 +236,13 @@ def extract_features(
 
                     from PIL import Image  # worker-side import
 
-                    arr = (
-                        np.asarray(Image.open(io.BytesIO(payload)))
-                        .ravel()
-                        .astype(np.uint8)
-                    )
+                    img = Image.open(io.BytesIO(payload))
+                    # Normalize non-uint8 modes (16-bit "I;16", float "F",
+                    # palette "P") before histogramming — astype(uint8) on
+                    # those wraps modulo 256 and silently skews the bins.
+                    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+                        img = img.convert("RGB" if img.mode == "P" else "L")
+                    arr = np.asarray(img).ravel().astype(np.uint8)
                 else:
                     arr = np.frombuffer(payload, dtype=np.uint8)  # stub decode
                 hist = np.histogram(arr, bins=16, range=(0, 256))[0].astype("float64")

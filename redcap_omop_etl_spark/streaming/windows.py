@@ -507,8 +507,6 @@ def stream_to_cluster_index(
     State writes localCheckpoint first (Spark refuses to overwrite a
     path it is still reading); production would swap in a manifest
     commit like the chunked sink's 2PC."""
-    import os
-
     from pyspark.sql.window import Window
 
     from redcap_omop_etl_spark.operators.dedup import minhash_band_table
@@ -523,7 +521,13 @@ def stream_to_cluster_index(
         spark = batch_df.sparkSession
         banded = minhash_band_table(batch_df).localCheckpoint(eager=True)
         comp_dir = f"{state_path}/components"
-        if os.path.exists(comp_dir):
+        # Hadoop FS existence check (not os.path) so an HDFS/S3 state_path
+        # is honored rather than silently re-bootstrapped on every batch.
+        hadoop = spark._jvm.org.apache.hadoop.fs
+        fs = hadoop.FileSystem.get(
+            hadoop.Path(comp_dir).toUri(), spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(hadoop.Path(comp_dir)):
             comp = spark.read.parquet(comp_dir)
             hubs = spark.read.parquet(f"{state_path}/hubs")
             merged = incremental_minhash_components(comp, hubs, banded)

@@ -42,7 +42,19 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
     # whole tail only when the queries object's opening brace was itself
     # truncated away, with the denylist as the last guard.
     tail = d["tail"] if d is not None and "tail" in d else raw
-    qm = re.search(r'"queries": \{([^}]*)', tail)
+    # Prefer a real parse of the tail (it may be a complete JSON line).
+    try:
+        td = json.loads(tail)
+        if isinstance(td, dict) and isinstance(td.get("queries"), dict):
+            q = {
+                k: float(v)
+                for k, v in td["queries"].items()
+                if isinstance(v, (int, float))
+            }
+            return q, td.get("calib") or {}
+    except (json.JSONDecodeError, TypeError):
+        pass
+    qm = re.search(r'"queries"\s*:\s*\{([^}]*)', tail)
     span = qm.group(1) if qm else tail
     q = {
         k: float(v)
