@@ -2081,26 +2081,50 @@ def ppjoin_frozen_state(spark: SparkSession, sf_dir: str):
     return dfreq, prefix
 
 
-def _ppj_append_batch(spark: SparkSession, sf_dir: str, threshold: float = 0.6):
+def _ppj_append_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    batch: DataFrame | None = None,
+    check_ids: bool = True,
+):
     """Shared batch derivation + frozen-order prefix ranking for the
     incremental PPJoin family: returns ``(docs, batch, btoks, bprefix)``
     — the derived batch docs, their distinct shingle table
     (tracked_cache'd), and their prefix under the FROZEN base order
-    extended with unseen shingles at frequency 0."""
+    extended with unseen shingles at frequency 0.
+
+    ``batch`` overrides the registered derived batch with a caller-
+    supplied ``(doc_id, text)`` frame (the production ingest path).
+    ``check_ids`` (default True) enforces the id-disjointness
+    precondition at runtime: every base doc has >= 1 row in the frozen
+    prefix index (sz - ceil(0.6*sz) + 1 >= 1 for any non-empty shingle
+    set), so a batch id colliding with ``prefix.doc`` would alias two
+    distinct documents in the candidate/verify joins and silently
+    corrupt the pair set. One short-circuited semi-join per tick."""
     from pyspark.sql.window import Window
 
     docs = Catalog(spark, sf_dir)["documents"]
-    dfreq, _base_prefix = ppjoin_frozen_state(spark, sf_dir)
-    one = docs.filter(
-        F.pmod(F.col("doc_id"), F.lit(_PPJ_APPEND_MOD)) == _PPJ_APPEND_RES
-    ).select("doc_id", F.concat(F.col("text"), F.lit(_PPJ_APPEND_SUFFIX)).alias("text"))
-    batch = one.select(
-        (F.col("doc_id") + F.lit(_PPJ_APPEND_SHIFT)).alias("doc_id"), "text"
-    ).unionByName(
-        one.select(
-            (F.col("doc_id") + F.lit(2 * _PPJ_APPEND_SHIFT)).alias("doc_id"), "text"
+    dfreq, base_prefix = ppjoin_frozen_state(spark, sf_dir)
+    if batch is None:
+        one = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(_PPJ_APPEND_MOD)) == _PPJ_APPEND_RES
+        ).select("doc_id", F.concat(F.col("text"), F.lit(_PPJ_APPEND_SUFFIX)).alias("text"))
+        batch = one.select(
+            (F.col("doc_id") + F.lit(_PPJ_APPEND_SHIFT)).alias("doc_id"), "text"
+        ).unionByName(
+            one.select(
+                (F.col("doc_id") + F.lit(2 * _PPJ_APPEND_SHIFT)).alias("doc_id"), "text"
+            )
         )
-    )
+    if check_ids:
+        from redcap_omop_etl_spark.validation import require_disjoint_ids
+
+        require_disjoint_ids(
+            base_prefix.select("doc"),
+            batch.select("doc_id"),
+            "dedup_prefix_jaccard_append",
+        )
     btoks = fan_out(batch).select(
         F.col("doc_id").alias("doc"), F.explode(shingles(F.col("text"), 3)).alias("t")
     ).transform(tracked_cache)

@@ -1726,7 +1726,10 @@ _CLUSTER_APPEND_SUFFIX = " zzappend zzmarker zztail"
 
 
 def incremental_minhash_components(
-    base_comp: DataFrame, hubs: DataFrame, batch_banded: DataFrame
+    base_comp: DataFrame,
+    hubs: DataFrame,
+    batch_banded: DataFrame,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Attach a batch of NEW documents to an existing MinHash cluster
     state WITHOUT recomputing base signatures or re-running components
@@ -1772,8 +1775,30 @@ def incremental_minhash_components(
     (band, bucket) key; the merge graph has ≤ batch × bands edges over
     rep/batch nodes, so the star-contraction CC here is BATCH-sized
     regardless of corpus size.
+    ``check_ids`` (default True) enforces the disjointness precondition
+    at runtime: every base doc appears in the frozen state (non-singleton
+    docs in ``base_comp.node``; singletons are alone in all their buckets
+    so each is the min of its own — i.e. present in ``hubs.hub``), so a
+    batch id colliding with EITHER column would alias two distinct
+    documents into one node and silently corrupt the partition. The
+    guard is one short-circuited semi-join per tick
+    (``validation.require_disjoint_ids``); pass False only when the
+    caller proves disjointness by construction (e.g. a monotonically
+    id-assigned ingest ledger).
     """
     from pyspark.sql.window import Window
+
+    if check_ids:
+        from redcap_omop_etl_spark.validation import require_disjoint_ids
+
+        base_ids = base_comp.select(F.col("node").alias("__id")).unionByName(
+            hubs.select(F.col("hub").alias("__id"))
+        )
+        require_disjoint_ids(
+            base_ids,
+            batch_banded.select("doc"),
+            "incremental_minhash_components",
+        )
 
     shared = batch_banded.join(hubs, ["band", "bucket"])
     hub_rep = shared.join(

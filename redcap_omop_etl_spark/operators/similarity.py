@@ -1060,16 +1060,36 @@ def _semdedup_append_oracle_sql(
     "Cost: O(batch x n_anchors) cosines + one batch-sized assign — a "
     "daily tick, never an O(corpus) re-prune. Output adds is_appended.",
 )
-def semdedup_flags_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_flags_append(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame | None = None,
+    check_ids: bool = True,
+) -> DataFrame:
     from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
 
     emb = Catalog(spark, sf_dir)["embeddings"]
     base_flags = semdedup_flags_memo(spark, sf_dir)
     anchors_base = semdedup_anchors_memo(spark, sf_dir)
     _assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
-    batch = emb.filter(
-        F.pmod(F.col("vec_id"), F.lit(_SEM_APPEND_MOD)) == _SEM_APPEND_RES
-    ).select((F.col("vec_id") + F.lit(_SEM_APPEND_SHIFT)).alias("vec_id"), "embedding")
+    if batch is None:
+        batch = emb.filter(
+            F.pmod(F.col("vec_id"), F.lit(_SEM_APPEND_MOD)) == _SEM_APPEND_RES
+        ).select(
+            (F.col("vec_id") + F.lit(_SEM_APPEND_SHIFT)).alias("vec_id"), "embedding"
+        )
+    if check_ids:
+        # The anchor-stability proof above needs STRICT ordering (unlike
+        # the cluster append's disjointness): a batch vec_id below a base
+        # id could displace a frozen lowest-id anchor and flip base
+        # members' flags. Enforce it — one 1-row job per tick.
+        from redcap_omop_etl_spark.validation import require_monotonic_ids
+
+        require_monotonic_ids(
+            base_flags.select("vec_id"),
+            batch.select("vec_id"),
+            "semdedup_flags_append",
+        )
     nassign = _ivf_assign(
         batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
         centroids,

@@ -133,3 +133,70 @@ def profile_table(df: DataFrame, numeric_round: int = 2) -> DataFrame:
         ]
     )
     return one.select(F.explode(entries).alias("e")).select("e.*")
+
+
+class MaintenancePreconditionError(ValueError):
+    """An incremental-maintenance tick was handed a batch that violates
+    the id precondition its rebuild-equivalence proof needs. Raised by
+    the runtime guards below so a bad batch fails loudly instead of
+    producing a silently-wrong incremental result (the append proofs in
+    ``similarity.semdedup_flags_append`` / ``graph.
+    incremental_minhash_components`` / ``dedup._ppj_append_batch`` hold
+    only under these conditions)."""
+
+
+def require_monotonic_ids(
+    base_ids: DataFrame, batch_ids: DataFrame, op: str
+) -> None:
+    """Assert every batch id exceeds every base id — the precondition of
+    anchor-stability append proofs (a lower batch id could DISPLACE a
+    frozen lowest-id anchor and flip base flags). One 1-row job: each
+    side collapses to a single extreme (map-side partial agg, no
+    shuffle of data rows), then a 1x1 cross join.
+
+    At 100 TB this is a single-column columnar scan of the frozen state
+    per tick — noise next to the tick itself. Empty base or empty batch
+    trivially passes."""
+    bcol, ncol = base_ids.columns[0], batch_ids.columns[0]
+    row = (
+        base_ids.agg(F.max(bcol).alias("__max_base"))
+        .crossJoin(batch_ids.agg(F.min(ncol).alias("__min_batch")))
+        .first()
+    )
+    if (
+        row["__max_base"] is not None
+        and row["__min_batch"] is not None
+        and row["__min_batch"] <= row["__max_base"]
+    ):
+        raise MaintenancePreconditionError(
+            f"{op}: batch ids must all exceed base ids "
+            f"(max base id {row['__max_base']} >= min batch id "
+            f"{row['__min_batch']}); remap batch ids above the base range "
+            f"or run the full rebuild"
+        )
+
+
+def require_disjoint_ids(
+    base_ids: DataFrame, batch_ids: DataFrame, op: str
+) -> None:
+    """Assert the batch id set is DISJOINT from the base id set — the
+    (weaker) precondition of partition-level append proofs where only
+    identity collisions break equivalence, not ordering (cluster append:
+    a batch doc reusing a base id would alias two distinct documents
+    into one node). One semi-join job, short-circuited by limit(1);
+    the batch side is distinct-projected first so the probe is
+    batch-sized."""
+    bcol, ncol = base_ids.columns[0], batch_ids.columns[0]
+    clash = (
+        batch_ids.select(F.col(ncol).alias("__id"))
+        .distinct()
+        .join(base_ids.select(F.col(bcol).alias("__id")), "__id", "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise MaintenancePreconditionError(
+            f"{op}: batch ids must be disjoint from base ids "
+            f"(id {clash[0]['__id']} exists in the frozen base state); "
+            f"remap batch ids or run the full rebuild"
+        )
