@@ -215,6 +215,8 @@ HEADLINE = [
     "ivfpq_recall_sweep",
     "dedup_prefix_jaccard_append",
     "dedup_prefix_jaccard_append_capped",
+    "dedup_ingest_tick_routed",
+    "dedup_ingest_tick_routed_dense",
 ]
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from redcap_omop_etl_spark.caching import tracked_persist
 from redcap_omop_etl_spark.operators.dedup import (
     _PPJOIN_GATE_CAP,
+    components_sql_cte,
     minhash_band_table,
     minhash_banded_sql_cte,
     minhash_star_edges,
@@ -221,31 +222,6 @@ def connected_components(
         e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     )
     return _with_singletons(comp)
-
-
-def components_sql_cte(edges: str = "edges") -> str:
-    """DuckDB mirror of ``connected_components`` — symmetric closure →
-    recursive reachability → min-reachable label. Splice after a CTE that
-    emitted ``{edges}(d1, d2)``; emits ``sym``, ``reach``, ``comp(node,
-    component)``. Single source of truth for every cluster oracle."""
-    return (
-        f"sym AS (\n"
-        f"      SELECT d1 AS a, d2 AS b FROM {edges}\n"
-        f"      UNION\n"
-        f"      SELECT d2 AS a, d1 AS b FROM {edges}\n"
-        f"    ),\n"
-        f"    reach AS (\n"
-        f"      WITH RECURSIVE r(a, b) AS (\n"
-        f"        SELECT a, b FROM sym\n"
-        f"        UNION\n"
-        f"        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a\n"
-        f"      )\n"
-        f"      SELECT * FROM r\n"
-        f"    ),\n"
-        f"    comp AS (\n"
-        f"      SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a\n"
-        f"    )"
-    )
 
 
 # Shared oracle fragment: near-dup edges (stop-shingle-guarded Jaccard

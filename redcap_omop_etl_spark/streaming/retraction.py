@@ -1,0 +1,312 @@
+"""Streaming retraction — the takedown/opt-out (GDPR-shaped) bridge
+onto the round-10 deletion ticks.
+
+``stream_to_cluster_index`` (streaming/windows.py) covers append-only
+ingest; this module covers the other direction: a stream of deleted
+doc/vector ids lands micro-batch by micro-batch and each batch drives
+the persisted index states through their O(touched) delete ticks —
+near-dup cluster table (``graph.dedup_minhash_clusters_delete``
+semantics), inverted-index term stats
+(``retrieval.retrieval_index_delete`` semantics) and SemDeDup keep-flags
+(``similarity.semdedup_flags_delete`` semantics) — so every index is
+continuously right-to-be-forgotten-compliant without an O(corpus)
+rebuild per takedown batch.
+
+Design: one ``foreachBatch`` fan-out (``stream_to_delete_ticks``) over
+pluggable APPLIERS, each owning one on-disk state layout:
+
+- ``{state}/components`` + ``{state}/hubs``  — cluster state (same
+  layout ``stream_to_cluster_index`` writes, so one state dir serves
+  both the ingest and the retraction stream);
+- ``{state}/terms``                          — per-term (df, cf),
+  UNFLOORED (query-time floors like df>=3 must never be baked into
+  maintained state, or subtraction goes wrong for floored-out terms);
+- ``{state}/flags`` + ``{state}/anchors``    — SemDeDup per-vector
+  keep-flags and per-cell anchor roster.
+
+Each applier is scoped exactly like its batch tick: cluster deletes
+recompute only TOUCHED components (co-bucketing docs are always
+same-component, so deletion never creates co-occurrence and untouched
+components keep identical edge sets); term deletes SUBTRACT the batch's
+integer aggregate (associativity — no ordering condition); SemDeDup
+deletes recompute only ANCHOR-LOSING cells from their survivors
+(deleting a non-anchor member never changes the lowest-id anchor set).
+Multi-batch stream ≡ one-shot delete over the union batch ≡ rebuild
+over survivors — pinned in tests/test_streaming.py (the single-tick ≡
+rebuild legs are value-checked cross-engine by the registered queries'
+DuckDB oracles).
+
+State writes localCheckpoint before overwriting (Spark refuses to
+overwrite a path it is still reading); production would swap in a
+manifest commit like the chunked sink's 2PC.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Applier = Callable[[SparkSession, DataFrame], None]
+
+
+# ---------------------------------------------------------------------------
+# state bootstrap writers (one per layout; idempotent full writes)
+# ---------------------------------------------------------------------------
+
+
+def write_cluster_state(docs: DataFrame, state_path: str) -> None:
+    """Bootstrap ``{state}/components`` + ``{state}/hubs`` from a docs
+    frame — identical layout and semantics to ``stream_to_cluster_index``'s
+    first-batch bootstrap, exposed so a retraction stream can start from
+    a batch-built corpus."""
+    from redcap_omop_etl_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_star_edges,
+    )
+    from redcap_omop_etl_spark.operators.graph import connected_components
+
+    comp = connected_components(minhash_star_edges(docs)).localCheckpoint(eager=True)
+    hubs = (
+        minhash_band_table(docs)
+        .groupBy("band", "bucket")
+        .agg(F.min("doc").alias("hub"))
+        .localCheckpoint(eager=True)
+    )
+    comp.write.mode("overwrite").parquet(f"{state_path}/components")
+    hubs.write.mode("overwrite").parquet(f"{state_path}/hubs")
+
+
+def write_term_stats_state(docs: DataFrame, state_path: str) -> None:
+    """Bootstrap ``{state}/terms`` — per-term (df, cf), UNFLOORED."""
+    from redcap_omop_etl_spark.operators.retrieval import _tokens
+
+    tf = _tokens(docs).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{state_path}/terms"
+    )
+
+
+def write_semdedup_state(
+    flags: DataFrame, anchors: DataFrame, state_path: str
+) -> None:
+    """Bootstrap ``{state}/flags`` (vec_id, cluster, n_dup_anchors,
+    is_kept) + ``{state}/anchors`` (cluster, a_id, a_v) from the
+    session's SemDeDup frames (``semdedup_flags_memo`` /
+    ``semdedup_anchors_memo``)."""
+    flags.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{state_path}/flags"
+    )
+    anchors.select(
+        F.col("cluster").cast("bigint").alias("cluster"), "a_id", "a_v"
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{state_path}/anchors"
+    )
+
+
+# ---------------------------------------------------------------------------
+# delete-tick appliers (one per state layout)
+# ---------------------------------------------------------------------------
+
+
+def cluster_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
+    """Takedown applier for the cluster state: touched components only
+    (``graph.dedup_minhash_clusters_delete`` semantics), plus HUB
+    REPAIR — a deleted doc can be a bucket's hub, so every touched
+    component's buckets (and deleted singletons' solo buckets) are
+    re-derived from the survivors' deterministic banding; untouched
+    buckets keep their frozen hubs (no member of theirs was removed).
+    ``corpus`` is the document store the takedown ids resolve against
+    (the store still holds the docs until the delete commits)."""
+    from redcap_omop_etl_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_star_edges,
+    )
+    from redcap_omop_etl_spark.operators.graph import connected_components
+
+    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+        comp = spark.read.parquet(f"{state_path}/components")
+        hubs = spark.read.parquet(f"{state_path}/hubs")
+        deln = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
+        touched = comp.join(deln, "node", "left_semi").select("component").distinct()
+        members = comp.join(touched, "component", "left_semi")
+        remaining = members.join(deln, "node", "left_anti")
+        sub_docs = corpus.join(
+            remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
+        )
+        sub_comp = connected_components(minhash_star_edges(sub_docs))
+        comp_out = (
+            comp.join(members.select("node"), "node", "left_anti")
+            .unionByName(sub_comp)
+            .localCheckpoint(eager=True)
+        )
+        # hub repair: every id whose buckets may have changed — touched
+        # components' members (deleted or not) and deleted singletons
+        # (their buckets were solo: co-bucketing implies same component)
+        stale_hub_ids = members.select("node").unionByName(deln).distinct()
+        hubs_keep = hubs.join(
+            stale_hub_ids.withColumnRenamed("node", "hub"), "hub", "left_anti"
+        )
+        new_hubs = (
+            minhash_band_table(sub_docs)
+            .groupBy("band", "bucket")
+            .agg(F.min("doc").alias("hub"))
+        )
+        hubs_out = hubs_keep.unionByName(new_hubs).localCheckpoint(eager=True)
+        comp_out.write.mode("overwrite").parquet(f"{state_path}/components")
+        hubs_out.write.mode("overwrite").parquet(f"{state_path}/hubs")
+
+    return apply
+
+
+def term_stats_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
+    """Takedown applier for the term-stats state: subtract the batch's
+    per-term integer aggregate (``retrieval.retrieval_index_delete``
+    semantics — exact by associativity, no id condition); terms whose
+    df hits zero drop out of the state."""
+    from redcap_omop_etl_spark.operators.retrieval import _tokens
+
+    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+        stats = spark.read.parquet(f"{state_path}/terms")
+        batch = corpus.join(
+            deleted.select(F.col(deleted.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        btf = _tokens(batch).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        bstats = btf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_b"), F.sum("tf").alias("cf_b")
+        )
+        out = (
+            stats.join(bstats, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce("df_b", F.lit(0))).cast("long").alias("df"),
+                (F.col("cf") - F.coalesce("cf_b", F.lit(0))).cast("long").alias("cf"),
+            )
+            .filter(F.col("df") > 0)
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").parquet(f"{state_path}/terms")
+
+    return apply
+
+
+def semdedup_delete_applier(state_path: str, embeddings: DataFrame) -> Applier:
+    """Takedown applier for the SemDeDup state: cells that lost NO
+    anchor pass their frozen flags through minus the deleted rows;
+    anchor-losing cells recompute flags AND anchor roster from their
+    surviving members only (``similarity.semdedup_flags_delete``
+    semantics — correctly NOT a row filter, since deleting an anchor
+    can flip other members' flags). ``embeddings`` is the vector store
+    the surviving members' vectors resolve against."""
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+    from redcap_omop_etl_spark.operators.similarity import (
+        SEMDEDUP_ANCHORS,
+        SEMDEDUP_TAU,
+        cosine,
+    )
+
+    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+        flags = spark.read.parquet(f"{state_path}/flags")
+        anchors = spark.read.parquet(f"{state_path}/anchors")
+        deln = deleted.select(F.col(deleted.columns[0]).alias("vec_id")).distinct()
+        touched = (
+            anchors.join(deln.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        untouched_flags = flags.join(touched, "cluster", "left_anti").join(
+            deln, "vec_id", "left_anti"
+        )
+        # touched cells' surviving members, with vectors from the store;
+        # the state's flags table IS the cell-membership map
+        members = (
+            flags.join(touched, "cluster", "left_semi")
+            .join(deln, "vec_id", "left_anti")
+            .select("vec_id", "cluster")
+            .join(
+                embeddings.select(
+                    "vec_id",
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                        "__v"
+                    ),
+                ),
+                "vec_id",
+            )
+        )
+        anchors2 = keyed_topk(
+            members, ["cluster"], [F.col("vec_id").asc()], k=SEMDEDUP_ANCHORS
+        ).select("cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v"))
+        hits = (
+            members.join(anchors2, "cluster")
+            .filter(F.col("a_id") < F.col("vec_id"))
+            .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+        )
+        touched_flags = members.join(hits, "vec_id", "left").select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+            F.col("n_dup_anchors").isNull().alias("is_kept"),
+        )
+        flags_out = untouched_flags.unionByName(touched_flags).localCheckpoint(
+            eager=True
+        )
+        anchors_out = (
+            anchors.join(touched, "cluster", "left_anti")
+            .unionByName(anchors2)
+            .localCheckpoint(eager=True)
+        )
+        flags_out.write.mode("overwrite").parquet(f"{state_path}/flags")
+        anchors_out.write.mode("overwrite").parquet(f"{state_path}/anchors")
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# the bridge
+# ---------------------------------------------------------------------------
+
+
+def stream_to_delete_ticks(
+    delete_stream: DataFrame,
+    appliers: list[Applier],
+    checkpoint_dir: str,
+):
+    """foreachBatch fan-out of a takedown id stream onto every
+    registered index state: each micro-batch of deleted ids drives all
+    ``appliers`` in order, so one opt-out request propagates to the
+    cluster table, the term stats and the SemDeDup flags in a single
+    tick. The batch ids are localCheckpoint-pinned once and shared
+    across appliers (each applier re-reads its own state, so a later
+    applier never sees a half-written earlier one — states are
+    independent directories). Checkpointed: replayed batches re-apply
+    semi-join/subtract deletes of ids that are already gone, which is
+    NOT idempotent for the subtraction applier — production pairs this
+    with the manifest-commit dedup of the chunked sink (or an
+    applied-batch ledger keyed by epoch); the availableNow trigger +
+    checkpoint here gives exactly-once within a healthy run."""
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ids = batch_df.localCheckpoint(eager=True)
+        spark = batch_df.sparkSession
+        for ap in appliers:
+            ap(spark, ids)
+
+    return (
+        delete_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,6 +64,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
+    # -- round-11 rotation. Leads: the new round-11 queries (ingest
+    # routing); then the queries whose PLAN changed this round (the
+    # PPJoin append pair refactored onto shared tick helpers; the
+    # guarded appends); then the r4 tail + r5 cohort (oldest evidence
+    # after the r10 window consumed the r4 head) — appended below.
+    "dedup_ingest_tick_routed",
+    "dedup_ingest_tick_routed_dense",
+    "dedup_ingest_tick_routed_warm",
     # -- round-10 rotation. Leads: the 11 new round-10 queries (the
     # full append+delete maintenance matrix, the n_probes recall sweep,
     # the incremental exact/capped PPJoin ticks, the two production-cap

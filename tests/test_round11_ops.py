@@ -121,3 +121,83 @@ class TestPreconditionGuards:
         _docs, b, btoks, bprefix = _ppj_append_batch(spark, sf_dir, batch=batch)
         assert b.count() == 1
         assert bprefix.count() >= 1
+
+
+class TestIngestTickRouter:
+    """The automated ingest-tick router (round-10 verdict item 1): a
+    clean batch takes the exact tick, a template-dominated batch
+    degrades to the LSH cluster append, the middle band takes the
+    capped tick — decided by the integer density probe, never by hand."""
+
+    def test_clean_batch_routes_exact(self, spark, sf_dir):
+        from redcap_omop_etl_spark.operators.dedup import ppjoin_ingest_probe
+
+        route, est, nb, _ = ppjoin_ingest_probe(spark, sf_dir)
+        assert route == "exact"
+        assert est <= 64 * nb
+
+    def test_dense_batch_routes_cluster(self, spark, sf_dir):
+        from redcap_omop_etl_spark.operators.dedup import (
+            _dense_batch,
+            ppjoin_ingest_probe,
+        )
+
+        route, est, nb, _ = ppjoin_ingest_probe(
+            spark, sf_dir, batch=_dense_batch(spark, sf_dir)
+        )
+        assert route == "cluster"
+        assert est > 1024 * nb
+
+    def test_warm_batch_routes_capped(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from redcap_omop_etl_spark.operators.dedup import (
+            _DENSE_SUFFIX,
+            _PPJ_APPEND_SHIFT,
+            _WARM_COPIES,
+            ppjoin_ingest_probe,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+
+        docs = Catalog(spark, sf_dir)["documents"]
+        tmpl = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+        warm = spark.range(_WARM_COPIES).select(
+            (F.col("id") + F.lit(_PPJ_APPEND_SHIFT)).alias("doc_id"),
+            F.lit(tmpl + _DENSE_SUFFIX).alias("text"),
+        )
+        route, est, nb, _ = ppjoin_ingest_probe(spark, sf_dir, batch=warm)
+        assert route == "capped"
+        assert 64 * nb < est <= 1024 * nb
+
+    def test_routed_output_audit_row_consistent(self, spark, sf_dir):
+        from redcap_omop_etl_spark.operators.dedup import dedup_ingest_tick_routed
+
+        rows = dedup_ingest_tick_routed(spark, sf_dir).collect()
+        probe = [r for r in rows if r["kind"] == "probe"]
+        assert len(probe) == 1
+        routes = {r["route"] for r in rows}
+        assert routes == {probe[0]["route"]}  # every row carries the chosen route
+        assert probe[0]["route"] == "exact"
+        # exact-route rows mirror the standalone exact tick
+        body = {(r["k1"], r["k2"], r["score"]) for r in rows if r["kind"] != "probe"}
+        from redcap_omop_etl_spark.operators.dedup import dedup_prefix_jaccard_append
+
+        exact = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in dedup_prefix_jaccard_append(spark, sf_dir).collect()
+        }
+        assert body == exact
+
+    def test_dense_routed_is_cluster_delta(self, spark, sf_dir):
+        from redcap_omop_etl_spark.operators.dedup import (
+            _DENSE_COPIES,
+            dedup_ingest_tick_routed_dense,
+        )
+
+        rows = dedup_ingest_tick_routed_dense(spark, sf_dir).collect()
+        kinds = {r["kind"] for r in rows}
+        assert kinds <= {"probe", "batch", "base"}
+        batch_rows = [r for r in rows if r["kind"] == "batch"]
+        # all identical copies must land in ONE cluster labeled by min id
+        assert len(batch_rows) == _DENSE_COPIES
+        assert len({r["k2"] for r in batch_rows}) == 1
