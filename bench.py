@@ -217,6 +217,8 @@ HEADLINE = [
     "dedup_prefix_jaccard_append_capped",
     "dedup_ingest_tick_routed",
     "dedup_ingest_tick_routed_dense",
+    "ivfpq_drift_audit",
+    "dedup_minhash_clusters_upsert",
 ]
 
 

@@ -1992,3 +1992,176 @@ def dedup_minhash_clusters_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: state-update cores — the (components, hubs) -> (components,
+# hubs) transition functions behind the streaming bridges and the mixed
+# upsert tick. Factored here so batch ticks, foreachBatch bridges and
+# the registered upsert query all run the SAME proven transitions.
+# ---------------------------------------------------------------------------
+
+
+def minhash_cluster_state_append(
+    base_comp: DataFrame,
+    hubs: DataFrame,
+    batch_banded: DataFrame,
+    check_ids: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """APPEND transition: merge a batch band table into the frozen
+    (components, hubs) state and return the updated state. Components:
+    base labels remap through the merge-CC rep map, batch docs that
+    gained an edge append (``incremental_minhash_components`` — the
+    O(batch) merge with the full rebuild-equivalence argument). Hubs:
+    batch-only buckets' minima extend the table; existing hubs stay
+    frozen (an edge to a hub preserves connectivity regardless of later
+    smaller ids). Invariant preserved for the DELETE transition below:
+    every live doc appears in comp.node or hubs.hub."""
+    merged = incremental_minhash_components(base_comp, hubs, batch_banded, check_ids)
+    rep_map = merged.select(
+        F.col("node").alias("__rep"), F.col("component").alias("__final")
+    )
+    base_upd = base_comp.join(
+        rep_map, base_comp["component"] == rep_map["__rep"], "left"
+    ).select("node", F.coalesce("__final", "component").alias("component"))
+    new_nodes = merged.join(base_comp.select("node"), "node", "left_anti")
+    comp_out = base_upd.unionByName(new_nodes.select("node", "component"))
+    new_hubs = (
+        batch_banded.join(hubs, ["band", "bucket"], "left_anti")
+        .groupBy("band", "bucket")
+        .agg(F.min("doc").alias("hub"))
+    )
+    return comp_out, hubs.unionByName(new_hubs)
+
+
+def minhash_cluster_state_delete(
+    base_comp: DataFrame,
+    hubs: DataFrame,
+    deleted: DataFrame,
+    corpus: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """DELETE transition: remove a takedown batch from the frozen
+    (components, hubs) state and return the updated state — touched
+    components only (``dedup_minhash_clusters_delete`` semantics: a
+    shared bucket IS an edge, so buckets never span components and
+    untouched components keep identical edge sets). Hub repair: touched
+    components' buckets (and deleted singletons' solo buckets) are
+    re-derived from the survivors' deterministic banding, so the hub
+    table stays EXACTLY the per-bucket minima of the live corpus — the
+    precondition the next append tick's equivalence proof reads off the
+    state. ``corpus`` is the doc store takedown ids resolve against
+    (only TOUCHED survivors' texts are read — partition-pruned at a
+    component-clustered layout)."""
+    deln = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
+    touched = base_comp.join(deln, "node", "left_semi").select("component").distinct()
+    members = base_comp.join(touched, "component", "left_semi")
+    remaining = members.join(deln, "node", "left_anti")
+    sub_docs = corpus.join(
+        remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
+    )
+    sub_comp = connected_components(minhash_star_edges(sub_docs))
+    comp_out = base_comp.join(members.select("node"), "node", "left_anti").unionByName(
+        sub_comp
+    )
+    stale_hub_ids = members.select("node").unionByName(deln).distinct()
+    hubs_keep = hubs.join(
+        stale_hub_ids.withColumnRenamed("node", "hub"), "hub", "left_anti"
+    )
+    new_hubs = (
+        minhash_band_table(sub_docs)
+        .groupBy("band", "bucket")
+        .agg(F.min("doc").alias("hub"))
+    )
+    return comp_out, hubs_keep.unionByName(new_hubs)
+
+
+@register(
+    "dedup_minhash_clusters_upsert",
+    f"""
+    WITH keep AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_CLUSTER_DELETE_MOD} <> {_CLUSTER_DELETE_RES}
+    ),
+    alldocs AS (
+      SELECT doc_id, text FROM keep
+      UNION ALL
+      SELECT doc_id + {_CLUSTER_APPEND_SHIFT}, text || '{_CLUSTER_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_CLUSTER_APPEND_MOD} = {_CLUSTER_APPEND_RES}
+      UNION ALL
+      SELECT doc_id + {2 * _CLUSTER_APPEND_SHIFT}, text || '{_CLUSTER_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_CLUSTER_APPEND_MOD} = {_CLUSTER_APPEND_RES}
+    ),
+    {shingle_sql_cte(table="alldocs")},
+    {minhash_banded_sql_cte()},
+    {minhash_star_sql_cte()},
+    {components_sql_cte("star")},
+    percol AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+      FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS is_survivor,
+           count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size,
+           doc_id >= {_CLUSTER_APPEND_SHIFT} AS is_appended
+    FROM percol
+    """,
+    doc="MIXED append+delete maintenance TRANSACTION — a real ingest "
+    "day interleaves both directions, so the two single-direction "
+    "transitions must COMPOSE over shared state: one tick applies the "
+    "takedown batch (touched-components delete + hub repair) and then "
+    "the ingest batch (merge-CC append) against the state the delete "
+    "just produced. The composition argument rides the state "
+    "invariants each transition maintains for the next: the delete "
+    "leaves the hub table EXACTLY the per-bucket minima of the live "
+    "corpus and comp.node UNION hubs.hub covering every live doc "
+    "(what the append's equivalence proof and id guard read off the "
+    "state); the append extends hubs to all new buckets. Hence "
+    "delete-then-append == rebuild over (documents - del) UNION add — "
+    "which is exactly what the oracle replays end-to-end (full "
+    "banded-minhash + star + recursive closure). Multi-tick (>= 4 "
+    "alternating direction) == rebuild is pinned in pytest on top. "
+    "Cost: O(touched members + batch) per tick, never O(corpus).",
+)
+def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    base_comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
+    deleted = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(_CLUSTER_DELETE_MOD)) == _CLUSTER_DELETE_RES
+    ).select("doc_id")
+    comp1, hubs1 = minhash_cluster_state_delete(base_comp, hubs, deleted, docs)
+    comp1, hubs1 = comp1.transform(tracked_persist), hubs1.transform(tracked_persist)
+    one = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(_CLUSTER_APPEND_MOD)) == _CLUSTER_APPEND_RES
+    ).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CLUSTER_APPEND_SUFFIX)).alias("text")
+    )
+    batch = one.select(
+        (F.col("doc_id") + F.lit(_CLUSTER_APPEND_SHIFT)).alias("doc_id"), "text"
+    ).unionByName(
+        one.select(
+            (F.col("doc_id") + F.lit(2 * _CLUSTER_APPEND_SHIFT)).alias("doc_id"),
+            "text",
+        )
+    )
+    comp2, _hubs2 = minhash_cluster_state_append(
+        comp1, hubs1, minhash_band_table(batch)
+    )
+    survivors = docs.join(deleted, "doc_id", "left_anti").select("doc_id")
+    alld = survivors.unionByName(batch.select("doc_id"))
+    percol = alld.join(
+        comp2.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
+    return percol.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0).alias(
+            "is_survivor"
+        ),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
+        (F.col("doc_id") >= _CLUSTER_APPEND_SHIFT).alias("is_appended"),
+    )

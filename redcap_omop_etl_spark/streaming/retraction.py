@@ -123,41 +123,17 @@ def cluster_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
     buckets keep their frozen hubs (no member of theirs was removed).
     ``corpus`` is the document store the takedown ids resolve against
     (the store still holds the docs until the delete commits)."""
-    from redcap_omop_etl_spark.operators.dedup import (
-        minhash_band_table,
-        minhash_star_edges,
-    )
-    from redcap_omop_etl_spark.operators.graph import connected_components
+    from redcap_omop_etl_spark.operators.graph import minhash_cluster_state_delete
 
     def apply(spark: SparkSession, deleted: DataFrame) -> None:
         comp = spark.read.parquet(f"{state_path}/components")
         hubs = spark.read.parquet(f"{state_path}/hubs")
-        deln = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
-        touched = comp.join(deln, "node", "left_semi").select("component").distinct()
-        members = comp.join(touched, "component", "left_semi")
-        remaining = members.join(deln, "node", "left_anti")
-        sub_docs = corpus.join(
-            remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
-        )
-        sub_comp = connected_components(minhash_star_edges(sub_docs))
-        comp_out = (
-            comp.join(members.select("node"), "node", "left_anti")
-            .unionByName(sub_comp)
-            .localCheckpoint(eager=True)
-        )
-        # hub repair: every id whose buckets may have changed — touched
-        # components' members (deleted or not) and deleted singletons
-        # (their buckets were solo: co-bucketing implies same component)
-        stale_hub_ids = members.select("node").unionByName(deln).distinct()
-        hubs_keep = hubs.join(
-            stale_hub_ids.withColumnRenamed("node", "hub"), "hub", "left_anti"
-        )
-        new_hubs = (
-            minhash_band_table(sub_docs)
-            .groupBy("band", "bucket")
-            .agg(F.min("doc").alias("hub"))
-        )
-        hubs_out = hubs_keep.unionByName(new_hubs).localCheckpoint(eager=True)
+        comp_out, hubs_out = minhash_cluster_state_delete(comp, hubs, deleted, corpus)
+        # pin BOTH outputs before either write: hubs_out's lineage reads
+        # the components parquet, so writing components first would feed
+        # the hub repair post-delete state
+        comp_out = comp_out.localCheckpoint(eager=True)
+        hubs_out = hubs_out.localCheckpoint(eager=True)
         comp_out.write.mode("overwrite").parquet(f"{state_path}/components")
         hubs_out.write.mode("overwrite").parquet(f"{state_path}/hubs")
 

@@ -528,28 +528,15 @@ def stream_to_cluster_index(
             hadoop.Path(comp_dir).toUri(), spark._jsc.hadoopConfiguration()
         )
         if fs.exists(hadoop.Path(comp_dir)):
+            from redcap_omop_etl_spark.operators.graph import (
+                minhash_cluster_state_append,
+            )
+
             comp = spark.read.parquet(comp_dir)
             hubs = spark.read.parquet(f"{state_path}/hubs")
-            merged = incremental_minhash_components(comp, hubs, banded)
-            rep_map = merged.select(
-                F.col("node").alias("__rep"), F.col("component").alias("__final")
-            )
-            base_upd = (
-                comp.join(rep_map, comp["component"] == rep_map["__rep"], "left")
-                .select(
-                    "node", F.coalesce("__final", "component").alias("component")
-                )
-            )
-            new_nodes = merged.join(comp.select("node"), "node", "left_anti")
-            comp_out = base_upd.unionByName(
-                new_nodes.select("node", "component")
-            ).localCheckpoint(eager=True)
-            new_hubs = (
-                banded.join(hubs, ["band", "bucket"], "left_anti")
-                .groupBy("band", "bucket")
-                .agg(F.min("doc").alias("hub"))
-            )
-            hubs_out = hubs.unionByName(new_hubs).localCheckpoint(eager=True)
+            comp_out, hubs_out = minhash_cluster_state_append(comp, hubs, banded)
+            comp_out = comp_out.localCheckpoint(eager=True)
+            hubs_out = hubs_out.localCheckpoint(eager=True)
         else:
             m = F.min("doc").over(Window.partitionBy("band", "bucket"))
             star = (

@@ -72,6 +72,8 @@ _PRIORITY = [
     "dedup_ingest_tick_routed",
     "dedup_ingest_tick_routed_dense",
     "dedup_ingest_tick_routed_warm",
+    "ivfpq_drift_audit",
+    "dedup_minhash_clusters_upsert",
     # -- round-10 rotation. Leads: the 11 new round-10 queries (the
     # full append+delete maintenance matrix, the n_probes recall sweep,
     # the incremental exact/capped PPJoin ticks, the two production-cap
