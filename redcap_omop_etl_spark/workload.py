@@ -64,43 +64,93 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # evidence-freshness — new queries, then anything whose oracle or plan
 # changed this round, then oldest-evidence-first.
 _PRIORITY = [
-    # -- round-11 rotation. Leads: the new round-11 queries (ingest
-    # routing); then the queries whose PLAN changed this round (the
-    # PPJoin append pair refactored onto shared tick helpers; the
-    # guarded appends); then the r4 tail + r5 cohort (oldest evidence
-    # after the r10 window consumed the r4 head) — appended below.
+    # -- round-11 rotation. Leads: the 5 new round-11 queries (ingest
+    # routing x3, the drift audit, the mixed upsert tick); then the 4
+    # whose PLAN changed this round (the PPJoin append pair refactored
+    # onto shared tick helpers; the two id-guarded appends); then the
+    # r4 tail (5, seven rounds stale — the r10 window consumed the r4
+    # head) and the FULL r5 cohort (45, six rounds stale). 5+4+5+45 =
+    # 59: the ~50-slot gate covers leads + most of the r5 cohort; the
+    # r5 tail tops round 12's window. Prior rounds' rotation rationale
+    # lives in git history (rounds 9-10 kept it inline; it outgrew the
+    # file).
     "dedup_ingest_tick_routed",
     "dedup_ingest_tick_routed_dense",
     "dedup_ingest_tick_routed_warm",
     "ivfpq_drift_audit",
     "dedup_minhash_clusters_upsert",
-    # -- round-10 rotation. Leads: the 11 new round-10 queries (the
-    # full append+delete maintenance matrix, the n_probes recall sweep,
-    # the incremental exact/capped PPJoin ticks, the two production-cap
-    # registrations); then the 5 fast twins whose oracles changed from
-    # rows-only to full value checks this round (the DuckDB XXH64
-    # replay — the driver must re-verify them as oracled); then the
-    # FULL r4 cohort (39 queries, six rounds stale — verdict item 6).
-    # 11+5+39 = 55: the ~50-slot gate covers leads + most of the r4
-    # cohort; the tail tops round 11's window.
+    # plan changed this round
+    "dedup_prefix_jaccard_append",
+    "dedup_prefix_jaccard_append_capped",
+    "semdedup_flags_append",
+    "dedup_minhash_clusters_append",
+    # r4 tail (oldest evidence)
+    "ts_forecast_backtest",
+    "ts_markov_transitions",
+    "ts_ols_trend",
+    "udtf_sessionize_tvf",
+    "window_sliding_distinct",
+    # r5 cohort (next-oldest, full set)
+    "agg_cube",
+    "agg_distinct_keys",
+    "agg_rollup",
+    "arrow_grouped_scale",
+    "bpe_encode_counts",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "case_dispatch",
+    "checkbox_explode_outer",
+    "checkbox_to_array",
+    "corpus_ngram_novelty",
+    "curation_rep_selection",
+    "curation_winsorized_stats",
+    "date_calendar_suite",
+    "date_granularities",
+    "date_shift_constant",
+    "date_total_seconds",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_winnow",
+    "docs_prep_pipeline",
+    "dq_benford_audit",
+    "dq_referential_integrity",
+    "eav_pivot_roundtrip",
+    "eav_unpivot",
+    "embedding_norm_arrow",
+    "fuzzy_blocked_levenshtein",
+    "graph_degree_assortativity",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "join_anti",
+    "join_bloom_prune",
+    "retrieval_prf_expansion",
+    "similarity_hard_negatives",
+    "sql_api_parameterized",
+    "sql_api_pipe_syntax",
+    "stream_two_level_rollup",
+    "text_collocation_pmi",
+    "text_lang_confusion",
+    "text_readability",
+    "ts_cross_correlation",
+    "ts_seasonal_strength",
+    # -- earlier rotations (relative order preserved; duplicates of
+    # the head were removed)
     "dedup_minhash_clusters_delete",
     "ivfpq_delete_search",
-    "semdedup_flags_append",
     "retrieval_index_append",
     "ivfpq_recall_sweep",
     "semdedup_flags_delete",
     "retrieval_index_delete",
-    "dedup_prefix_jaccard_append",
-    "dedup_prefix_jaccard_append_capped",
     "dedup_prefix_jaccard_cap64",
     "dedup_containment_cap64",
-    # re-oracled this round (XXH64 replay)
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",
     "sampling_poisson_bootstrap_fast",
     "corpus_dsir_weights_fast",
     "text_quality_classifier_fast",
-    # r4 cohort (oldest evidence, full set)
     "agg_approx",
     "agg_listagg_ordered",
     "agg_sketch_reaggregation",
@@ -135,34 +185,16 @@ _PRIORITY = [
     "ts_autocorr",
     "ts_cusum_changepoint",
     "ts_decay_features",
-    "ts_forecast_backtest",
-    "ts_markov_transitions",
-    "ts_ols_trend",
-    "udtf_sessionize_tvf",
-    "window_sliding_distinct",
-    # -- round-9 rotation (round-8 verdict item 1: retire the stale
-    # cohorts; no registered query should go >5 rounds unchecked).
-    # Leads: the 3 new round-9 queries; then the 6 whose PLAN changed
-    # this round (the SemDeDup pair now reads the memoized keep-flag
-    # table; the two IVF searches share _nearest_cells probe tie-break;
-    # the md5 cluster/soft-weight pair moved onto the shared
-    # family-parameterized frame builders); then the FULL r2 cohort
-    # (20, six rounds stale) and the FULL r3 cohort (17, five rounds
-    # stale). 3+6+20+17 = 46 slots — everything fits one driver window,
-    # leaving headroom for the gate's ~50 cut.
     "dedup_minhash_clusters_fast",
     "corpus_soft_dedup_weights_fast",
     "ivfpq_append_search",
     "ivfpq_recall_audit",
-    "dedup_minhash_clusters_append",
-    # plan changed this round
     "dedup_semdedup",
     "corpus_semdedup_budget",
     "similarity_ann_ivf",
     "similarity_ivf_pq_adc",
     "dedup_minhash_clusters",
     "corpus_soft_dedup_weights",
-    # r2 cohort (oldest evidence, full set)
     "q6_forecast_revenue",
     "q7_volume_by_year",
     "q8_market_share",
@@ -183,7 +215,6 @@ _PRIORITY = [
     "window_rank_family",
     "window_running_agg",
     "window_topk_per_group",
-    # r3 cohort (next-oldest, full set)
     "sampling_split_counts",
     "sessionize_gap",
     "similarity_ann_lsh",
@@ -201,20 +232,6 @@ _PRIORITY = [
     "udaf_geo_mean",
     "udtf_eav_emit",
     "window_moving_median",
-    # -- round-8 rotation. Leads: the new round-8 queries (SemDeDup
-    # embedding pruning + IVF-PQ ADC search and the two queries whose
-    # oracle SQL was refactored onto the shared _kmeans_cte/_pq_cte
-    # fragments; the bounded minhash cluster table, the two capped
-    # cluster compositions, soft-dedup weights, the bootstrap
-    # xxHash64 twin), then everything
-    # whose oracle or plan changed this round (budgeted LSH recall audit
-    # + CI column; uncapped-vocab BPE registration; n>1 dispersion
-    # guard; conversation audit epoch pin; the two queries rebuilt on
-    # the factored minhash/ppjoin SQL fragments; the keyed-offsets call
-    # sites whose ranged frame is now structurally persisted; every
-    # cluster consumer inherits the star-contraction CC). Then the full
-    # round-3 stale cohort, then the round-4 cohort — the ~50-slot gate
-    # lands on leads + most of the r3 cohort; the remainder tops round 9.
     "dedup_semdedup",
     "similarity_ivf_pq_adc",
     "stream_embedding_dedup",
@@ -316,11 +333,6 @@ _PRIORITY = [
     "ts_autocorr",
     "ts_cusum_changepoint",
     "ts_decay_features",
-    "ts_forecast_backtest",
-    "ts_markov_transitions",
-    "ts_ols_trend",
-    "udtf_sessionize_tvf",
-    "window_sliding_distinct",
 ]
 
 
