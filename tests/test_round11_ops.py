@@ -325,3 +325,106 @@ class TestUpsertMultiTick:
         assert {(b, k) for b, k, _ in got_hubs} == {
             (b, k) for b, k, _ in live_banded
         }  # every live bucket has a hub
+
+
+class TestStateCatalog:
+    """The versioned persisted-state catalog (round-10 verdict stretch
+    item): commit-marker protocol, fingerprint stability, and the
+    restart guarantee — a maintenance tick in a FRESH PROCESS over
+    catalog state equals the rebuild."""
+
+    def test_fingerprint_order_free(self, spark):
+        from redcap_omop_etl_spark.state import corpus_fingerprint
+
+        df = spark.range(100).selectExpr("id as doc_id", "cast(id*7 as string) as text")
+        a = corpus_fingerprint(df)
+        b = corpus_fingerprint(df.orderBy(F.desc("doc_id")).repartition(7))
+        assert a == b
+        c = corpus_fingerprint(df.limit(99))
+        assert a != c
+
+    def test_uncommitted_version_invisible(self, spark, tmp_path):
+        from redcap_omop_etl_spark.state import StateCatalog
+
+        cat = StateCatalog(str(tmp_path / "state"))
+        df = spark.range(5).selectExpr("id as doc_id")
+        v = cat.save(spark, "toy", "fp1", {"a": df})
+        assert v == 1
+        # fake a torn write: a v2 dir with parquet but NO manifest
+        df.write.parquet(str(tmp_path / "state/toy/fp1/v2/a"))
+        assert cat.latest_version(spark, "toy", "fp1") == 1
+        assert cat.load(spark, "toy", "fp1")["a"].count() == 5
+        # the next committed save claims v2... which exists half-written:
+        # errorifexists makes the collision loud instead of silent
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            cat.save(spark, "toy", "fp1", {"a": df})
+
+    def test_tick_in_fresh_process_equals_rebuild(self, spark, tmp_path):
+        """Session A bootstraps v1; a SUBPROCESS with its own fresh
+        SparkSession loads the catalog, applies a delete+append tick and
+        commits v2; session A then loads v2 and compares against the
+        one-shot rebuild over the net corpus."""
+        import subprocess
+        import sys as _sys
+
+        from redcap_omop_etl_spark.operators.dedup import minhash_star_edges
+        from redcap_omop_etl_spark.operators.graph import connected_components
+        from redcap_omop_etl_spark.state import StateCatalog, cluster_state_bootstrap
+
+        fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        fam_b = "one two three four five six seven eight nine ten eleven"
+        docs = spark.createDataFrame(
+            [(1, fam_a), (2, fam_a), (3, fam_a), (10, fam_b), (11, fam_b)],
+            "doc_id long, text string",
+        )
+        corpus_dir = str(tmp_path / "corpus")
+        docs.write.parquet(corpus_dir)
+        root = str(tmp_path / "state")
+        cat = StateCatalog(root)
+        fp, v1 = cluster_state_bootstrap(cat, docs)
+        assert v1 == 1
+
+        script = f"""
+import sys
+sys.path.insert(0, {repr("/root/repo")})
+from pyspark.sql import SparkSession, functions as F
+from redcap_omop_etl_spark.state import StateCatalog, cluster_state_tick
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+corpus = spark.read.parquet({repr(corpus_dir)})
+cat = StateCatalog({repr(root)})
+append = spark.createDataFrame(
+    [(100, {repr(fam_b)}), (101, {repr(fam_b)})], "doc_id long, text string")
+delete = spark.createDataFrame([(2,)], "doc_id long")
+v = cluster_state_tick(cat, {repr(fp)}, corpus, append_docs=append, delete_ids=delete)
+print("TICK_OK", v)
+"""
+        res = subprocess.run(
+            [_sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/tmp",  # foreign cwd, like the driver
+        )
+        assert "TICK_OK 2" in res.stdout, res.stderr[-2000:]
+
+        got = {
+            (r["node"], r["component"])
+            for r in cat.load(spark, "minhash_clusters", fp, version=2)[
+                "components"
+            ].collect()
+        }
+        live = docs.filter(F.col("doc_id") != 2).unionByName(
+            spark.createDataFrame(
+                [(100, fam_b), (101, fam_b)], "doc_id long, text string"
+            )
+        )
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(minhash_star_edges(live)).collect()
+        }
+        assert got == want
