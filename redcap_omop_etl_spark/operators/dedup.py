@@ -2067,7 +2067,7 @@ from redcap_omop_etl_spark.caching import register_memo as _register_memo
 # (J = |orig|/(|orig|+3) >= 0.6 at any realistic length: base-vs-new
 # path) and with its twin (J = 1: new-vs-new path)
 _PPJ_APPEND_MOD, _PPJ_APPEND_RES = 30, 21
-_PPJ_APPEND_SHIFT = 1_000_000
+_PPJ_APPEND_SHIFT = 10_000_000_000  # above any bench_scale replica id (m*1e7)
 _PPJ_APPEND_SUFFIX = " zzpp zzjoin zztail"
 
 _PPJOIN_STATE_MEMO: dict = _register_memo({})

@@ -1696,7 +1696,7 @@ def corpus_soft_dedup_weights_fast(spark: SparkSession, sf_dir: str) -> DataFram
 # source document (edges into EXISTING clusters via the frozen hub
 # table), while the suffix shingles create batch-only buckets shared by
 # the two copies (star edges among NEW docs).
-_CLUSTER_APPEND_SHIFT = 1_000_000
+_CLUSTER_APPEND_SHIFT = 10_000_000_000  # above any bench_scale replica id
 _CLUSTER_APPEND_MOD, _CLUSTER_APPEND_RES = 25, 23
 _CLUSTER_APPEND_SUFFIX = " zzappend zzmarker zztail"
 

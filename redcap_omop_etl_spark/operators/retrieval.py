@@ -590,7 +590,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IDX_APPEND_MOD, _IDX_APPEND_RES = 20, 5
-_IDX_APPEND_SHIFT = 1_000_000
+_IDX_APPEND_SHIFT = 10_000_000_000  # above any bench_scale replica id
 # two tokens absent from the synthetic corpus, so the batch also
 # exercises the new-term (outer-join) path of the stat merge
 _IDX_APPEND_SUFFIX = " zzqterm zzidxterm"

@@ -981,7 +981,7 @@ def corpus_semdedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic ingest batch for the incremental SemDeDup tick: every
 # 25th vector (mod-class 9) re-keyed past the corpus id range (same
 # 1e6 shift convention as the IVF-PQ append batch)
-_SEM_APPEND_SHIFT = 1_000_000
+_SEM_APPEND_SHIFT = 10_000_000_000  # above any bench_scale replica id
 _SEM_APPEND_MOD, _SEM_APPEND_RES = 25, 9
 
 
@@ -2035,7 +2035,7 @@ def ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Derived append batch for the registered incremental-append query:
 # every 50th vector (mod-class 7) re-keyed past the corpus id range —
 # deterministic, no RNG, and guaranteed non-empty at every bundled SF.
-_APPEND_SHIFT = 1_000_000
+_APPEND_SHIFT = 10_000_000_000  # above any bench_scale replica id
 _APPEND_MOD, _APPEND_RES = 50, 7
 
 
@@ -2701,7 +2701,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse cells get after successive append generations?
 # ---------------------------------------------------------------------------
 
-_DRIFT_SHIFT = 1_000_000
+_DRIFT_SHIFT = 10_000_000_000  # above any bench_scale replica id
 _DRIFT_MOD = 10
 _DRIFT_GENS = (1, 2)
 _DRIFT_NEG_PER_GEN = 16  # generation g negates the first 16*g dims
