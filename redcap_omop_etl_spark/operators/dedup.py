@@ -2660,7 +2660,13 @@ def _ingest_tick_routed(spark: SparkSession, sf_dir: str, batch=None) -> DataFra
     """Shared body of the routed ingest tick: probe, pick, run. The
     first output row is the routing audit record (kind='probe',
     k1=est_cand, k2=n_batch) so a pipeline log captures WHY the route
-    was chosen."""
+    was chosen.
+
+    Caller-supplied batches: the id guard enforces only DISJOINTNESS
+    (sufficient for correctness of every route's pair/cluster set), but
+    the new_new/base_new KIND labels on the exact/capped routes follow
+    the shift convention (batch ids >= _PPJ_APPEND_SHIFT) — remap a
+    production batch above the shift, as every registered batch is."""
     route, est, nb, parts = ppjoin_ingest_probe(spark, sf_dir, batch=batch)
     _docs, batch, _btoks, _bprefix = parts
     audit = spark.createDataFrame([(route, "probe", est, nb, None)], _ROUTED_SCHEMA)

@@ -7,10 +7,11 @@ doc/vector ids lands micro-batch by micro-batch and each batch drives
 the persisted index states through their O(touched) delete ticks —
 near-dup cluster table (``graph.dedup_minhash_clusters_delete``
 semantics), inverted-index term stats
-(``retrieval.retrieval_index_delete`` semantics) and SemDeDup keep-flags
-(``similarity.semdedup_flags_delete`` semantics) — so every index is
-continuously right-to-be-forgotten-compliant without an O(corpus)
-rebuild per takedown batch.
+(``retrieval.retrieval_index_delete`` semantics), SemDeDup keep-flags
+(``similarity.semdedup_flags_delete`` semantics) and the persisted
+IVF-PQ ANN index (``similarity.ivfpq_delete_from_index``) — so every
+index is continuously right-to-be-forgotten-compliant without an
+O(corpus) rebuild per takedown batch.
 
 Design: one ``foreachBatch`` fan-out (``stream_to_delete_ticks``) over
 pluggable APPLIERS, each owning one on-disk state layout:
@@ -286,3 +287,20 @@ def stream_to_delete_ticks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivfpq_delete_applier(index_path: str) -> Applier:
+    """Takedown applier for a persisted IVF-PQ index
+    (``similarity.ivf_write_index`` layout): delegates to
+    ``ivfpq_delete_from_index`` — frozen codebook/centroids, rewrite
+    scoped to the cluster partitions containing deleted ids, untouched
+    cells byte-identical. With this, one opt-out stream covers all four
+    index families (clusters, term stats, SemDeDup flags, ANN index)."""
+    from redcap_omop_etl_spark.operators.similarity import ivfpq_delete_from_index
+
+    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+        ivfpq_delete_from_index(
+            spark, index_path, deleted.select(F.col(deleted.columns[0]).alias("vec_id"))
+        )
+
+    return apply

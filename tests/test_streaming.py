@@ -895,3 +895,97 @@ class TestStreamToDeleteTicks:
             r["cluster"] for r in spark.read.parquet(oneshot + "/anchors").collect()
         }
         assert got_anchor_cells == want_anchor_cells
+
+    def test_one_stream_four_indexes(self, spark, tmp_path):
+        """The full GDPR shape: ONE takedown id stream fans out to all
+        four index families in each micro-batch — cluster state, term
+        stats, SemDeDup flags, and the persisted IVF-PQ ANN index."""
+        from redcap_omop_etl_spark.operators.retrieval import _tokens
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivf_build,
+            ivfpq_write_index,
+            semdedup_anchors_memo,
+            semdedup_flags_memo,
+        )
+        from redcap_omop_etl_spark.streaming.retraction import (
+            cluster_delete_applier,
+            ivfpq_delete_applier,
+            semdedup_delete_applier,
+            stream_to_delete_ticks,
+            term_stats_delete_applier,
+            write_cluster_state,
+            write_semdedup_state,
+            write_term_stats_state,
+        )
+
+        docs = Catalog(spark, SF_SMOKE)["documents"]
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        cstate = str(tmp_path / "c")
+        tstate = str(tmp_path / "t")
+        sstate = str(tmp_path / "s")
+        ipath = str(tmp_path / "ivfpq")
+        write_cluster_state(docs, cstate)
+        write_term_stats_state(docs, tstate)
+        write_semdedup_state(
+            semdedup_flags_memo(spark, SF_SMOKE),
+            semdedup_anchors_memo(spark, SF_SMOKE),
+            sstate,
+        )
+        assignments, centroids = ivf_build(emb, n_clusters=8, n_iters=2)
+        ivfpq_write_index(emb, assignments, centroids, ipath)
+
+        # ids valid in BOTH key spaces (doc_id and vec_id) so one
+        # request stream serves every index, as a real opt-out would
+        batches = [[3, 17], [42]]
+        stream = self._id_stream(spark, tmp_path, batches)
+        q = stream_to_delete_ticks(
+            stream,
+            [
+                cluster_delete_applier(cstate, docs),
+                term_stats_delete_applier(tstate, docs),
+                semdedup_delete_applier(sstate, emb),
+                ivfpq_delete_applier(ipath),
+            ],
+            str(tmp_path / "gdprck"),
+        )
+        q.awaitTermination(300)
+
+        gone = {x for b in batches for x in b}
+        comp_nodes = {
+            r["node"] for r in spark.read.parquet(cstate + "/components").collect()
+        }
+        assert not (comp_nodes & gone)
+        flags_ids = {
+            r["vec_id"] for r in spark.read.parquet(sstate + "/flags").collect()
+        }
+        assert not (flags_ids & gone)
+        idx_ids = {
+            r["vec_id"] for r in spark.read.parquet(ipath + "/codes").collect()
+        }
+        assert not (idx_ids & gone)
+        assert (
+            spark.read.parquet(ipath + "/codes")
+            .select("vec_id")
+            .distinct()
+            .count()
+            == emb.count() - len(gone)
+        )
+        # term stats equal the survivor rebuild
+        survivors = docs.filter(~F.col("doc_id").isin(list(gone)))
+        tf = _tokens(survivors).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        want_terms = {
+            (r["term"], r["df"], r["cf"])
+            for r in tf.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .collect()
+        }
+        got_terms = {
+            (r["term"], r["df"], r["cf"])
+            for r in spark.read.parquet(tstate + "/terms").collect()
+        }
+        assert got_terms == want_terms
