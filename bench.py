@@ -219,6 +219,9 @@ HEADLINE = [
     "dedup_ingest_tick_routed_dense",
     "ivfpq_drift_audit",
     "dedup_minhash_clusters_upsert",
+    "semdedup_flags_upsert",
+    "ivfpq_upsert_search",
+    "retrieval_index_upsert",
 ]
 
 

@@ -746,3 +746,83 @@ def retrieval_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@register(
+    "retrieval_index_upsert",
+    f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_IDX_DELETE_MOD} <> {_IDX_DELETE_RES}
+      UNION ALL
+      SELECT doc_id + {_IDX_APPEND_SHIFT}, text || '{_IDX_APPEND_SUFFIX}'
+      FROM documents WHERE doc_id % {_IDX_APPEND_MOD} = {_IDX_APPEND_RES}
+    ), toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM alldocs
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*)::BIGINT AS df,
+           sum(tf)::BIGINT AS cf,
+           count(CASE WHEN doc_id >= {_IDX_APPEND_SHIFT} THEN 1 END)::BIGINT
+             AS df_appended
+    FROM tf GROUP BY term HAVING count(*) >= 3
+    """,
+    doc="Mixed retrieval-index maintenance TRANSACTION — subtract the "
+    "takedown batch's per-term aggregate AND add the ingest batch's in "
+    "one tick over the frozen stat table, completing the upsert column "
+    "for the retrieval family. Exactness needs no composition argument "
+    "at all: integer addition is associative and commutative, so "
+    "base - del + add equals the rebuild over (documents - del) UNION "
+    "add term-for-term — which the oracle replays. The one subtlety is "
+    "operational: the intermediate (post-subtract) counts must NOT be "
+    "floored — a term whose df transiently hits the floor (or zero) "
+    "can be revived by the add leg, so the df>=3 output floor applies "
+    "exactly once, to the NET counts (the same reason the persisted "
+    "state stores unfloored stats). Plan: two batch-sized "
+    "tokenize+aggs, one vocabulary-keyed outer merge, zero "
+    "surviving-text reads.",
+)
+def retrieval_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir)["documents"]
+    base = term_stats_memo(spark, sf_dir)
+    delb = d.filter(F.pmod(F.col("doc_id"), F.lit(_IDX_DELETE_MOD)) == _IDX_DELETE_RES)
+    addb = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(_IDX_APPEND_MOD)) == _IDX_APPEND_RES
+    ).select(
+        (F.col("doc_id") + F.lit(_IDX_APPEND_SHIFT)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_IDX_APPEND_SUFFIX)).alias("text"),
+    )
+
+    def stats_of(batch, dfc, cfc):
+        tf = _tokens(batch).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        return tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias(dfc), F.sum("tf").alias(cfc)
+        )
+
+    dstats = stats_of(delb, "df_d", "cf_d")
+    astats = stats_of(addb, "df_a", "cf_a")
+    merged = base.join(dstats, "term", "left").join(astats, "term", "full_outer")
+    return (
+        merged.select(
+            "term",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("df_d", F.lit(0))
+                + F.coalesce("df_a", F.lit(0))
+            )
+            .cast("long")
+            .alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("cf_d", F.lit(0))
+                + F.coalesce("cf_a", F.lit(0))
+            )
+            .cast("long")
+            .alias("cf"),
+            F.coalesce("df_a", F.lit(0)).cast("long").alias("df_appended"),
+        )
+        .filter(F.col("df") >= 3)
+    )

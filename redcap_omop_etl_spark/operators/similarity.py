@@ -2040,7 +2040,11 @@ _APPEND_MOD, _APPEND_RES = 50, 7
 
 
 def _ivfpq_append_oracle_sql(
-    n_clusters: int = 16, n_iters: int = 2, k: int = 10, n_probes: int = 4
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    k: int = 10,
+    n_probes: int = 4,
+    base_filter: str = "",
 ) -> str:
     """DuckDB mirror of the frozen-codebook incremental append + search:
     the shared k-means fragment supplies the FROZEN centroids/cells, the
@@ -2089,6 +2093,7 @@ def _ivfpq_append_oracle_sql(
       SELECT c.vec_id, c.subspace, c.codeword, afinal.cluster
       FROM (SELECT vec_id, subspace, codeword FROM best WHERE rk = 1) c
       JOIN afinal ON c.vec_id = afinal.id
+      WHERE 1 = 1 {base_filter}
       UNION ALL
       SELECT n.vec_id, n.subspace, n.codeword, na.cluster
       FROM ncodes n JOIN nassign na ON n.vec_id = na.id
@@ -3111,4 +3116,275 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retrained_recall_ppm bigint, recall_delta_ppm bigint, "
         "staleness_ppm bigint, frozen_cand bigint, retrained_cand bigint, "
         "frozen_occ_max bigint, retrained_occ_max bigint, rebuild_advised boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: SemDeDup state-transition core + the mixed upsert tick
+# ---------------------------------------------------------------------------
+
+
+def semdedup_state_delete(
+    flags: DataFrame,
+    anchors: DataFrame,
+    deleted: DataFrame,
+    embeddings: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """DELETE transition over the SemDeDup state pair ``(flags,
+    anchors)`` — the factored core behind ``semdedup_flags_delete`` and
+    the streaming retraction applier: cells that lost NO anchor pass
+    their frozen flags through minus the deleted rows (exact — deleting
+    a non-anchor member never changes the lowest-n anchor set, and a
+    member's flag depends only on its cell's anchors); anchor-losing
+    cells recompute flags AND roster from their surviving members.
+    ``embeddings`` is the vector store surviving members' vectors
+    resolve against; the flags table itself is the cell-membership map.
+    Invariant maintained for the next append tick: after any delete,
+    every cell's roster equals the lowest-n ids of its LIVE members."""
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    anchors = anchors.select(
+        F.col("cluster").cast("bigint").alias("cluster"), "a_id", "a_v"
+    )
+    deln = deleted.select(F.col(deleted.columns[0]).alias("vec_id")).distinct()
+    touched = (
+        anchors.join(deln.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi")
+        .select("cluster")
+        .distinct()
+    )
+    untouched_flags = flags.join(touched, "cluster", "left_anti").join(
+        deln, "vec_id", "left_anti"
+    )
+    members = (
+        flags.join(touched, "cluster", "left_semi")
+        .join(deln, "vec_id", "left_anti")
+        .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+        .join(
+            embeddings.select(
+                "vec_id",
+                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                    "__v"
+                ),
+            ),
+            "vec_id",
+        )
+    )
+    anchors2 = keyed_topk(
+        members, ["cluster"], [F.col("vec_id").asc()], k=SEMDEDUP_ANCHORS
+    ).select("cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v"))
+    hits = (
+        members.join(anchors2, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    touched_flags = members.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+        F.col("n_dup_anchors").isNull().alias("is_kept"),
+    )
+    flags_out = untouched_flags.unionByName(touched_flags)
+    anchors_out = anchors.join(touched, "cluster", "left_anti").unionByName(anchors2)
+    return flags_out, anchors_out
+
+
+def _semdedup_upsert_oracle_sql(
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    tau: float = SEMDEDUP_TAU,
+    n_anchors: int = SEMDEDUP_ANCHORS,
+) -> str:
+    """The append oracle with the takedown batch filtered OUT of the
+    base membership half: frozen cells (k-means over the FULL original
+    corpus), membership = survivors UNION the appended batch."""
+    kmeans, cl = _kmeans_cte(n_clusters, n_iters)
+    return f"""
+    WITH {kmeans}
+    newv AS (
+      SELECT vec_id + {_SEM_APPEND_SHIFT} AS vec_id, embedding
+      FROM embeddings WHERE vec_id % {_SEM_APPEND_MOD} = {_SEM_APPEND_RES}
+    ),
+    nel AS (
+      SELECT vec_id AS id, u.i AS dim, (embedding::DOUBLE[])[u.i] AS val
+      FROM newv, LATERAL unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    nassign AS (
+      SELECT id, cluster FROM (
+        SELECT nel.id, {cl}.cluster,
+               row_number() OVER (
+                 PARTITION BY nel.id
+                 ORDER BY sum((nel.val - {cl}.cval) ^ 2), {cl}.cluster) AS rn
+        FROM nel JOIN {cl} ON nel.dim = {cl}.dim
+        GROUP BY nel.id, {cl}.cluster) WHERE rn = 1
+    ),
+    allm AS (
+      SELECT e.id, afinal.cluster, e.v FROM e JOIN afinal ON e.id = afinal.id
+      WHERE e.id % {_SEM_DELETE_MOD} <> {_SEM_DELETE_RES}
+      UNION ALL
+      SELECT n.vec_id AS id, na.cluster, n.embedding::DOUBLE[] AS v
+      FROM newv n JOIN nassign na ON n.vec_id = na.id
+    ),
+    anchors AS (
+      SELECT id AS a_id, cluster, v AS a_v FROM (
+        SELECT id, cluster, v,
+               row_number() OVER (PARTITION BY cluster ORDER BY id) AS rk
+        FROM allm) WHERE rk <= {n_anchors}
+    ),
+    dup_hits AS (
+      SELECT m.id, count(*) AS n_dup_anchors
+      FROM allm m JOIN anchors a
+        ON m.cluster = a.cluster AND a.a_id < m.id
+      WHERE round(list_dot_product(m.v, a.a_v)
+                  / (sqrt(list_dot_product(m.v, m.v))
+                     * sqrt(list_dot_product(a.a_v, a.a_v))), 4) >= {tau}
+      GROUP BY m.id
+    )
+    SELECT m.id AS vec_id, m.cluster::BIGINT AS cluster,
+           coalesce(d.n_dup_anchors, 0)::BIGINT AS n_dup_anchors,
+           d.id IS NULL AS is_kept,
+           m.id >= {_SEM_APPEND_SHIFT} AS is_appended
+    FROM allm m LEFT JOIN dup_hits d ON m.id = d.id
+    """
+
+
+@register(
+    "semdedup_flags_upsert",
+    _semdedup_upsert_oracle_sql(),
+    doc="Mixed SemDeDup maintenance TRANSACTION — delete tick then "
+    "append tick over the shared (flags, anchors) state in one pass, "
+    "the embedding-space twin of dedup_minhash_clusters_upsert. The "
+    "composition argument rides the roster invariant the delete "
+    "transition maintains: after ANY delete, every cell's anchor "
+    "roster equals the lowest-n ids of its live members (non-anchor "
+    "deletions leave the lowest-n set untouched; anchor-losing cells "
+    "recompute from survivors), so the subsequent append — guarded "
+    "batch ids above every live id — extends exactly the roster the "
+    "one-shot frozen-cell rebuild over (survivors UNION batch) would "
+    "derive, and survivor flags are invariant under it. The oracle "
+    "replays precisely that rebuild (frozen cells trained on the FULL "
+    "original corpus, membership = survivors + batch). Cost: "
+    "O(anchor-losing cells) + O(batch x n_anchors) — a daily tick, "
+    "never an O(corpus) re-prune.",
+)
+def semdedup_flags_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+    from redcap_omop_etl_spark.validation import require_monotonic_ids
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    base_flags = semdedup_flags_memo(spark, sf_dir)
+    anchors_base = semdedup_anchors_memo(spark, sf_dir)
+    _assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    deleted = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(_SEM_DELETE_MOD)) == _SEM_DELETE_RES
+    ).select("vec_id")
+    flags2, anchors2 = semdedup_state_delete(base_flags, anchors_base, deleted, emb)
+    flags2 = flags2.transform(tracked_cache)
+    anchors2 = anchors2.transform(tracked_cache)
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(_SEM_APPEND_MOD)) == _SEM_APPEND_RES
+    ).select((F.col("vec_id") + F.lit(_SEM_APPEND_SHIFT)).alias("vec_id"), "embedding")
+    require_monotonic_ids(
+        flags2.select("vec_id"), batch.select("vec_id"), "semdedup_flags_upsert"
+    )
+    nassign = _ivf_assign(
+        batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
+        centroids,
+    ).select(F.col("__vid").alias("vec_id"), "cluster")
+    bmembers = batch.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+    ).join(nassign.select("vec_id", F.col("cluster").cast("bigint").alias("cluster")), "vec_id")
+    cand = anchors2.unionByName(
+        bmembers.select(
+            "cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v")
+        )
+    )
+    anchors_union = keyed_topk(
+        cand, ["cluster"], [F.col("a_id").asc()], k=SEMDEDUP_ANCHORS
+    )
+    hits = (
+        bmembers.join(anchors_union, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    batch_flags = bmembers.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+        F.col("n_dup_anchors").isNull().alias("is_kept"),
+    )
+    return flags2.unionByName(batch_flags).withColumn(
+        "is_appended", F.col("vec_id") >= F.lit(_SEM_APPEND_SHIFT)
+    )
+
+
+@register(
+    "ivfpq_upsert_search",
+    _ivfpq_append_oracle_sql(
+        base_filter=f"AND c.vec_id % {_DELETE_MOD} <> {_DELETE_RES}"
+    ),
+    doc="Mixed IVF-PQ maintenance TRANSACTION — takedown + ingest in "
+    "one tick over the frozen index state, completing the upsert "
+    "column of the maintenance matrix for the ANN family: deleted ids "
+    "drop out of the base candidate code set (ivfpq_delete_search "
+    "semantics — frozen codebook/centroids, remaining codes stay "
+    "valid) while the ingest batch is encoded by the frozen codebook "
+    "and coarse-assigned to the frozen centroids "
+    "(ivfpq_append_search semantics), and search ranks survivors "
+    "UNION appended by the same broadcast ADC table. The two "
+    "directions commute trivially here — deletion is a filter on "
+    "candidates and append is a union of new candidates, with no "
+    "shared per-cell state to re-derive — so the one-tick composition "
+    "IS the one-shot semantics; the oracle replays the frozen-state "
+    "pipeline with the takedown batch excluded from the base half of "
+    "the candidate union. On disk this is ivfpq_delete_from_index + "
+    "ivfpq_append_index back-to-back, each touching only its affected "
+    "cluster partitions.",
+)
+def ivfpq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    k, n_probes = 10, 4
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    assignments, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=sf_dir)
+    codes, cs = pq_assign(emb, memo_key=sf_dir)
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(_APPEND_MOD)) == _APPEND_RES
+    ).select((F.col("vec_id") + F.lit(_APPEND_SHIFT)).alias("vec_id"), "embedding")
+    nvs = batch.select("vec_id", _pq_sub_struct("embedding", "sv").alias("x")).select(
+        "vec_id", "x.subspace", "x.sv"
+    )
+    ncodes = _pq_argmin(nvs, cs).select("vec_id", "subspace", "codeword")
+    nassign = _ivf_assign(
+        batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
+        centroids,
+    ).select(F.col("__vid").alias("vec_id"), "cluster")
+    probe_clusters = _nearest_cells(centroids.collect(), qv, n_probes)
+    base_cand = (
+        codes.select("vec_id", "subspace", "codeword")
+        .join(
+            assignments.filter(F.col("cluster").isin(probe_clusters)).select("vec_id"),
+            "vec_id",
+        )
+        .filter(F.pmod(F.col("vec_id"), F.lit(_DELETE_MOD)) != _DELETE_RES)
+    )
+    new_cand = ncodes.join(
+        nassign.filter(F.col("cluster").isin(probe_clusters)).select("vec_id"),
+        "vec_id",
+    )
+    cand = base_cand.unionByName(new_cand).filter(F.col("vec_id") != 0)
+    dtable = _adc_dtable(cs, qv)
+    topk = _adc_topk(cand, dtable, k)
+    ue = emb.select("vec_id", "embedding").unionByName(batch)
+    q = F.array(*[F.lit(v) for v in qv])
+    return topk.join(ue, "vec_id").select(
+        "vec_id",
+        "adc_rank",
+        "adc_d2q",
+        (F.col("vec_id") >= _APPEND_SHIFT).alias("is_appended"),
+        F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
     )

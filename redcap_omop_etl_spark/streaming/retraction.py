@@ -177,72 +177,25 @@ def term_stats_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
 
 
 def semdedup_delete_applier(state_path: str, embeddings: DataFrame) -> Applier:
-    """Takedown applier for the SemDeDup state: cells that lost NO
-    anchor pass their frozen flags through minus the deleted rows;
-    anchor-losing cells recompute flags AND anchor roster from their
-    surviving members only (``similarity.semdedup_flags_delete``
-    semantics — correctly NOT a row filter, since deleting an anchor
-    can flip other members' flags). ``embeddings`` is the vector store
-    the surviving members' vectors resolve against."""
-    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
-    from redcap_omop_etl_spark.operators.similarity import (
-        SEMDEDUP_ANCHORS,
-        SEMDEDUP_TAU,
-        cosine,
-    )
+    """Takedown applier for the SemDeDup state: delegates to the
+    factored ``similarity.semdedup_state_delete`` transition (cells that
+    lost no anchor pass frozen flags through minus deleted rows;
+    anchor-losing cells recompute flags AND roster from survivors —
+    correctly NOT a row filter, since deleting an anchor can flip other
+    members' flags). ``embeddings`` is the vector store the surviving
+    members' vectors resolve against."""
+    from redcap_omop_etl_spark.operators.similarity import semdedup_state_delete
 
     def apply(spark: SparkSession, deleted: DataFrame) -> None:
         flags = spark.read.parquet(f"{state_path}/flags")
         anchors = spark.read.parquet(f"{state_path}/anchors")
-        deln = deleted.select(F.col(deleted.columns[0]).alias("vec_id")).distinct()
-        touched = (
-            anchors.join(deln.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi")
-            .select("cluster")
-            .distinct()
+        flags_out, anchors_out = semdedup_state_delete(
+            flags, anchors, deleted, embeddings
         )
-        untouched_flags = flags.join(touched, "cluster", "left_anti").join(
-            deln, "vec_id", "left_anti"
-        )
-        # touched cells' surviving members, with vectors from the store;
-        # the state's flags table IS the cell-membership map
-        members = (
-            flags.join(touched, "cluster", "left_semi")
-            .join(deln, "vec_id", "left_anti")
-            .select("vec_id", "cluster")
-            .join(
-                embeddings.select(
-                    "vec_id",
-                    F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-                        "__v"
-                    ),
-                ),
-                "vec_id",
-            )
-        )
-        anchors2 = keyed_topk(
-            members, ["cluster"], [F.col("vec_id").asc()], k=SEMDEDUP_ANCHORS
-        ).select("cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v"))
-        hits = (
-            members.join(anchors2, "cluster")
-            .filter(F.col("a_id") < F.col("vec_id"))
-            .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
-            .groupBy("vec_id")
-            .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
-        )
-        touched_flags = members.join(hits, "vec_id", "left").select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
-            F.col("n_dup_anchors").isNull().alias("is_kept"),
-        )
-        flags_out = untouched_flags.unionByName(touched_flags).localCheckpoint(
-            eager=True
-        )
-        anchors_out = (
-            anchors.join(touched, "cluster", "left_anti")
-            .unionByName(anchors2)
-            .localCheckpoint(eager=True)
-        )
+        # pin BOTH before either overwrite (anchors_out reads the flags
+        # parquet through the touched-cell membership map)
+        flags_out = flags_out.localCheckpoint(eager=True)
+        anchors_out = anchors_out.localCheckpoint(eager=True)
         flags_out.write.mode("overwrite").parquet(f"{state_path}/flags")
         anchors_out.write.mode("overwrite").parquet(f"{state_path}/anchors")
 

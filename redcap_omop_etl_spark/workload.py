@@ -79,6 +79,9 @@ _PRIORITY = [
     "dedup_ingest_tick_routed_warm",
     "ivfpq_drift_audit",
     "dedup_minhash_clusters_upsert",
+    "semdedup_flags_upsert",
+    "ivfpq_upsert_search",
+    "retrieval_index_upsert",
     # plan changed this round
     "dedup_prefix_jaccard_append",
     "dedup_prefix_jaccard_append_capped",
