@@ -3269,9 +3269,6 @@ def _semdedup_upsert_oracle_sql(
     "never an O(corpus) re-prune.",
 )
 def semdedup_flags_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
-    from redcap_omop_etl_spark.validation import require_monotonic_ids
-
     emb = Catalog(spark, sf_dir)["embeddings"]
     base_flags = semdedup_flags_memo(spark, sf_dir)
     anchors_base = semdedup_anchors_memo(spark, sf_dir)
@@ -3285,39 +3282,8 @@ def semdedup_flags_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(
         F.pmod(F.col("vec_id"), F.lit(_SEM_APPEND_MOD)) == _SEM_APPEND_RES
     ).select((F.col("vec_id") + F.lit(_SEM_APPEND_SHIFT)).alias("vec_id"), "embedding")
-    require_monotonic_ids(
-        flags2.select("vec_id"), batch.select("vec_id"), "semdedup_flags_upsert"
-    )
-    nassign = _ivf_assign(
-        batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
-        centroids,
-    ).select(F.col("__vid").alias("vec_id"), "cluster")
-    bmembers = batch.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
-    ).join(nassign.select("vec_id", F.col("cluster").cast("bigint").alias("cluster")), "vec_id")
-    cand = anchors2.unionByName(
-        bmembers.select(
-            "cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v")
-        )
-    )
-    anchors_union = keyed_topk(
-        cand, ["cluster"], [F.col("a_id").asc()], k=SEMDEDUP_ANCHORS
-    )
-    hits = (
-        bmembers.join(anchors_union, "cluster")
-        .filter(F.col("a_id") < F.col("vec_id"))
-        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
-    )
-    batch_flags = bmembers.join(hits, "vec_id", "left").select(
-        "vec_id",
-        "cluster",
-        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
-        F.col("n_dup_anchors").isNull().alias("is_kept"),
-    )
-    return flags2.unionByName(batch_flags).withColumn(
+    flags3, _anchors3 = semdedup_state_append(flags2, anchors2, centroids, batch)
+    return flags3.withColumn(
         "is_appended", F.col("vec_id") >= F.lit(_SEM_APPEND_SHIFT)
     )
 
@@ -3388,3 +3354,64 @@ def ivfpq_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _APPEND_SHIFT).alias("is_appended"),
         F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
     )
+
+
+def semdedup_state_append(
+    flags: DataFrame,
+    anchors: DataFrame,
+    centroids: DataFrame,
+    batch: DataFrame,
+    check_ids: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """APPEND transition over the SemDeDup state pair: the batch
+    coarse-assigns to the FROZEN centroids, the roster extends with
+    batch members filling under-populated cells (never displacing —
+    enforced by the monotonic-id guard), and only batch flags are
+    computed; existing flags pass through untouched. Returns
+    ``(flags_out, anchors_out)``. Factored so the registered upsert
+    tick, the catalog tick and any streaming bridge run the same proven
+    transition."""
+    from redcap_omop_etl_spark.operators.scalable_windows import keyed_topk
+
+    anchors = anchors.select(
+        F.col("cluster").cast("bigint").alias("cluster"), "a_id", "a_v"
+    )
+    if check_ids:
+        from redcap_omop_etl_spark.validation import require_monotonic_ids
+
+        require_monotonic_ids(
+            flags.select("vec_id"), batch.select("vec_id"), "semdedup_state_append"
+        )
+    nassign = _ivf_assign(
+        batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
+        centroids,
+    ).select(F.col("__vid").alias("vec_id"), "cluster")
+    bmembers = batch.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+    ).join(
+        nassign.select("vec_id", F.col("cluster").cast("bigint").alias("cluster")),
+        "vec_id",
+    )
+    cand = anchors.unionByName(
+        bmembers.select(
+            "cluster", F.col("vec_id").alias("a_id"), F.col("__v").alias("a_v")
+        )
+    )
+    anchors_out = keyed_topk(
+        cand, ["cluster"], [F.col("a_id").asc()], k=SEMDEDUP_ANCHORS
+    )
+    hits = (
+        bmembers.join(anchors_out, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("a_v")), 4) >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    )
+    batch_flags = bmembers.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("bigint").alias("n_dup_anchors"),
+        F.col("n_dup_anchors").isNull().alias("is_kept"),
+    )
+    return flags.unionByName(batch_flags), anchors_out

@@ -210,3 +210,150 @@ def cluster_state_tick(
             comp, hubs, minhash_band_table(append_docs)
         )
     return catalog.save(spark, CLUSTER_OP, fp, {"components": comp, "hubs": hubs})
+
+
+# ---------------------------------------------------------------------------
+# term-stats state: (terms) under one op name
+# ---------------------------------------------------------------------------
+
+TERM_OP = "term_stats"
+
+
+def term_stats_bootstrap(
+    catalog: StateCatalog, docs: DataFrame, fp: str | None = None
+) -> tuple[str, int]:
+    """Build and commit v1 of the UNFLOORED per-term (df, cf) stats."""
+    from redcap_omop_etl_spark.operators.retrieval import _tokens
+
+    spark = docs.sparkSession
+    fp = fp or corpus_fingerprint(docs, ["doc_id"])
+    tf = _tokens(docs).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    v = catalog.save(spark, TERM_OP, fp, {"terms": stats})
+    return fp, v
+
+
+def term_stats_tick(
+    catalog: StateCatalog,
+    fp: str,
+    corpus: DataFrame,
+    append_docs: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+) -> int:
+    """One maintenance tick: subtract the takedown batch's aggregate
+    and/or add the ingest batch's (exact integer arithmetic — order
+    irrelevant), committed as the next version. df<=0 terms drop."""
+    from redcap_omop_etl_spark.operators.retrieval import _tokens
+
+    spark = corpus.sparkSession
+    stats = catalog.load(spark, TERM_OP, fp)["terms"]
+
+    def agg_of(batch, dfc, cfc):
+        tf = _tokens(batch).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        return tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias(dfc), F.sum("tf").alias(cfc)
+        )
+
+    out = stats
+    if delete_ids is not None:
+        batch = corpus.join(
+            delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        d = agg_of(batch, "df_d", "cf_d")
+        out = out.join(d, "term", "left").select(
+            "term",
+            (F.col("df") - F.coalesce("df_d", F.lit(0))).cast("long").alias("df"),
+            (F.col("cf") - F.coalesce("cf_d", F.lit(0))).cast("long").alias("cf"),
+        )
+    if append_docs is not None:
+        a = agg_of(append_docs, "df_a", "cf_a")
+        out = out.join(a, "term", "full_outer").select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_a", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_a", F.lit(0)))
+            .cast("long")
+            .alias("cf"),
+        )
+    out = out.filter(F.col("df") > 0)
+    return catalog.save(spark, TERM_OP, fp, {"terms": out})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup state: (flags, anchors, centroids) under one op name — the
+# centroids ride along because the append transition needs the frozen
+# coarse quantizer, and state that a restart can't reconstruct without
+# the original training corpus belongs IN the catalog
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_OP = "semdedup"
+
+
+def semdedup_bootstrap(
+    catalog: StateCatalog,
+    flags: DataFrame,
+    anchors: DataFrame,
+    centroids: DataFrame,
+    fp: str,
+) -> int:
+    """Commit v1 of the SemDeDup state triple."""
+    spark = flags.sparkSession
+    return catalog.save(
+        spark,
+        SEMDEDUP_OP,
+        fp,
+        {
+            "flags": flags,
+            "anchors": anchors.select(
+                F.col("cluster").cast("bigint").alias("cluster"), "a_id", "a_v"
+            ),
+            "centroids": centroids,
+        },
+    )
+
+
+def semdedup_tick(
+    catalog: StateCatalog,
+    fp: str,
+    embeddings: DataFrame,
+    append_vecs: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+) -> int:
+    """One maintenance tick: optional delete (anchor-losing cells
+    recompute from survivors) then optional append (guarded frozen-
+    centroid assign + roster fill), committed as the next version —
+    the delete-then-append composition ``semdedup_flags_upsert``'s
+    oracle proves. Works in any session: everything it reads is
+    catalog state plus the caller's vector store."""
+    from redcap_omop_etl_spark.operators.similarity import (
+        semdedup_state_append,
+        semdedup_state_delete,
+    )
+
+    spark = embeddings.sparkSession
+    frames = catalog.load(spark, SEMDEDUP_OP, fp)
+    flags, anchors, centroids = (
+        frames["flags"],
+        frames["anchors"],
+        frames["centroids"],
+    )
+    if delete_ids is not None:
+        flags, anchors = semdedup_state_delete(flags, anchors, delete_ids, embeddings)
+        flags = flags.localCheckpoint(eager=True)
+        anchors = anchors.localCheckpoint(eager=True)
+    if append_vecs is not None:
+        flags, anchors = semdedup_state_append(flags, anchors, centroids, append_vecs)
+    return catalog.save(
+        spark,
+        SEMDEDUP_OP,
+        fp,
+        {"flags": flags, "anchors": anchors, "centroids": centroids},
+    )

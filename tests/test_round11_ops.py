@@ -524,3 +524,97 @@ class TestUpsertFamily:
             for r in retrieval_index_upsert(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestStateCatalogFamilies:
+    """Catalog coverage for the remaining state families: term stats
+    and SemDeDup (flags + anchors + frozen centroids ride in the
+    version). The transition correctness is pinned by the registered
+    upsert oracles; these pin the catalog plumbing — versioning,
+    frame-roundtrip fidelity, and tick == expected over catalog state."""
+
+    def test_term_stats_tick_equals_rebuild(self, spark, tmp_path):
+        from redcap_omop_etl_spark.operators.retrieval import _tokens
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from redcap_omop_etl_spark.state import (
+            StateCatalog,
+            term_stats_bootstrap,
+            term_stats_tick,
+        )
+
+        docs = Catalog(spark, SF_SMOKE)["documents"].select("doc_id", "text")
+        cat = StateCatalog(str(tmp_path / "state"))
+        fp, v1 = term_stats_bootstrap(cat, docs)
+        assert v1 == 1
+        dele = spark.createDataFrame([(i,) for i in range(0, 40, 3)], "doc_id long")
+        add = spark.createDataFrame(
+            [(77_000_000, "zz new doc text alpha beta"),
+             (77_000_001, "zz new doc text gamma delta")],
+            "doc_id long, text string",
+        )
+        v2 = term_stats_tick(cat, fp, docs, append_docs=add, delete_ids=dele)
+        assert v2 == 2
+        net = docs.join(dele, "doc_id", "left_anti").unionByName(add)
+        tf = _tokens(net).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        want = {
+            (r["term"], r["df"], r["cf"])
+            for r in tf.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .collect()
+        }
+        got = {
+            (r["term"], r["df"], r["cf"])
+            for r in cat.load(spark, "term_stats", fp)["terms"].collect()
+        }
+        assert got == want
+        # v1 still loadable (versions never clobbered)
+        assert cat.load(spark, "term_stats", fp, version=1)["terms"].count() > 0
+
+    def test_semdedup_tick_matches_inmemory_transition(self, spark, tmp_path):
+        from redcap_omop_etl_spark.operators.similarity import (
+            ivf_build,
+            semdedup_anchors_memo,
+            semdedup_flags_memo,
+            semdedup_state_append,
+            semdedup_state_delete,
+        )
+        from redcap_omop_etl_spark.sources.readers import Catalog
+        from redcap_omop_etl_spark.state import (
+            StateCatalog,
+            semdedup_bootstrap,
+            semdedup_tick,
+        )
+
+        emb = Catalog(spark, SF_SMOKE)["embeddings"]
+        flags = semdedup_flags_memo(spark, SF_SMOKE)
+        anchors = semdedup_anchors_memo(spark, SF_SMOKE)
+        _a, centroids = ivf_build(emb, n_clusters=16, n_iters=2, memo_key=SF_SMOKE)
+        cat = StateCatalog(str(tmp_path / "state"))
+        fp = "testcorpus"
+        assert semdedup_bootstrap(cat, flags, anchors, centroids, fp) == 1
+        dele = spark.createDataFrame([(2,), (32,)], "vec_id long")  # anchors
+        add = emb.filter(F.col("vec_id") % 50 == 13).select(
+            (F.col("vec_id") + F.lit(20_000_000_000)).alias("vec_id"), "embedding"
+        )
+        v2 = semdedup_tick(cat, fp, emb, append_vecs=add, delete_ids=dele)
+        assert v2 == 2
+        f1, a1 = semdedup_state_delete(flags, anchors, dele, emb)
+        f2, _a2 = semdedup_state_append(
+            f1.localCheckpoint(eager=True),
+            a1.localCheckpoint(eager=True),
+            centroids,
+            add,
+        )
+        want = {
+            (r["vec_id"], r["cluster"], r["n_dup_anchors"], r["is_kept"])
+            for r in f2.collect()
+        }
+        got = {
+            (r["vec_id"], r["cluster"], r["n_dup_anchors"], r["is_kept"])
+            for r in cat.load(spark, "semdedup", fp, version=2)["flags"].collect()
+        }
+        assert got == want
+        assert not ({r[0] for r in got} & {2, 32})
