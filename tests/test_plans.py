@@ -28,6 +28,8 @@ _NESTED_LOOP_OK = {
     "similarity_ann_ivf",  # nearest-centroid assign: bounded nlist-row centroid table
     "ivfpq_append_search",  # append-batch coarse assign vs the bounded FROZEN centroid table
     "semdedup_flags_append",  # ingest-batch coarse assign vs the bounded FROZEN centroid table
+    "semdedup_flags_upsert",  # same append-leg coarse assign (delete leg adds no join shape)
+    "ivfpq_upsert_search",  # same append-leg coarse assign; delete leg is a candidate filter
     "ivfpq_recall_audit",  # 1-row overlap x 1-row candidate-count summary crossJoin
     "ivfpq_recall_sweep",  # four 1-row overlap x candidate-count scalar crossJoins (one per arm)
     "text_unigram_logprob",  # corpus-total scalar: 1-row broadcast cross join

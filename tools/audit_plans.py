@@ -88,6 +88,18 @@ ALLOWED: dict[tuple[str, str], str] = {
     "table) — identical parameter-bounded crossJoin to "
     "ivfpq_append_search's; base flags come from the checkpointed memo, "
     "only the batch assigns inside the audited plan",
+    ("semdedup_flags_upsert", "bnlj"): "the upsert's append leg is the "
+    "same parameter-bounded batch-coarse-assign crossJoin as "
+    "semdedup_flags_append (_ivf_assign vs the broadcast 16-row FROZEN "
+    "centroid table); the delete leg's recompute is cell-keyed joins, "
+    "no new shape",
+    ("ivfpq_upsert_search", "bnlj"): "the ingest leg's coarse assign — "
+    "identical parameter-bounded crossJoin to ivfpq_append_search's "
+    "(the delete leg is a pmod candidate filter, no join at all)",
+    ("ivfpq_upsert_search", "global-window"): "same shape as "
+    "ivfpq_append_search (shared frozen index state + _adc_topk): "
+    "adc_rank over the LIMIT-k (10) survivors of the TakeOrdered ADC "
+    "heap",
     ("rfm_segmentation", "global-window"): "ntile quartiles are global by "
     "definition; input is the per-customer aggregate (dim-sized next to the "
     "orders fact it summarizes)",
