@@ -232,7 +232,11 @@ def term_stats_bootstrap(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
-    v = catalog.save(spark, TERM_OP, fp, {"terms": stats})
+    # the cumulative takedown set rides in the state: stats subtraction
+    # is NOT idempotent per id, so the tick must be able to recognize an
+    # id it already removed (opt-out requests repeat in practice)
+    no_deleted = spark.createDataFrame([], "doc_id long")
+    v = catalog.save(spark, TERM_OP, fp, {"terms": stats, "deleted": no_deleted})
     return fp, v
 
 
@@ -249,7 +253,11 @@ def term_stats_tick(
     from redcap_omop_etl_spark.operators.retrieval import _tokens
 
     spark = corpus.sparkSession
-    stats = catalog.load(spark, TERM_OP, fp)["terms"]
+    frames = catalog.load(spark, TERM_OP, fp)
+    stats = frames["terms"]
+    already = frames.get("deleted")
+    if already is None:  # pre-round-11 state layout
+        already = spark.createDataFrame([], "doc_id long")
 
     def agg_of(batch, dfc, cfc):
         tf = _tokens(batch).groupBy("term", "doc_id").agg(
@@ -260,12 +268,17 @@ def term_stats_tick(
         )
 
     out = stats
+    deleted_out = already
     if delete_ids is not None:
-        batch = corpus.join(
-            delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id")),
-            "doc_id",
-            "left_semi",
+        # ids already taken down in an earlier tick must NOT subtract
+        # again — filter against the state's cumulative takedown set
+        fresh = (
+            delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id"))
+            .distinct()
+            .join(already, "doc_id", "left_anti")
         )
+        batch = corpus.join(fresh, "doc_id", "left_semi")
+        deleted_out = already.unionByName(fresh)
         d = agg_of(batch, "df_d", "cf_d")
         out = out.join(d, "term", "left").select(
             "term",
@@ -284,7 +297,9 @@ def term_stats_tick(
             .alias("cf"),
         )
     out = out.filter(F.col("df") > 0)
-    return catalog.save(spark, TERM_OP, fp, {"terms": out})
+    return catalog.save(
+        spark, TERM_OP, fp, {"terms": out, "deleted": deleted_out}
+    )
 
 
 # ---------------------------------------------------------------------------

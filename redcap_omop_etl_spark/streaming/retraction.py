@@ -49,7 +49,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-Applier = Callable[[SparkSession, DataFrame], None]
+Applier = Callable[[SparkSession, DataFrame, int], None]
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +126,7 @@ def cluster_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
     (the store still holds the docs until the delete commits)."""
     from redcap_omop_etl_spark.operators.graph import minhash_cluster_state_delete
 
-    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
         comp = spark.read.parquet(f"{state_path}/components")
         hubs = spark.read.parquet(f"{state_path}/hubs")
         comp_out, hubs_out = minhash_cluster_state_delete(comp, hubs, deleted, corpus)
@@ -148,7 +148,7 @@ def term_stats_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
     df hits zero drop out of the state."""
     from redcap_omop_etl_spark.operators.retrieval import _tokens
 
-    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
         stats = spark.read.parquet(f"{state_path}/terms")
         batch = corpus.join(
             deleted.select(F.col(deleted.columns[0]).alias("doc_id")),
@@ -186,7 +186,7 @@ def semdedup_delete_applier(state_path: str, embeddings: DataFrame) -> Applier:
     members' vectors resolve against."""
     from redcap_omop_etl_spark.operators.similarity import semdedup_state_delete
 
-    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
         flags = spark.read.parquet(f"{state_path}/flags")
         anchors = spark.read.parquet(f"{state_path}/anchors")
         flags_out, anchors_out = semdedup_state_delete(
@@ -232,7 +232,7 @@ def stream_to_delete_ticks(
         ids = batch_df.localCheckpoint(eager=True)
         spark = batch_df.sparkSession
         for ap in appliers:
-            ap(spark, ids)
+            ap(spark, ids, epoch_id)
 
     return (
         delete_stream.writeStream.foreachBatch(handle_batch)
@@ -251,9 +251,138 @@ def ivfpq_delete_applier(index_path: str) -> Applier:
     index families (clusters, term stats, SemDeDup flags, ANN index)."""
     from redcap_omop_etl_spark.operators.similarity import ivfpq_delete_from_index
 
-    def apply(spark: SparkSession, deleted: DataFrame) -> None:
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
         ivfpq_delete_from_index(
             spark, index_path, deleted.select(F.col(deleted.columns[0]).alias("vec_id"))
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# exactly-once appliers: state in the versioned catalog, epoch in the
+# manifest — crash-replayed micro-batches become no-ops
+# ---------------------------------------------------------------------------
+
+
+def _epoch_already_applied(spark, catalog, op: str, fp: str, epoch: int) -> bool:
+    """True iff the latest committed version of ``op/fp`` records this
+    epoch. Sufficient under foreachBatch's delivery contract: epochs
+    arrive strictly increasing and only the LAST (failed) epoch can
+    replay after a restart — so one manifest read, not a scan. Direct
+    (non-stream) invocations pass epoch=-1 and always apply."""
+    if epoch < 0:
+        return False
+    v = catalog.latest_version(spark, op, fp)
+    if v is None:
+        return False
+    return catalog.manifest(spark, op, fp, v).get("meta", {}).get("epoch") == epoch
+
+
+def catalog_cluster_delete_applier(catalog, fp: str, corpus: DataFrame) -> Applier:
+    """Exactly-once cluster takedown applier: the delete transition
+    runs against the LATEST catalog version and commits a NEW version
+    whose manifest records the epoch — a crash-replayed micro-batch
+    finds its epoch in the latest manifest and no-ops, closing the
+    re-subtraction caveat the raw-directory appliers document. Rollback
+    of a bad batch = point at v{N-1}; concurrent readers of old
+    versions are never clobbered."""
+    from redcap_omop_etl_spark.operators.graph import minhash_cluster_state_delete
+    from redcap_omop_etl_spark.state import CLUSTER_OP
+
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
+        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch):
+            return
+        frames = catalog.load(spark, CLUSTER_OP, fp)
+        comp_out, hubs_out = minhash_cluster_state_delete(
+            frames["components"], frames["hubs"], deleted, corpus
+        )
+        catalog.save(
+            spark,
+            CLUSTER_OP,
+            fp,
+            {"components": comp_out, "hubs": hubs_out},
+            meta={"epoch": epoch},
+        )
+
+    return apply
+
+
+def catalog_term_stats_delete_applier(
+    catalog, fp: str, corpus: DataFrame
+) -> Applier:
+    """Exactly-once term-stats takedown applier — the one that NEEDS
+    the ledger most: integer subtraction applied twice is silently
+    wrong, not merely wasteful."""
+    from redcap_omop_etl_spark.operators.retrieval import _tokens
+    from redcap_omop_etl_spark.state import TERM_OP
+
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
+        if _epoch_already_applied(spark, catalog, TERM_OP, fp, epoch):
+            return
+        frames = catalog.load(spark, TERM_OP, fp)
+        stats, already = frames["terms"], frames["deleted"]
+        # per-id idempotence on top of the per-epoch ledger: subtraction
+        # applied twice for one id is silently wrong, and real opt-out
+        # streams repeat ids across requests — the state's cumulative
+        # takedown set filters them
+        fresh = (
+            deleted.select(F.col(deleted.columns[0]).alias("doc_id"))
+            .distinct()
+            .join(already, "doc_id", "left_anti")
+        )
+        batch = corpus.join(fresh, "doc_id", "left_semi")
+        btf = _tokens(batch).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        bstats = btf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_b"), F.sum("tf").alias("cf_b")
+        )
+        out = (
+            stats.join(bstats, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce("df_b", F.lit(0))).cast("long").alias("df"),
+                (F.col("cf") - F.coalesce("cf_b", F.lit(0))).cast("long").alias("cf"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        catalog.save(
+            spark,
+            TERM_OP,
+            fp,
+            {"terms": out, "deleted": already.unionByName(fresh)},
+            meta={"epoch": epoch},
+        )
+
+    return apply
+
+
+def catalog_semdedup_delete_applier(
+    catalog, fp: str, embeddings: DataFrame
+) -> Applier:
+    """Exactly-once SemDeDup takedown applier over the catalog's
+    (flags, anchors, centroids) state triple."""
+    from redcap_omop_etl_spark.operators.similarity import semdedup_state_delete
+    from redcap_omop_etl_spark.state import SEMDEDUP_OP
+
+    def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
+        if _epoch_already_applied(spark, catalog, SEMDEDUP_OP, fp, epoch):
+            return
+        frames = catalog.load(spark, SEMDEDUP_OP, fp)
+        flags_out, anchors_out = semdedup_state_delete(
+            frames["flags"], frames["anchors"], deleted, embeddings
+        )
+        catalog.save(
+            spark,
+            SEMDEDUP_OP,
+            fp,
+            {
+                "flags": flags_out,
+                "anchors": anchors_out,
+                "centroids": frames["centroids"],
+            },
+            meta={"epoch": epoch},
         )
 
     return apply

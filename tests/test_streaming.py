@@ -989,3 +989,102 @@ class TestStreamToDeleteTicks:
             for r in spark.read.parquet(tstate + "/terms").collect()
         }
         assert got_terms == want_terms
+
+    def test_catalog_appliers_are_exactly_once(self, spark, tmp_path):
+        """The crash-replay story the raw-directory appliers only
+        document: catalog-backed appliers record the epoch in the
+        committed manifest, so a replayed micro-batch no-ops — pinned
+        hardest for term stats, where double subtraction is silently
+        wrong rather than merely wasteful."""
+        from redcap_omop_etl_spark.operators.retrieval import _tokens
+        from redcap_omop_etl_spark.state import (
+            StateCatalog,
+            term_stats_bootstrap,
+        )
+        from redcap_omop_etl_spark.streaming.retraction import (
+            catalog_term_stats_delete_applier,
+        )
+
+        docs = Catalog(spark, SF_SMOKE)["documents"].select("doc_id", "text")
+        cat = StateCatalog(str(tmp_path / "state"))
+        fp, v1 = term_stats_bootstrap(cat, docs)
+        ap = catalog_term_stats_delete_applier(cat, fp, docs)
+        dele = spark.createDataFrame([(i,) for i in range(0, 30, 4)], "doc_id long")
+
+        ap(spark, dele, epoch=7)
+        assert cat.latest_version(spark, "term_stats", fp) == 2
+        snap = {
+            (r["term"], r["df"], r["cf"])
+            for r in cat.load(spark, "term_stats", fp)["terms"].collect()
+        }
+        # crash-replay of the SAME epoch: no new version, state unchanged
+        ap(spark, dele, epoch=7)
+        assert cat.latest_version(spark, "term_stats", fp) == 2
+        assert snap == {
+            (r["term"], r["df"], r["cf"])
+            for r in cat.load(spark, "term_stats", fp)["terms"].collect()
+        }
+        # a LATER epoch applies (and equals the two-batch rebuild)
+        dele2 = spark.createDataFrame([(i,) for i in range(1, 30, 9)], "doc_id long")
+        ap(spark, dele2, epoch=8)
+        assert cat.latest_version(spark, "term_stats", fp) == 3
+        gone = dele.unionByName(dele2)
+        survivors = docs.join(gone, "doc_id", "left_anti")
+        tf = _tokens(survivors).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        want = {
+            (r["term"], r["df"], r["cf"])
+            for r in tf.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .collect()
+        }
+        got = {
+            (r["term"], r["df"], r["cf"])
+            for r in cat.load(spark, "term_stats", fp)["terms"].collect()
+        }
+        assert got == want
+
+    def test_catalog_cluster_applier_through_stream(self, spark, tmp_path):
+        """The bridge drives a catalog-backed applier end-to-end:
+        multi-batch takedown stream over versioned state ≡ rebuild,
+        with one committed version per applied micro-batch."""
+        from redcap_omop_etl_spark.operators.dedup import minhash_star_edges
+        from redcap_omop_etl_spark.operators.graph import connected_components
+        from redcap_omop_etl_spark.state import StateCatalog, cluster_state_bootstrap
+        from redcap_omop_etl_spark.streaming.retraction import (
+            catalog_cluster_delete_applier,
+            stream_to_delete_ticks,
+        )
+
+        fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        fam_b = "one two three four five six seven eight nine ten eleven"
+        docs = spark.createDataFrame(
+            [(1, fam_a), (2, fam_a), (3, fam_a), (10, fam_b), (11, fam_b)],
+            "doc_id long, text string",
+        )
+        cat = StateCatalog(str(tmp_path / "cstate"))
+        fp, _v1 = cluster_state_bootstrap(cat, docs)
+        batches = [[2], [10]]
+        stream = self._id_stream(spark, tmp_path, batches)
+        q = stream_to_delete_ticks(
+            stream,
+            [catalog_cluster_delete_applier(cat, fp, docs)],
+            str(tmp_path / "cck"),
+        )
+        q.awaitTermination(180)
+
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 3
+        survivors = docs.filter(~F.col("doc_id").isin([2, 10]))
+        got = {
+            (r["node"], r["component"])
+            for r in cat.load(spark, "minhash_clusters", fp)["components"].collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(minhash_star_edges(survivors)).collect()
+        }
+        assert got == want
