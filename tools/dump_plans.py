@@ -300,6 +300,34 @@ SHOWCASE: dict[str, str] = {
     "codes (InMemoryTableScan reused by all arms), then four "
     "statically-unrolled filter + TakeOrdered-10 arms with 1-row "
     "scalar rollups — no range join, no corpus-wide window.",
+    "dedup_ingest_tick_routed": "Automated ingest routing (round 11): "
+    "the returned plan is the PROBE-CHOSEN route's plan (here the "
+    "exact tick at gate density) unioned with the 1-row audit record; "
+    "the probe itself ran eagerly at plan-construction time as one "
+    "integer aggregate over batch prefix counts joined to the FROZEN "
+    "prefix index (localCheckpoint scans) — no candidate pair is ever "
+    "generated to make the decision.",
+    "dedup_minhash_clusters_upsert": "Mixed cluster upsert (round 11): "
+    "the delete transition's touched-component recompute and the "
+    "append transition's batch-sized merge CC compose over the shared "
+    "frozen state (tracked_persist between the legs); untouched "
+    "labels stream off the checkpointed state scan, and the single "
+    "corpus-wide window is the output cluster_size count — identical "
+    "shape discipline to the single-direction ticks.",
+    "semdedup_flags_upsert": "Mixed SemDeDup upsert (round 11): "
+    "anchor-losing cells recompute from survivors (cell-keyed joins), "
+    "then the guarded append leg reuses semdedup_flags_append's "
+    "parameter-bounded coarse-assign + ≤16-cosine shape against the "
+    "POST-DELETE roster; survivor flags pass through from the cached "
+    "delete-leg frame.",
+    "ivfpq_drift_audit": "Index staleness audit (round 11): per "
+    "generation, frozen-arm candidates come from the memoized code "
+    "table + cumulative batch encodes (broadcast codebook/centroid "
+    "dims), the retrained arm from one additional memoized ivf_build "
+    "over the union corpus; panel-keyed probe ranks and ADC tables "
+    "are parameter-bounded broadcasts, exact top-10 per (query, arm) "
+    "via keyed windows; per-generation scalars collect driver-side "
+    "(G×8 numbers).",
 }
 
 
