@@ -372,3 +372,39 @@ def semdedup_tick(
         fp,
         {"flags": flags, "anchors": anchors, "centroids": centroids},
     )
+
+
+def prune_versions(
+    catalog: StateCatalog,
+    spark: SparkSession,
+    op: str,
+    fp: str,
+    keep_last: int = 2,
+) -> list[int]:
+    """Retention sweep: delete all but the newest ``keep_last``
+    COMMITTED versions (and any torn, manifest-less version dirs older
+    than the newest committed one — the leftovers of crashed saves).
+    Returns the removed version numbers. The newest versions stay
+    untouched, so readers pinned to them are never clobbered; run this
+    with a lag (keep_last >= 2) so an in-flight reader of v{N-1}
+    finishes before v{N-1} ages out."""
+    committed = catalog.versions(spark, op, fp)
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    base = f"{catalog.root}/{op}/{fp}"
+    hadoop, fs = _fs(spark, base)
+    if not fs.exists(hadoop.Path(base)):
+        return []
+    newest = committed[-1] if committed else 0
+    removed = []
+    for st in fs.listStatus(hadoop.Path(base)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v") and name[1:].isdigit()):
+            continue
+        v = int(name[1:])
+        torn = v not in committed
+        if v in keep or (torn and v >= newest):
+            continue  # keep live versions; keep a torn dir NEWER than
+            # the last commit (a save may be in flight)
+        fs.delete(st.getPath(), True)
+        removed.append(v)
+    return sorted(removed)

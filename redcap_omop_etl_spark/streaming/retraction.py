@@ -386,3 +386,69 @@ def catalog_semdedup_delete_applier(
         )
 
     return apply
+
+
+def catalog_cluster_append_applier(catalog, fp: str) -> Applier:
+    """Exactly-once cluster INGEST applier — the append-direction twin
+    of ``catalog_cluster_delete_applier``, so one catalog serves both
+    streams with the same versioned/epoch-ledgered discipline that
+    ``stream_to_cluster_index``'s raw-overwrite layout lacks. The
+    applier receives the batch DOCS frame (doc_id, text), not ids;
+    first batch bootstraps v1 (star + contraction), later batches run
+    the append transition (id-guarded by the transition core)."""
+    from pyspark.sql.window import Window
+
+    from redcap_omop_etl_spark.operators.dedup import minhash_band_table
+    from redcap_omop_etl_spark.operators.graph import (
+        connected_components,
+        minhash_cluster_state_append,
+    )
+    from redcap_omop_etl_spark.state import CLUSTER_OP
+
+    def apply(spark: SparkSession, batch_docs: DataFrame, epoch: int = -1) -> None:
+        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch):
+            return
+        banded = minhash_band_table(batch_docs).localCheckpoint(eager=True)
+        if catalog.latest_version(spark, CLUSTER_OP, fp) is None:
+            m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+            star = (
+                banded.withColumn("m", m)
+                .filter(F.col("doc") != F.col("m"))
+                .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+                .distinct()
+            )
+            comp_out = connected_components(star)
+            hubs_out = banded.groupBy("band", "bucket").agg(
+                F.min("doc").alias("hub")
+            )
+        else:
+            frames = catalog.load(spark, CLUSTER_OP, fp)
+            comp_out, hubs_out = minhash_cluster_state_append(
+                frames["components"], frames["hubs"], banded
+            )
+        catalog.save(
+            spark,
+            CLUSTER_OP,
+            fp,
+            {"components": comp_out, "hubs": hubs_out},
+            meta={"epoch": epoch},
+        )
+
+    return apply
+
+
+def stream_to_cluster_index_catalog(
+    stream: DataFrame, catalog, fp: str, checkpoint_dir: str
+):
+    """Catalog-backed twin of ``streaming.windows.stream_to_cluster_index``:
+    micro-batched ingest into VERSIONED cluster state — every applied
+    batch commits a new version with its epoch in the manifest, so a
+    crash-replayed batch no-ops and a bad batch rolls back by pointing
+    at the previous version. The delete-direction stream
+    (``stream_to_delete_ticks`` + ``catalog_cluster_delete_applier``)
+    shares the same state by construction, which is the whole point of
+    the catalog: one (op, corpus-fingerprint) key, however the update
+    arrived."""
+    return stream_to_delete_ticks(
+        stream, [catalog_cluster_append_applier(catalog, fp)], checkpoint_dir
+    )

@@ -1088,3 +1088,83 @@ class TestStreamToDeleteTicks:
             for r in connected_components(minhash_star_edges(survivors)).collect()
         }
         assert got == want
+
+    def test_catalog_ingest_then_delete_share_state(self, spark, tmp_path):
+        """The catalog closes the ingest/retraction split: an append
+        STREAM builds versioned state batch by batch (bootstrap + merge
+        ticks, one committed version per epoch), then a takedown stream
+        drives the delete applier against the SAME (op, fingerprint) —
+        final state equals the rebuild over everything ingested minus
+        everything taken down."""
+        from redcap_omop_etl_spark.operators.dedup import minhash_star_edges
+        from redcap_omop_etl_spark.operators.graph import connected_components
+        from redcap_omop_etl_spark.state import StateCatalog, prune_versions
+        from redcap_omop_etl_spark.streaming.retraction import (
+            catalog_cluster_delete_applier,
+            stream_to_cluster_index_catalog,
+            stream_to_delete_ticks,
+        )
+
+        fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        fam_b = "one two three four five six seven eight nine ten eleven"
+        batches = [
+            [(1, fam_a), (2, fam_a), (10, fam_b)],
+            [(11, fam_b), (30, fam_a)],
+        ]
+        src = tmp_path / "ingest"
+        src.mkdir()
+        import glob as _glob
+        import shutil
+
+        for i, rows in enumerate(batches):
+            stage = tmp_path / f"ingstage{i}"
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(str(stage))
+            shutil.copy(
+                _glob.glob(str(stage / "part-*.parquet"))[0],
+                str(src / f"batch{i:03d}.parquet"),
+            )
+        ingest = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        cat = StateCatalog(str(tmp_path / "vstate"))
+        fp = "stream-corpus"
+        q = stream_to_cluster_index_catalog(
+            ingest, cat, fp, str(tmp_path / "ick")
+        )
+        q.awaitTermination(180)
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 2
+
+        all_docs = spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id long, text string"
+        )
+        dstream = self._id_stream(spark, tmp_path, [[2]])
+        q2 = stream_to_delete_ticks(
+            dstream,
+            [catalog_cluster_delete_applier(cat, fp, all_docs)],
+            str(tmp_path / "dck2"),
+        )
+        q2.awaitTermination(180)
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 3
+
+        live = all_docs.filter(F.col("doc_id") != 2)
+        got = {
+            (r["node"], r["component"])
+            for r in cat.load(spark, "minhash_clusters", fp)["components"].collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(minhash_star_edges(live)).collect()
+        }
+        assert got == want
+        # retention sweep: keep the newest 2 committed versions
+        removed = prune_versions(cat, spark, "minhash_clusters", fp, keep_last=2)
+        assert removed == [1]
+        assert cat.versions(spark, "minhash_clusters", fp) == [2, 3]
+        # the survivor versions still load
+        assert cat.load(spark, "minhash_clusters", fp, version=2)[
+            "components"
+        ].count() >= 1
