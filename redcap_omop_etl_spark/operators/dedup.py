@@ -344,14 +344,22 @@ def _prefix_jaccard_pipeline(
     uncapped. Plan notes live on the two public wrappers."""
     from pyspark.sql.window import Window
 
-    # cache: the shingle table feeds the df count, the ranked window, AND
-    # both sides of the verify join — without pinning, the interpreted
-    # tokenize→shingle HOF chain re-runs three times (same discipline as
-    # ngram_jaccard_pairs / simhash)
+    # NO cache on the shingle table (round-12 reversal of the round-3
+    # pin, re-measured): the table feeds four differently-keyed
+    # exchanges (df count, ranked join, both verify sides), so each
+    # consumer's map stage re-runs the fused scan→shingle→explode chain
+    # — but that recompute is whole-stage-codegen over a skinny
+    # projection and measured CHEAPER (4.9s vs 8.1s full-query wall at
+    # sf0.1, min-of-3 idle) than materializing the columnar IMR cache of
+    # the exploded table, whose CachedBatch build cost dominated the
+    # query. At 100 TB the cache is also the wrong shape: the exploded
+    # token table is ~5-10x corpus bytes — recompute-per-consumer keeps
+    # memory flat while identical exchanges still dedupe via
+    # ReuseExchange inside the one executed plan.
     toks = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("t"),
-    ).transform(tracked_cache)
+    )
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = Window.partitionBy("doc")
     # dfreq is vocab-sized (Heaps-sublinear but unbounded) and statically
@@ -370,9 +378,11 @@ def _prefix_jaccard_pipeline(
         # contains a HOT shingle (prefix bucket > cap) route whole to the
         # overflow channel; remaining buckets are <= cap, so candidates
         # are linear in corpus size. prefix feeds three consumers here
-        # (bucket counts, overflow, the anti-join) — pin it so the
-        # join+window chain above runs once.
-        prefix = tracked_cache(prefix)
+        # (bucket counts, overflow, the anti-join) — uncached like toks
+        # (round 12): the ranked-join/window exchanges above are
+        # identical subtrees across consumers, so ReuseExchange runs
+        # them once, and skipping the IMR build measured faster
+        # (5.8s vs 11.5s min-of-5 on the capped query).
         hot = (
             prefix.groupBy("t")
             .agg(F.count(F.lit(1)).alias("bn"))

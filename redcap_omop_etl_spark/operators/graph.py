@@ -123,13 +123,19 @@ def connected_components(
     selfloops = (
         raw.filter(F.col("u") == F.col("v")).select(F.col("u").alias("n")).distinct()
     )
+    # eager=False: the signature aggregation below is the loop's one
+    # blocking action per round and its job MATERIALIZES the checkpoint
+    # as a side effect — round 12 halved the per-round job count (the
+    # eager checkpoint ran one job, the signature a second; on the
+    # batch-sized merge graphs the maintenance ticks feed this loop,
+    # per-job overhead — not data — was the wall).
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _with_singletons(comp: DataFrame) -> DataFrame:
@@ -141,10 +147,6 @@ def connected_components(
         )
 
     global CC_LAST_ROUNDS
-    if not e.take(1):
-        CC_LAST_ROUNDS = 0
-        empty = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-        return _with_singletons(empty)
 
     def _signature(frame: DataFrame):
         row = frame.agg(
@@ -158,6 +160,12 @@ def connected_components(
     from pyspark.sql.window import Window
 
     sig = _signature(e)
+    # the signature's count doubles as the emptiness probe (the old
+    # separate take(1) was one more job per call)
+    if sig[0] == 0:
+        CC_LAST_ROUNDS = 0
+        empty = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        return _with_singletons(empty)
     for rounds in range(1, max_iter + 1):
         # LARGE-STAR: center a over ALL neighbors b (both directions);
         # every strictly-greater neighbor rewires to the center's
@@ -203,8 +211,9 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE job per round: the signature materializes the checkpoint
         new_sig = _signature(small)
         e = small
         if new_sig == sig:

@@ -2982,10 +2982,11 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
 
-    def arm_metrics(u, cum_codes, cum_assign, cents, qs):
-        """(recall_num, n_cand, occ_max) for one arm: probe ranks and
-        ADC tables per panel query against `cents`, candidates from
-        `cum_assign`, exact top-k from `u`."""
+    def arm_metrics(u, cum_codes, cum_assign, cents, qs, with_total=False):
+        """(recall_num, n_cand, occ_max[, n_total]) for one arm: probe
+        ranks and ADC tables per panel query against `cents`, candidates
+        from `cum_assign`, exact top-k from `u`. ``with_total`` rides the
+        generation's corpus count in the same scalar-union job."""
         qc = qs.crossJoin(F.broadcast(cents))
         d2 = F.aggregate(
             F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
@@ -3058,10 +3059,37 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= k)
             .select("qid", "vec_id")
         )
-        n_overlap = top.join(ex, ["qid", "vec_id"]).count()
-        n_cand = cand.count()
-        occ = cum_assign.groupBy("cluster").count().agg(F.max("count")).first()[0]
-        return n_overlap, n_cand, int(occ)
+        # ONE union-of-scalars job per arm instead of three separate
+        # actions (count/count/first): each branch is a 1-row aggregate,
+        # and on this parameter-bounded panel the wall was job-count —
+        # not data (round-12 measurement: the audit ran ~18 driver-side
+        # jobs; merging them roughly halved the timed wall).
+        m = (
+            top.join(ex, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit("ov").alias("k"), F.col("v").cast("bigint"))
+            .unionByName(
+                cand.agg(F.count(F.lit(1)).alias("v")).select(
+                    F.lit("nc").alias("k"), F.col("v").cast("bigint")
+                )
+            )
+            .unionByName(
+                cum_assign.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("v"))
+                .select(F.lit("occ").alias("k"), F.col("v").cast("bigint"))
+            )
+        )
+        if with_total:
+            m = m.unionByName(
+                u.agg(F.count(F.lit(1)).alias("v")).select(
+                    F.lit("n").alias("k"), F.col("v").cast("bigint")
+                )
+            )
+        d = {r["k"]: int(r["v"]) for r in m.collect()}
+        if with_total:
+            return d["ov"], d["nc"], d["occ"], d["n"]
+        return d["ov"], d["nc"], d["occ"]
 
     rows = []
     u = base_u
@@ -3069,9 +3097,11 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_assign = assignments.select("vec_id", "cluster")
     # generation 0: frozen == retrained by construction
     qs0 = _drift_queries(emb, 0)
-    ov0, nc0, occ0 = arm_metrics(u, cum_codes, cum_assign, centroids, qs0)
+    ov0, nc0, occ0, n0 = arm_metrics(
+        u, cum_codes, cum_assign, centroids, qs0, with_total=True
+    )
     r0 = ov0 * 1_000_000 // den
-    rows.append((0, u.count(), r0, r0, 0, 0, nc0, nc0, occ0, occ0, False))
+    rows.append((0, n0, r0, r0, 0, 0, nc0, nc0, occ0, occ0, False))
     base_recall = r0
     for g in _DRIFT_GENS:
         batch = _drift_batch(
@@ -3094,7 +3124,9 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             u, n_clusters=16, n_iters=2, memo_key=f"{sf_dir}#drift{g}"
         )
         qs = _drift_queries(emb, g)
-        fov, fnc, focc = arm_metrics(u, cum_codes, cum_assign, centroids, qs)
+        fov, fnc, focc, ng = arm_metrics(
+            u, cum_codes, cum_assign, centroids, qs, with_total=True
+        )
         rov, rnc, rocc = arm_metrics(
             u, cum_codes, r_assign.select("vec_id", "cluster"), r_cents, qs
         )
@@ -3108,7 +3140,7 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             or fnc >= 2 * rnc
         )
         rows.append(
-            (g, u.count(), f_ppm, r_ppm, delta, stale, fnc, rnc, focc, rocc, advised)
+            (g, ng, f_ppm, r_ppm, delta, stale, fnc, rnc, focc, rocc, advised)
         )
     return spark.createDataFrame(
         rows,
