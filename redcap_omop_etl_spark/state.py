@@ -100,6 +100,16 @@ class StateCatalog:
         number. The manifest commits the version (written last)."""
         v = (self.latest_version(spark, op, fp) or 0) + 1
         vdir = self.dir(op, fp, v)
+        # a crash mid-save leaves a manifest-less (torn) v{N} dir that is
+        # invisible to latest_version — so the replayed batch re-targets
+        # the SAME v{N} and the errorifexists writes below would wedge
+        # until manual cleanup. A torn dir is garbage by the commit
+        # protocol's own definition (no manifest == never committed), so
+        # clear it before writing.
+        hadoop, fs = _fs(spark, vdir)
+        vpath = hadoop.Path(vdir)
+        if fs.exists(vpath) and not fs.exists(hadoop.Path(f"{vdir}/{MANIFEST}")):
+            fs.delete(vpath, True)
         counts = {}
         for name, df in frames.items():
             pinned = df.localCheckpoint(eager=True)
@@ -168,7 +178,9 @@ def cluster_state_bootstrap(
     from redcap_omop_etl_spark.operators.graph import connected_components
 
     spark = docs.sparkSession
-    fp = fp or corpus_fingerprint(docs, ["doc_id"])
+    # fingerprint CONTENT (all columns), not just ids: two corpora with
+    # identical doc_ids but different texts must not key the same state
+    fp = fp or corpus_fingerprint(docs)
     comp = connected_components(minhash_star_edges(docs))
     hubs = (
         minhash_band_table(docs)
@@ -226,7 +238,8 @@ def term_stats_bootstrap(
     from redcap_omop_etl_spark.operators.retrieval import _tokens
 
     spark = docs.sparkSession
-    fp = fp or corpus_fingerprint(docs, ["doc_id"])
+    # content fingerprint, matching cluster_state_bootstrap's contract
+    fp = fp or corpus_fingerprint(docs)
     tf = _tokens(docs).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),

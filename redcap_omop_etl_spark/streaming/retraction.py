@@ -265,21 +265,50 @@ def ivfpq_delete_applier(index_path: str) -> Applier:
 # ---------------------------------------------------------------------------
 
 
-def _epoch_already_applied(spark, catalog, op: str, fp: str, epoch: int) -> bool:
-    """True iff the latest committed version of ``op/fp`` records this
-    epoch. Sufficient under foreachBatch's delivery contract: epochs
-    arrive strictly increasing and only the LAST (failed) epoch can
-    replay after a restart — so one manifest read, not a scan. Direct
-    (non-stream) invocations pass epoch=-1 and always apply."""
-    if epoch < 0:
-        return False
+def _applied_epochs(spark, catalog, op: str, fp: str) -> dict[str, int]:
+    """The per-stream applied-epoch ledger carried in the latest
+    committed manifest (empty for fresh or pre-round-12 state)."""
     v = catalog.latest_version(spark, op, fp)
     if v is None:
+        return {}
+    meta = catalog.manifest(spark, op, fp, v).get("meta", {})
+    return dict(meta.get("applied_epochs", {}))
+
+
+def _epoch_already_applied(
+    spark, catalog, op: str, fp: str, epoch: int, stream_id: str
+) -> bool:
+    """True iff ``stream_id`` has already committed this epoch (or a
+    later one) against ``op/fp``. The ledger is keyed PER STREAM: the
+    ingest and takedown bridges share one (op, fp) state but number
+    foreachBatch epochs independently from 0 per checkpoint, so a bare
+    epoch compare would silently skip a batch whose number collides
+    with the other stream's last commit (e.g. one-batch ingest at
+    epoch 0 followed by the first delete batch at epoch 0). Within one
+    stream epochs arrive strictly increasing and only the last (failed)
+    epoch can replay after a restart, so ``>=`` on that stream's entry
+    is exact. Direct (non-stream) invocations pass epoch=-1 and always
+    apply."""
+    if epoch < 0:
         return False
-    return catalog.manifest(spark, op, fp, v).get("meta", {}).get("epoch") == epoch
+    return _applied_epochs(spark, catalog, op, fp).get(stream_id, -1) >= epoch
 
 
-def catalog_cluster_delete_applier(catalog, fp: str, corpus: DataFrame) -> Applier:
+def _epoch_meta(
+    spark, catalog, op: str, fp: str, epoch: int, stream_id: str
+) -> dict:
+    """Manifest meta for a commit applying ``epoch`` from ``stream_id``:
+    the previous ledger with this stream's entry advanced (plus the
+    legacy flat fields for human readers)."""
+    ledger = _applied_epochs(spark, catalog, op, fp)
+    if epoch >= 0:
+        ledger[stream_id] = epoch
+    return {"epoch": epoch, "stream_id": stream_id, "applied_epochs": ledger}
+
+
+def catalog_cluster_delete_applier(
+    catalog, fp: str, corpus: DataFrame, stream_id: str = "delete"
+) -> Applier:
     """Exactly-once cluster takedown applier: the delete transition
     runs against the LATEST catalog version and commits a NEW version
     whose manifest records the epoch — a crash-replayed micro-batch
@@ -291,7 +320,7 @@ def catalog_cluster_delete_applier(catalog, fp: str, corpus: DataFrame) -> Appli
     from redcap_omop_etl_spark.state import CLUSTER_OP
 
     def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
-        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch):
+        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch, stream_id):
             return
         frames = catalog.load(spark, CLUSTER_OP, fp)
         comp_out, hubs_out = minhash_cluster_state_delete(
@@ -302,14 +331,14 @@ def catalog_cluster_delete_applier(catalog, fp: str, corpus: DataFrame) -> Appli
             CLUSTER_OP,
             fp,
             {"components": comp_out, "hubs": hubs_out},
-            meta={"epoch": epoch},
+            meta=_epoch_meta(spark, catalog, CLUSTER_OP, fp, epoch, stream_id),
         )
 
     return apply
 
 
 def catalog_term_stats_delete_applier(
-    catalog, fp: str, corpus: DataFrame
+    catalog, fp: str, corpus: DataFrame, stream_id: str = "delete"
 ) -> Applier:
     """Exactly-once term-stats takedown applier — the one that NEEDS
     the ledger most: integer subtraction applied twice is silently
@@ -318,7 +347,7 @@ def catalog_term_stats_delete_applier(
     from redcap_omop_etl_spark.state import TERM_OP
 
     def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
-        if _epoch_already_applied(spark, catalog, TERM_OP, fp, epoch):
+        if _epoch_already_applied(spark, catalog, TERM_OP, fp, epoch, stream_id):
             return
         frames = catalog.load(spark, TERM_OP, fp)
         stats, already = frames["terms"], frames["deleted"]
@@ -331,7 +360,13 @@ def catalog_term_stats_delete_applier(
             .distinct()
             .join(already, "doc_id", "left_anti")
         )
-        batch = corpus.join(fresh, "doc_id", "left_semi")
+        # only ids that RESOLVED against the corpus enter the cumulative
+        # set: an id whose doc is not (yet) in the corpus subtracts
+        # nothing, and recording it would filter out a later retry that
+        # could actually apply — the stats would stay permanently
+        # unadjusted
+        matched = corpus.join(fresh, "doc_id", "left_semi")
+        batch = matched
         btf = _tokens(batch).groupBy("term", "doc_id").agg(
             F.count(F.lit(1)).alias("tf")
         )
@@ -351,15 +386,18 @@ def catalog_term_stats_delete_applier(
             spark,
             TERM_OP,
             fp,
-            {"terms": out, "deleted": already.unionByName(fresh)},
-            meta={"epoch": epoch},
+            {
+                "terms": out,
+                "deleted": already.unionByName(matched.select("doc_id").distinct()),
+            },
+            meta=_epoch_meta(spark, catalog, TERM_OP, fp, epoch, stream_id),
         )
 
     return apply
 
 
 def catalog_semdedup_delete_applier(
-    catalog, fp: str, embeddings: DataFrame
+    catalog, fp: str, embeddings: DataFrame, stream_id: str = "delete"
 ) -> Applier:
     """Exactly-once SemDeDup takedown applier over the catalog's
     (flags, anchors, centroids) state triple."""
@@ -367,7 +405,7 @@ def catalog_semdedup_delete_applier(
     from redcap_omop_etl_spark.state import SEMDEDUP_OP
 
     def apply(spark: SparkSession, deleted: DataFrame, epoch: int = -1) -> None:
-        if _epoch_already_applied(spark, catalog, SEMDEDUP_OP, fp, epoch):
+        if _epoch_already_applied(spark, catalog, SEMDEDUP_OP, fp, epoch, stream_id):
             return
         frames = catalog.load(spark, SEMDEDUP_OP, fp)
         flags_out, anchors_out = semdedup_state_delete(
@@ -382,13 +420,15 @@ def catalog_semdedup_delete_applier(
                 "anchors": anchors_out,
                 "centroids": frames["centroids"],
             },
-            meta={"epoch": epoch},
+            meta=_epoch_meta(spark, catalog, SEMDEDUP_OP, fp, epoch, stream_id),
         )
 
     return apply
 
 
-def catalog_cluster_append_applier(catalog, fp: str) -> Applier:
+def catalog_cluster_append_applier(
+    catalog, fp: str, stream_id: str = "append"
+) -> Applier:
     """Exactly-once cluster INGEST applier — the append-direction twin
     of ``catalog_cluster_delete_applier``, so one catalog serves both
     streams with the same versioned/epoch-ledgered discipline that
@@ -406,7 +446,7 @@ def catalog_cluster_append_applier(catalog, fp: str) -> Applier:
     from redcap_omop_etl_spark.state import CLUSTER_OP
 
     def apply(spark: SparkSession, batch_docs: DataFrame, epoch: int = -1) -> None:
-        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch):
+        if _epoch_already_applied(spark, catalog, CLUSTER_OP, fp, epoch, stream_id):
             return
         banded = minhash_band_table(batch_docs).localCheckpoint(eager=True)
         if catalog.latest_version(spark, CLUSTER_OP, fp) is None:
@@ -431,7 +471,7 @@ def catalog_cluster_append_applier(catalog, fp: str) -> Applier:
             CLUSTER_OP,
             fp,
             {"components": comp_out, "hubs": hubs_out},
-            meta={"epoch": epoch},
+            meta=_epoch_meta(spark, catalog, CLUSTER_OP, fp, epoch, stream_id),
         )
 
     return apply

@@ -354,12 +354,13 @@ class TestStateCatalog:
         df.write.parquet(str(tmp_path / "state/toy/fp1/v2/a"))
         assert cat.latest_version(spark, "toy", "fp1") == 1
         assert cat.load(spark, "toy", "fp1")["a"].count() == 5
-        # the next committed save claims v2... which exists half-written:
-        # errorifexists makes the collision loud instead of silent
-        import pytest as _pytest
-
-        with _pytest.raises(Exception):
-            cat.save(spark, "toy", "fp1", {"a": df})
+        # round-12 fix: the next save re-targets v2, clears the torn
+        # (manifest-less == never committed) leftovers and COMMITS —
+        # crash replay recovers instead of wedging on errorifexists
+        v2 = cat.save(spark, "toy", "fp1", {"a": df.limit(3)})
+        assert v2 == 2
+        assert cat.latest_version(spark, "toy", "fp1") == 2
+        assert cat.load(spark, "toy", "fp1")["a"].count() == 3
 
     def test_tick_in_fresh_process_equals_rebuild(self, spark, tmp_path):
         """Session A bootstraps v1; a SUBPROCESS with its own fresh

@@ -1168,3 +1168,95 @@ class TestStreamToDeleteTicks:
         assert cat.load(spark, "minhash_clusters", fp, version=2)[
             "components"
         ].count() >= 1
+
+    def test_epoch_ledger_is_per_stream(self, spark, tmp_path):
+        """Round-12 fix: the ingest and takedown bridges share one
+        (op, fp) state but number foreachBatch epochs independently
+        from 0 per checkpoint — a ONE-batch ingest (epoch 0) followed
+        by the first delete batch (also epoch 0) must still apply the
+        delete. The old scalar-epoch compare silently skipped it."""
+        from redcap_omop_etl_spark.operators.dedup import minhash_star_edges
+        from redcap_omop_etl_spark.operators.graph import connected_components
+        from redcap_omop_etl_spark.state import StateCatalog
+        from redcap_omop_etl_spark.streaming.retraction import (
+            catalog_cluster_append_applier,
+            catalog_cluster_delete_applier,
+        )
+
+        fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, fam), (2, fam), (3, fam)], "doc_id long, text string"
+        )
+        cat = StateCatalog(str(tmp_path / "estate"))
+        fp = "collide-corpus"
+        # ingest stream's first (and only) micro-batch: epoch 0
+        catalog_cluster_append_applier(cat, fp)(spark, docs, epoch=0)
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 1
+        # takedown stream's first micro-batch: ALSO epoch 0 (independent
+        # checkpoint) — must apply, not no-op
+        dele = spark.createDataFrame([(2,)], "doc_id long")
+        catalog_cluster_delete_applier(cat, fp, docs)(spark, dele, epoch=0)
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 2
+        survivors = docs.filter(F.col("doc_id") != 2)
+        got = {
+            (r["node"], r["component"])
+            for r in cat.load(spark, "minhash_clusters", fp)["components"].collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(minhash_star_edges(survivors)).collect()
+        }
+        assert got == want
+        # and the delete stream's OWN replay of epoch 0 still no-ops
+        catalog_cluster_delete_applier(cat, fp, docs)(spark, dele, epoch=0)
+        assert cat.latest_version(spark, "minhash_clusters", fp) == 2
+
+    def test_unresolved_takedown_ids_can_retry(self, spark, tmp_path):
+        """Round-12 fix: a takedown id with no corpus row subtracts
+        nothing and must NOT enter the cumulative deleted set — a later
+        retry (corpus now has the doc) has to actually apply."""
+        from redcap_omop_etl_spark.operators.retrieval import _tokens
+        from redcap_omop_etl_spark.state import StateCatalog, term_stats_bootstrap
+        from redcap_omop_etl_spark.streaming.retraction import (
+            catalog_term_stats_delete_applier,
+        )
+
+        full = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "bb cc dd"), (3, "cc dd ee")],
+            "doc_id long, text string",
+        )
+        cat = StateCatalog(str(tmp_path / "tstate"))
+        fp, _v1 = term_stats_bootstrap(cat, full)
+        # first attempt resolves against a PARTIAL corpus view missing doc 3
+        partial = full.filter(F.col("doc_id") != 3)
+        dele = spark.createDataFrame([(3,)], "doc_id long")
+        catalog_term_stats_delete_applier(cat, fp, partial)(spark, dele, epoch=0)
+        unresolved = {
+            r["doc_id"]
+            for r in cat.load(spark, "term_stats", fp)["deleted"].collect()
+        }
+        assert 3 not in unresolved  # unmatched id stays retryable
+        # retry with the full corpus available: the subtraction applies
+        catalog_term_stats_delete_applier(cat, fp, full)(spark, dele, epoch=1)
+        survivors = full.filter(F.col("doc_id") != 3)
+        tf = _tokens(survivors).groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        want = {
+            (r["term"], r["df"], r["cf"])
+            for r in tf.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .collect()
+        }
+        got = {
+            (r["term"], r["df"], r["cf"])
+            for r in cat.load(spark, "term_stats", fp)["terms"].collect()
+        }
+        assert got == want
+        assert {
+            r["doc_id"]
+            for r in cat.load(spark, "term_stats", fp)["deleted"].collect()
+        } == {3}
