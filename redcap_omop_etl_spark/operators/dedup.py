@@ -194,9 +194,18 @@ def _pair_intersections(
     ``(d1, d2, i, sz1, sz2)`` — intersection count and both set sizes per
     unordered candidate pair. Jaccard, containment (and any future Dice/
     overlap variant) are thin arithmetic wrappers over this one frame, so
-    the cached shingle table, hot-cap guard, and join shape can never
-    diverge between metrics."""
-    sh = _shingle_table(df, id_col, text_col, n, df_cap).transform(tracked_cache)
+    the shingle table, hot-cap guard, and join shape can never
+    diverge between metrics.
+
+    No IMR cache on the exploded shingle table (round-12, measured:
+    5.7s vs 6.7s min-of-3 in-process alternation on dedup_containment
+    at sf0.1): its three consumers (size agg, both self-join sides)
+    re-run the fused scan→shingle→explode chain, but the two s-sorted
+    join sides are an identical subtree ReuseExchange computes once,
+    and the columnar cache build of the corpus×shingles table cost
+    more than every recompute combined. At 100 TB the exploded table
+    is ~5-10x corpus bytes — recompute keeps memory flat."""
+    sh = _shingle_table(df, id_col, text_col, n, df_cap)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -551,13 +560,15 @@ def minhash_lsh_pairs(
     that survives 100 TB: candidates ∝ docs × bands, never docs².
     """
     rows = num_hashes // bands
-    # Persist the hashed-shingle arrays: the banding self-join and the
-    # verify join would otherwise recompute tokenize→shingle→hash 4×.
-    base = shingle_hashes(df, n, text_col, id_col).transform(tracked_persist)
+    # No persists here (round-12 reversal, measured 3.2s vs 3.7s
+    # min-of-3 in-process alternation at sf0.1): the banding self-join's
+    # two sides and the verify join's two sides are pairwise IDENTICAL
+    # exchange subtrees, so ReuseExchange runs the 64-hash signature
+    # fold once and the tokenize→shingle→hash chain once per distinct
+    # key — the extra fused recomputes cost less than materializing the
+    # per-doc hash-array MEMORY_AND_DISK rows (the widest in the repo).
+    base = shingle_hashes(df, n, text_col, id_col)
     sigs = base.select("doc", _minhash_sig(F.col("hashes"), num_hashes).alias("sig"))
-    # Persisted: the candidate self-join references banded on BOTH sides,
-    # which would re-run the 64-hash signature fold twice (the expensive
-    # expression); the materialized table is tiny (docs × bands rows).
     banded = (
         sigs.select(
             "doc",
@@ -579,7 +590,6 @@ def minhash_lsh_pairs(
             ).alias("bk"),
         )
         .select("doc", "bk.band", "bk.bucket")
-        .transform(tracked_persist)
     )
     # docs x bands rows on both sides — corpus-scaling; pinned sort-merge
     cand = (
@@ -1230,14 +1240,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir)["documents"]
-    # cache: the deduped (source, shingle) table feeds per-source totals
-    # AND both sides of the pair join — pin it so the tokenize→shingle
-    # chain and the dedup shuffle run once
+    # uncached (round-12, measured 1.8s vs 3.2s min-of-3 in-process
+    # alternation at sf0.1): the three consumers (per-source totals,
+    # both pair-join sides) re-run the fused tokenize→shingle→distinct
+    # chain, but the pair join's two sides are an identical subtree
+    # ReuseExchange computes once — cheaper than the IMR build of the
+    # corpus-sized deduped shingle table
     sh = (
         fan_out(d)
         .select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
         .distinct()
-        .transform(tracked_cache)
     )
     tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
@@ -1356,17 +1368,24 @@ def containment_pairs_capped(
     cont_2in1) among clean docs; overflow = (doc), one row per routed
     document.
     """
+    # no IMR caches on the exploded shingle chain (round-12, measured:
+    # 3.0s vs 6.3s min-of-3 in-process alternation at sf0.1) — the
+    # differently-keyed consumers re-run the fused explode chain, but
+    # identical exchange subtrees dedupe via ReuseExchange and the
+    # columnar cache build of a corpus×shingles table cost more than
+    # every recompute combined; at 100 TB it would also pin ~5-10x
+    # corpus bytes of storage memory
     sh_all = fan_out(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).transform(tracked_cache)
+    )
     dfreq = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
     boiler = dfreq.filter(F.col("dfr") > df_cap).select("s")
-    sh = sh_all.join(boiler.hint("merge"), "s", "left_anti").transform(tracked_cache)
+    sh = sh_all.join(boiler.hint("merge"), "s", "left_anti")
     warm = dfreq.filter(
         (F.col("dfr") <= df_cap) & (F.col("dfr") > bucket_cap)
     ).select("s")
     overflow = sh.join(warm.hint("merge"), "s", "left_semi").select("doc").distinct()
-    clean = sh.join(overflow.hint("merge"), "doc", "left_anti").transform(tracked_cache)
+    clean = sh.join(overflow.hint("merge"), "doc", "left_anti")
     sizes = clean.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         clean.alias("a")
