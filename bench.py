@@ -255,6 +255,16 @@ def main() -> None:
         return {"py_sec": round(py_sec, 3), "jvm_sec": round(jvm_sec, 3)}
 
     calib = _calibrate()
+    # In-run contention sentinel (round 12): the calib probes re-run every
+    # SEGMENT_EVERY queries, so a bench whose host gets contended MID-RUN is
+    # machine-detectable (BENCH_r11 was contaminated exactly this way —
+    # untouched queries inflated 8x while the start-of-run probe looked
+    # idle). Probe walls are recorded per segment under calib["segments"]
+    # and a >1.3x intra-run py-probe drift sets calib["contended"]. The
+    # probes run OUTSIDE the per-query timed windows; query timings and the
+    # headline total are computed exactly as before.
+    SEGMENT_EVERY = 25
+    calib["segments"] = [{"at": 0, **{k: calib[k] for k in ("py_sec", "jvm_sec")}}]
     qs = workload.queries()
     names = [n for n in HEADLINE if n in qs]
     # Dev convenience: `python bench.py q1_pricing_summary dedup_simhash`
@@ -274,7 +284,9 @@ def main() -> None:
     # whole bench (a crashed bench is a zero signal; a per-query err is a
     # precise one).
     timings: dict[str, float | str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % SEGMENT_EVERY == 0:
+            calib["segments"].append({"at": qi, **_calibrate()})
         # release operator-internal caches from the previous query (the
         # ownership convention: operators tracked_cache, callers release),
         # then clearCache for any caller-level leftovers.
@@ -293,6 +305,9 @@ def main() -> None:
             print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = "err"
     spark.catalog.clearCache()
+    calib["segments"].append({"at": len(names), **_calibrate()})
+    probes = [s["py_sec"] for s in calib["segments"]]
+    calib["contended"] = bool(max(probes) > 1.3 * min(probes))
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     line = json.dumps(

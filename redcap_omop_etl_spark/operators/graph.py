@@ -1208,57 +1208,105 @@ def _minhash_components(spark: SparkSession, sf_dir: str, family: str = "md5") -
     return _minhash_cluster_state(spark, sf_dir, family)[0]
 
 
+def cluster_table_from_components(
+    doc_ids: DataFrame, comp: DataFrame, appended_from: int | None = None
+) -> DataFrame:
+    """Per-doc cluster table (doc_id, cluster_rep, is_survivor,
+    cluster_size[, is_appended]) from a component table.
+
+    ``doc_ids`` is the LIVE corpus (one ``doc_id`` column); ``comp`` is
+    ``(node, component)`` covering exactly the live non-singleton
+    members (the ``connected_components`` contract — reps label
+    themselves, isolated docs are absent and coalesce to singletons).
+
+    cluster_size is aggregated from ``comp`` alone and broadcast back:
+    the former ``count() over (partition by cluster_rep)`` shuffled and
+    sorted the FULL corpus output to size clusters that are completely
+    described by the near-dup member table. With the sizes (one row per
+    non-singleton cluster, strictly fewer rows than ``comp``) broadcast,
+    the corpus side flows scan -> broadcast join -> project with ZERO
+    corpus-sized exchange. Scale bound, stated plainly: this assumes the
+    non-singleton member table is the small working set — the same
+    assumption the star-edge CC loop itself rests on; a corpus whose
+    duplicate membership rivals the corpus size would need the window
+    form back (or a shuffled join), at which point the CC build is the
+    wall anyway."""
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("__csz")
+    )
+    comp_sized = comp.join(F.broadcast(csize), "component").select(
+        F.col("node").alias("doc_id"), "component", "__csz"
+    )
+    out = (
+        doc_ids.join(F.broadcast(comp_sized), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+            F.coalesce("__csz", F.lit(1)).cast("long").alias("__csz"),
+        )
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
+            .otherwise(0)
+            .alias("is_survivor"),
+            F.col("__csz").alias("cluster_size"),
+        )
+    )
+    if appended_from is not None:
+        out = out.withColumn(
+            "is_appended", F.col("doc_id") >= F.lit(appended_from)
+        )
+    return out
+
+
 def _cluster_table_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     """Shared body of ``dedup_minhash_clusters`` and its xxHash64
     production twin: per-document (cluster_rep, is_survivor,
     cluster_size) over the MinHash star-edge component table. The hash
     ``family`` changes ONLY the per-shingle hash inside the signature
     fold (``shingle_hashes``); banding, star edges, star-contraction CC
-    and this projection are plan-identical."""
-    from pyspark.sql.window import Window
+    and this projection are plan-identical.
 
+    cluster_size comes from aggregating the COMPONENT table (every
+    member node appears there, reps label themselves), broadcast back
+    onto the per-doc rows; docs absent from the component table are
+    singletons (size 1). The round-12 rewrite of the former
+    ``count() over (partition by cluster_rep)``: the window shuffled
+    and sorted the FULL corpus to size clusters that are fully
+    described by the near-dup member table, which is bounded by dup
+    membership — the one corpus-sized exchange in the query, now zero
+    (docs flow scan -> broadcast join -> project)."""
     docs = Catalog(spark, sf_dir)["documents"]
     comp = _minhash_components(spark, sf_dir, family=family)
-    percol = (
-        docs.select("doc_id")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("component", "doc_id").alias("cluster_rep")
-        )
-    )
-    return percol.select(
-        "doc_id",
-        "cluster_rep",
-        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
-        .otherwise(0)
-        .alias("is_survivor"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_rep"))
-        .cast("long")
-        .alias("cluster_size"),
-    )
+    return cluster_table_from_components(docs.select("doc_id"), comp)
 
 
 def _soft_dedup_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     """Shared body of ``corpus_soft_dedup_weights`` and its xxHash64
     production twin (per-source n_docs / n_clusters / effective ppm over
     the same memoized component table — both families share the
-    ``_minhash_components`` memo with ``dedup_minhash_clusters``)."""
-    from pyspark.sql.window import Window
+    ``_minhash_components`` memo with ``dedup_minhash_clusters``).
 
+    Sizes ride the same broadcast-from-components rewrite as
+    ``cluster_table_from_components`` (zero corpus-sized exchange
+    before the per-source rollup)."""
     docs = Catalog(spark, sf_dir)["documents"]
     comp = _minhash_components(spark, sf_dir, family=family)
-    percol = (
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("__csz")
+    )
+    comp_sized = comp.join(F.broadcast(csize), "component").select(
+        F.col("node").alias("doc_id"), "component", "__csz"
+    )
+    sized = (
         docs.select("doc_id", "source")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(comp_sized), "doc_id", "left")
         .select(
-            "doc_id",
             "source",
             F.coalesce("component", "doc_id").alias("cluster_rep"),
+            F.coalesce("__csz", F.lit(1)).alias("csz"),
         )
-    )
-    sized = percol.withColumn(
-        "csz", F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
     )
     return sized.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1850,8 +1898,6 @@ def incremental_minhash_components(
     "audit column.",
 )
 def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = Catalog(spark, sf_dir)["documents"]
     base_comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
     one = docs.filter(
@@ -1866,37 +1912,16 @@ def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     batch_banded = minhash_band_table(batch).transform(tracked_persist)
-    merged = incremental_minhash_components(base_comp, hubs, batch_banded).transform(
-        tracked_persist
-    )
-    # final label per base doc: its (possibly remapped) base rep
-    rep_map = merged.select(
-        F.col("node").alias("__rep"), F.col("component").alias("__final")
-    )
-    base_lbl = (
-        docs.select("doc_id")
-        .join(base_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("__rep"))
-        .join(rep_map, "__rep", "left")
-        .select("doc_id", F.coalesce("__final", "__rep").alias("cluster_rep"))
-    )
-    batch_lbl = (
-        batch.select("doc_id")
-        .join(merged.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
-    )
-    percol = base_lbl.unionByName(batch_lbl)
-    return percol.select(
-        "doc_id",
-        "cluster_rep",
-        F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0).alias(
-            "is_survivor"
-        ),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_rep"))
-        .cast("long")
-        .alias("cluster_size"),
-        (F.col("doc_id") >= _CLUSTER_APPEND_SHIFT).alias("is_appended"),
+    # Round 12: labels come off the APPEND-transition state core (the
+    # union-corpus component table minhash_cluster_state_append builds —
+    # same remap-through-rep-map labeling this function previously
+    # inlined; the upsert tick's oracle pins the construction), and
+    # cluster_size off cluster_table_from_components' broadcast-size
+    # join instead of the corpus-wide count() window.
+    comp_out, _hubs_out = minhash_cluster_state_append(base_comp, hubs, batch_banded)
+    alld = docs.select("doc_id").unionByName(batch.select("doc_id"))
+    return cluster_table_from_components(
+        alld, comp_out.transform(tracked_persist), appended_from=_CLUSTER_APPEND_SHIFT
     )
 
 
@@ -1952,54 +1977,22 @@ _CLUSTER_DELETE_MOD, _CLUSTER_DELETE_RES = 10, 3
     "touches a handful of components, not the corpus.",
 )
 def dedup_minhash_clusters_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = Catalog(spark, sf_dir)["documents"]
-    base_comp, _hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
+    base_comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
     is_del = (
         F.pmod(F.col("doc_id"), F.lit(_CLUSTER_DELETE_MOD)) == _CLUSTER_DELETE_RES
     )
     deleted = docs.filter(is_del).select("doc_id")
-    touched = (
-        base_comp.join(
-            deleted.withColumnRenamed("doc_id", "node"), "node", "left_semi"
-        )
-        .select("component")
-        .distinct()
-    )
-    members = base_comp.join(touched, "component", "left_semi")
-    remaining = members.join(
-        deleted.withColumnRenamed("doc_id", "node"), "node", "left_anti"
-    ).transform(tracked_persist)
-    # re-band ONLY the touched components' survivors (deterministic
-    # signatures == partition-pruned read of a component-clustered index)
-    sub_docs = docs.join(
-        remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
-    )
-    sub_comp = connected_components(minhash_star_edges(sub_docs))
-    untouched_lbl = (
-        docs.filter(~is_del)
-        .select("doc_id")
-        .join(members.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti")
-        .join(base_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
-    )
-    touched_lbl = (
-        remaining.select(F.col("node").alias("doc_id"))
-        .join(sub_comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
-    )
-    percol = untouched_lbl.unionByName(touched_lbl)
-    return percol.select(
-        "doc_id",
-        "cluster_rep",
-        F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
-        .otherwise(0)
-        .alias("is_survivor"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_rep"))
-        .cast("long")
-        .alias("cluster_size"),
+    # Round 12: labels come off the DELETE-transition state core
+    # (untouched base rows verbatim + touched-survivor sub-CC — the
+    # same label construction this function previously inlined; the
+    # upsert tick's oracle pins the composition), and cluster_size off
+    # cluster_table_from_components' broadcast-size join instead of
+    # the corpus-wide count() window.
+    comp_out, _hubs_out = minhash_cluster_state_delete(base_comp, hubs, deleted, docs)
+    survivors = docs.filter(~is_del).select("doc_id")
+    return cluster_table_from_components(
+        survivors, comp_out.transform(tracked_persist)
     )
 
 
@@ -2132,8 +2125,6 @@ def minhash_cluster_state_delete(
     "Cost: O(touched members + batch) per tick, never O(corpus).",
 )
 def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = Catalog(spark, sf_dir)["documents"]
     base_comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
     deleted = docs.filter(
@@ -2159,18 +2150,9 @@ def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     survivors = docs.join(deleted, "doc_id", "left_anti").select("doc_id")
     alld = survivors.unionByName(batch.select("doc_id"))
-    percol = alld.join(
-        comp2.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-    ).select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
-    return percol.select(
-        "doc_id",
-        "cluster_rep",
-        F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0).alias(
-            "is_survivor"
-        ),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_rep"))
-        .cast("long")
-        .alias("cluster_size"),
-        (F.col("doc_id") >= _CLUSTER_APPEND_SHIFT).alias("is_appended"),
+    # Round 12: cluster_size off cluster_table_from_components'
+    # broadcast-size join instead of the corpus-wide count() window
+    # (the former wall floor of the delete/upsert paths).
+    return cluster_table_from_components(
+        alld, comp2.transform(tracked_persist), appended_from=_CLUSTER_APPEND_SHIFT
     )

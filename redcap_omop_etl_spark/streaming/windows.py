@@ -94,18 +94,27 @@ def stream_semantic_dedup_gate(
     ``tests/test_streaming.py::TestLateDataReadmission``."""
     from redcap_omop_etl_spark.operators.similarity import hyperplane_bits
 
-    # +1 day: vec_id 0 would land exactly ON epoch 0 — the stream's
-    # initial watermark — and be discarded as late before the dedup
-    # state ever sees it (measured: batch admitted one more signature
-    # than the stream until the offset).
-    src = emb.withColumn(
-        "ingest_ts", F.timestamp_seconds(F.col("vec_id") + F.lit(86400))
-    ).withColumn("sem_fp", hyperplane_bits(F.col("embedding"), n_planes, dim))
+    def _sig(d: DataFrame) -> DataFrame:
+        # +1 day: vec_id 0 would land exactly ON epoch 0 — the stream's
+        # initial watermark — and be discarded as late before the dedup
+        # state ever sees it (measured: batch admitted one more signature
+        # than the stream until the offset).
+        return d.withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("vec_id") + F.lit(86400))
+        ).withColumn("sem_fp", hyperplane_bits(F.col("embedding"), n_planes, dim))
+
     if emb.isStreaming:
-        return src.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
-            ["sem_fp"]
+        return (
+            _sig(emb)
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["sem_fp"])
         )
-    return src.dropDuplicates(["sem_fp"])
+    # Batch form: spread the single-file scan before the 16-plane
+    # projection fold (same single-task profile as the MinHash gate);
+    # the admitted-key set is partitioning-independent.
+    from redcap_omop_etl_spark.sources.readers import fan_out
+
+    return _sig(fan_out(emb)).dropDuplicates(["sem_fp"])
 
 
 def stream_near_dup_gate(
@@ -134,18 +143,29 @@ def stream_near_dup_gate(
     ``tests/test_streaming.py::TestLateDataReadmission``)."""
     from redcap_omop_etl_spark.operators.dedup import near_dup_signature
 
-    # +1 day guard: an id of 0 would land exactly ON epoch 0 — the
-    # stream's initial watermark — and be discarded as late before the
-    # dedup state sees it (measured on the embedding gate, whose corpus
-    # has vec_id 0; same latent edge here).
-    src = docs.withColumn(
-        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400))
-    ).withColumn("sig_fp", near_dup_signature(F.col("text"), num_hashes, n))
+    def _sig(d: DataFrame) -> DataFrame:
+        # +1 day guard: an id of 0 would land exactly ON epoch 0 — the
+        # stream's initial watermark — and be discarded as late before the
+        # dedup state sees it (measured on the embedding gate, whose corpus
+        # has vec_id 0; same latent edge here).
+        return d.withColumn(
+            "ingest_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400))
+        ).withColumn("sig_fp", near_dup_signature(F.col("text"), num_hashes, n))
+
     if docs.isStreaming:
-        return src.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
-            ["sig_fp"]
+        return (
+            _sig(docs)
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["sig_fp"])
         )
-    return src.dropDuplicates(["sig_fp"])
+    # Batch form: the 64-permutation fold is the whole cost and evaluates
+    # inside the scan's projection — a single-file scan serializes it on
+    # one core (profiled: one 2.7 s single-task stage at sf0.1). fan_out
+    # spreads the text rows across the cluster before the fold; the
+    # dedup key set (the query's output) is partitioning-independent.
+    from redcap_omop_etl_spark.sources.readers import fan_out
+
+    return _sig(fan_out(docs)).dropDuplicates(["sig_fp"])
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

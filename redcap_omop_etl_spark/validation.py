@@ -183,10 +183,35 @@ def require_disjoint_ids(
     (weaker) precondition of partition-level append proofs where only
     identity collisions break equivalence, not ordering (cluster append:
     a batch doc reusing a base id would alias two distinct documents
-    into one node). One semi-join job, short-circuited by limit(1);
-    the batch side is distinct-projected first so the probe is
-    batch-sized."""
+    into one node).
+
+    Two-tier probe (round 12): non-overlapping id RANGES imply
+    disjointness, so the first tier is one map-side extremes aggregate
+    (max base, min batch, and the reverse pair — no shuffle of either
+    id set); only when the ranges interleave does the exact
+    distinct+semi-join run, short-circuited by limit(1) with the
+    batch side distinct-projected first. Ingest ledgers assign batch
+    ids above the base range in practice, so the per-tick guard cost
+    at 100 TB drops from a corpus-sized semi-join shuffle to a
+    columnar scan with a 1-row result; the fallback keeps the guard
+    EXACT for arbitrary id assignments (raise iff a real collision
+    exists, same semantics as before)."""
     bcol, ncol = base_ids.columns[0], batch_ids.columns[0]
+    rng = (
+        base_ids.agg(
+            F.max(bcol).alias("__max_b"), F.min(bcol).alias("__min_b")
+        )
+        .crossJoin(
+            batch_ids.agg(
+                F.min(ncol).alias("__min_n"), F.max(ncol).alias("__max_n")
+            )
+        )
+        .first()
+    )
+    if rng["__max_b"] is None or rng["__min_n"] is None:
+        return  # empty base or empty batch: trivially disjoint
+    if rng["__min_n"] > rng["__max_b"] or rng["__max_n"] < rng["__min_b"]:
+        return  # ranges don't overlap — disjoint without a join
     clash = (
         batch_ids.select(F.col(ncol).alias("__id"))
         .distinct()

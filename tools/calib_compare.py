@@ -66,32 +66,71 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
     return q, calib
 
 
+def _segment_probe(calib: dict, queries: dict[str, float], q: str, key: str) -> float:
+    """Probe value for query ``q``: the enclosing segment's probe when the
+    run carries the round-12 in-run sentinel (``calib["segments"]``), else
+    the run-global probe. Query order in the JSON object IS run order
+    (bench.py writes timings in execution order)."""
+    segs = calib.get("segments")
+    if not segs:
+        return calib[key]
+    idx = list(queries).index(q)
+    val = calib[key]
+    for s in segs:
+        if s["at"] <= idx:
+            val = s[key]
+    return val
+
+
+def _contended_queries(calib: dict, queries: dict[str, float]) -> set[str]:
+    """Queries inside segments whose py probe drifted >1.3x above the run's
+    fastest segment — the machine-detectable contamination BENCH_r11 had."""
+    segs = calib.get("segments")
+    if not segs:
+        return set()
+    floor = min(s["py_sec"] for s in segs)
+    bad_starts = [s["at"] for s in segs if s["py_sec"] > 1.3 * floor]
+    names = list(queries)
+    out: set[str] = set()
+    for i, q in enumerate(names):
+        seg_at = max((s["at"] for s in segs if s["at"] <= i), default=0)
+        if seg_at in bad_starts:
+            out.add(q)
+    return out
+
+
 def main() -> None:
     (qa, ca), (qb, cb) = load(sys.argv[1]), load(sys.argv[2])
     shared = sorted(set(qa) & set(qb))
     if not (ca and cb):
         print(json.dumps({"error": "calib probes missing on one side", "shared": len(shared)}))
         return
-    r_jvm = cb["jvm_sec"] / ca["jvm_sec"]
-    r_py = cb["py_sec"] / ca["py_sec"]
+    contended = _contended_queries(ca, qa) | _contended_queries(cb, qb)
     rows = {}
     tot_a = tot_b = tot_bn = 0.0
     for q in shared:
-        r = r_py if q in PY_BOUND else r_jvm
+        key = "py_sec" if q in PY_BOUND else "jvm_sec"
+        r = _segment_probe(cb, qb, q, key) / _segment_probe(ca, qa, q, key)
         bn = qb[q] / r
-        tot_a += qa[q]
-        tot_b += qb[q]
-        tot_bn += bn
+        if q not in contended:
+            tot_a += qa[q]
+            tot_b += qb[q]
+            tot_bn += bn
         ratio = bn / qa[q] if qa[q] else float("inf")
         rows[q] = {"a": qa[q], "b": qb[q], "b_norm": round(bn, 3), "ratio_norm": round(ratio, 2)}
-    flagged = {q: r for q, r in rows.items() if r["ratio_norm"] > 1.5 or r["ratio_norm"] < 1 / 1.5}
+    flagged = {
+        q: r
+        for q, r in rows.items()
+        if (r["ratio_norm"] > 1.5 or r["ratio_norm"] < 1 / 1.5) and q not in contended
+    }
     print(
         json.dumps(
             {
                 "metric": "calib_compare",
                 "shared_queries": len(shared),
-                "calib_ratio_jvm": round(r_jvm, 3),
-                "calib_ratio_py": round(r_py, 3),
+                "calib_ratio_jvm": round(cb["jvm_sec"] / ca["jvm_sec"], 3),
+                "calib_ratio_py": round(cb["py_sec"] / ca["py_sec"], 3),
+                "contended_excluded": sorted(contended & set(shared)),
                 "total_a": round(tot_a, 1),
                 "total_b_raw": round(tot_b, 1),
                 "total_b_normalized": round(tot_bn, 1),
