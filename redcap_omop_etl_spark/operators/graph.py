@@ -379,14 +379,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u"
     ).join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
     u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    directed = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
-        # Pinned: both sides of the wedge self-join reference this frame,
-        # and the degree-annotation joins would otherwise recompute per
-        # alias branch (same discipline as _copurchase_edges). Two longs
-        # per edge.
-    ).localCheckpoint(eager=False)
+    directed = (
+        e.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+            # Pinned: both sides of the wedge self-join reference this frame,
+            # and the degree-annotation joins would otherwise recompute per
+            # alias branch (same discipline as _copurchase_edges). Two longs
+            # per edge.
+        )
+        # Explicit repartition on the wedge key BEFORE the checkpoint: the
+        # edge rows are tiny (two longs) but the wedge generation around
+        # each source is the query's compute, and AQE's byte-based
+        # coalescing packed the self-join onto 1 task (profiled: a 2.3 s
+        # single-task wedge stage). The checkpointed RDD keeps the
+        # hashpartitioning, so the self-join needs NO further exchange on
+        # either alias branch — this replaces the join's own
+        # ENSURE_REQUIREMENTS shuffle rather than adding one.
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "s")
+        .localCheckpoint(eager=False)
+    )
     # wedges around each source; closing edge is looked up in normalized
     # (u < v) form — p < q already by the wedge ordering
     w = (

@@ -1552,7 +1552,17 @@ def corpus_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
-    d = Catalog(spark, sf_dir)["documents"]
+    from redcap_omop_etl_spark.caching import tracked_cache
+    from redcap_omop_etl_spark.sources.readers import fan_out
+
+    # fan_out: the bigram explode + per-gram hash evaluate in the scan
+    # projection; a single-file scan serializes them on one core, and the
+    # plan reads that projection THREE times (bucket counts feed both the
+    # totals broadcast and the ratio table, then the scoring join rereads
+    # it) — profiled as three ~1 s single-task stages. Spread the scan
+    # (no-op at scale) and pin the BUCKET-BOUNDED counts table so the
+    # corpus pass runs twice (counts + scoring join), not three times.
+    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "lang", "text"))
     toks = d.select(
         "doc_id",
         "lang",
@@ -1571,7 +1581,7 @@ def _dsir_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     counts = bg.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-    )
+    ).transform(tracked_cache)
     tab = (
         counts.crossJoin(
             F.broadcast(counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt")))

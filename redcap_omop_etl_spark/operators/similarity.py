@@ -158,10 +158,15 @@ def lsh_banded_near_dup_pairs(
     bits-per-band (more, smaller buckets) rather than capping, so
     semantics stay exact.
     """
+    from redcap_omop_etl_spark.sources.readers import fan_out
+
     bpb = n_planes // bands
     thr = float(threshold)
+    # fan_out: the plane projections + band explode evaluate in the scan
+    # projection; a single-file scan serializes them on one core. No-op at
+    # scale (scans yield thousands of splits).
     banded = (
-        embeddings.select(
+        fan_out(embeddings).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             hyperplane_bits(F.col(vec_col), n_planes, dim).alias("__sig"),
@@ -210,8 +215,22 @@ def lsh_banded_near_dup_pairs(
             {"id1": np.minimum(a, b), "id2": np.maximum(a, b), "cos_sim": cos[keep]}
         )
 
-    out = banded.groupBy("band", "bucket").applyInPandas(
-        _verify_bucket, "id1 long, id2 long, cos_sim double"
+    # Explicit keyed repartition before the grouped verify: there are only
+    # bands x 2^bpb distinct (band, bucket) groups (16 at the registered
+    # parameters), and their shuffle BYTES are tiny while their GEMMs are
+    # the query's compute — AQE's byte-based coalescing packed them onto 2
+    # tasks (profiled: a 1.5 s 2-task stage on 32 cores). A user-specified
+    # repartition is exempt from AQE coalescing and satisfies the grouped
+    # applyInPandas' clustered-distribution requirement, so no second
+    # exchange is added; 4x the group count keeps hash collisions from
+    # stacking groups. Parallelism is capped at the group count by
+    # construction — for bigger corpora raise bits-per-band (docstring
+    # above), which grows groups and shrinks per-task GEMMs together.
+    n_groups = bands * (1 << bpb)
+    out = (
+        banded.repartition(4 * n_groups, "band", "bucket")
+        .groupBy("band", "bucket")
+        .applyInPandas(_verify_bucket, "id1 long, id2 long, cos_sim double")
     )
     # distinct: a pair colliding in several bands appears once per band
     # with the identical rounded cosine.

@@ -368,8 +368,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     # re-evaluating) the whole per-token fold — without it each of the
     # 3·w references re-runs the transform: O(tokens²) interpreted work
     # per document (measured: hang at 500 docs).
+    # fan_out: the whole fingerprint computation is interpreted-HOF work
+    # inside the scan projection ("zero shuffles" cuts both ways — a
+    # single-file scan serializes it on one core; profiled as the
+    # dedup_winnow walls). No-op at scale.
     th_df = (
-        df.filter(F.size(toks) >= 3)
+        fan_out(df).filter(F.size(toks) >= 3)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array(F.transform(toks, token_hash))).alias("th"),
@@ -600,7 +604,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir)["documents"]
     n = d.count()
-    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    # fan_out: tokenize+explode evaluate in the scan projection — profiled
+    # as two single-task stages on the single-file corpus. No-op at scale.
+    toks = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf has one row per (doc, term), so rows-per-term-partition == df
     scored = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term"))).select(
@@ -1124,7 +1132,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrapping is interpreted HOF work that costs more than the second
     # (page-cached) scan saves. At true 100 TB, where the scan dominates,
     # fuse — the tagged-union form is in git history (commit before this).
-    d = Catalog(spark, sf_dir)["documents"]
+    # fan_out: both gram chains are interpreted-HOF compute inside the
+    # scan projection — a single-file scan serializes them on one core
+    # (profiled: the two scan stages ran 1.8 s + 1.3 s on ONE task each,
+    # over half the query wall). Round-robin spread first; no-op at scale.
+    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "text"))
     toks = ws_tokens(F.col("text"))
 
     def per_doc(n: int, agg_cols):
@@ -1192,7 +1204,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same discipline as dedup._shingle_table). At 100 TB you'd persist
     # this to MEMORY_AND_DISK or compute the hot list from a hash-bucket
     # sample instead.
-    occ = d.select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g")).transform(tracked_cache)
+    # fan_out: the cache materialization below otherwise runs the
+    # tokenize->gram explode on the single-file scan's one task.
+    occ = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g"))
+        .transform(tracked_cache)
+    )
     dfreq = occ.select("doc_id", "g").distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") >= 5).select("g", F.lit(1).alias("is_hot"))
     # hint("merge"): "df >= 5" is satisfied by a growing share of the
@@ -2230,7 +2248,10 @@ def _quality_classifier_frame(
     differs, so the md5 twin's value oracle pins the whole plan shape."""
     from redcap_omop_etl_spark.operators.sampling import hash_bucket
 
-    d = Catalog(spark, sf_dir)["documents"]
+    # fan_out: tokenize + bigram HOF + per-feature hash all evaluate in the
+    # scan projection (profiled: one 1.7 s single-task stage was ~the whole
+    # query on a single-file scan). Spread first; no-op at scale.
+    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "text"))
     toks = ws_tokens(F.col("text"))
     d2 = d.select("doc_id", toks.alias("l"))
     big = F.zip_with(
