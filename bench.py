@@ -248,7 +248,12 @@ def main() -> None:
             x += i * i
         py_sec = time.perf_counter() - t0
         probe = "select sum(id * 2 + 1) from range(200000000)"
-        spark.sql(probe).collect()  # warm: codegen
+        # warm TWICE: one pass covers codegen but not C2 JIT ramp on a
+        # fresh JVM — the round-12 sentinel's first segment measured the
+        # single-warmed probe at 1.68 s vs 0.25 s steady-state, which
+        # poisons cross-round normalization ratios.
+        spark.sql(probe).collect()
+        spark.sql(probe).collect()
         t0 = time.perf_counter()
         spark.sql(probe).collect()
         jvm_sec = time.perf_counter() - t0
