@@ -2660,7 +2660,10 @@ def _ppj_cluster_route_delta(spark: SparkSession, sf_dir: str, batch: DataFrame)
     )
 
     comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
-    banded = minhash_band_table(batch)
+    # Persisted: the merge consumes the batch band table twice (shared-
+    # bucket join + batch-only anti-join) and the signature fold behind
+    # it is a pure projection no ReuseExchange can share (round 12).
+    banded = minhash_band_table(batch).transform(tracked_persist)
     merged = incremental_minhash_components(comp, hubs, banded, check_ids=False)
     bid = batch.select(F.col("doc_id").alias("node"))
     batch_rows = merged.join(bid, "node", "left_semi").select("node", "component")

@@ -2066,6 +2066,8 @@ def minhash_cluster_state_delete(
     state. ``corpus`` is the doc store takedown ids resolve against
     (only TOUCHED survivors' texts are read — partition-pruned at a
     component-clustered layout)."""
+    from pyspark.sql.window import Window
+
     deln = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
     touched = base_comp.join(deln, "node", "left_semi").select("component").distinct()
     members = base_comp.join(touched, "component", "left_semi")
@@ -2073,7 +2075,22 @@ def minhash_cluster_state_delete(
     sub_docs = corpus.join(
         remaining.withColumnRenamed("node", "doc_id"), "doc_id", "left_semi"
     )
-    sub_comp = connected_components(minhash_star_edges(sub_docs))
+    # One banding pass over the touched survivors feeds BOTH the sub-CC's
+    # star edges and the hub repair (round 12: the two consumers previously
+    # each re-ran the 64-permutation signature fold over sub_docs — the
+    # transition's dominant per-row compute — because the fold is a pure
+    # scan-side projection with no exchange for ReuseExchange to share).
+    # The persisted table is narrow (doc, band, bucket) and touched-members
+    # × bands sized, not corpus sized.
+    banded_sub = tracked_persist(minhash_band_table(sub_docs))
+    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    sub_star = (
+        banded_sub.withColumn("m", m)
+        .filter(F.col("doc") != F.col("m"))
+        .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
+        .distinct()
+    )
+    sub_comp = connected_components(sub_star)
     comp_out = base_comp.join(members.select("node"), "node", "left_anti").unionByName(
         sub_comp
     )
@@ -2081,11 +2098,7 @@ def minhash_cluster_state_delete(
     hubs_keep = hubs.join(
         stale_hub_ids.withColumnRenamed("node", "hub"), "hub", "left_anti"
     )
-    new_hubs = (
-        minhash_band_table(sub_docs)
-        .groupBy("band", "bucket")
-        .agg(F.min("doc").alias("hub"))
-    )
+    new_hubs = banded_sub.groupBy("band", "bucket").agg(F.min("doc").alias("hub"))
     return comp_out, hubs_keep.unionByName(new_hubs)
 
 
@@ -2157,8 +2170,13 @@ def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             "text",
         )
     )
+    # Persist the batch band table: the append transition consumes it
+    # three times (shared-bucket join, batch-only anti-join, new-hub
+    # aggregation) plus the id guard, and the signature fold behind it is
+    # a pure projection no ReuseExchange can share (round 12 — the append
+    # tick already passed its band table persisted; the upsert did not).
     comp2, _hubs2 = minhash_cluster_state_append(
-        comp1, hubs1, minhash_band_table(batch)
+        comp1, hubs1, minhash_band_table(batch).transform(tracked_persist)
     )
     survivors = docs.join(deleted, "doc_id", "left_anti").select("doc_id")
     alld = survivors.unionByName(batch.select("doc_id"))

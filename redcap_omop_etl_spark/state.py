@@ -218,8 +218,14 @@ def cluster_state_tick(
         comp = comp.localCheckpoint(eager=True)
         hubs = hubs.localCheckpoint(eager=True)
     if append_docs is not None:
+        from redcap_omop_etl_spark.caching import tracked_persist
+
+        # Persisted: the append transition consumes the batch band table
+        # three times (shared-bucket join, batch-only anti-join, new-hub
+        # aggregation) plus the id guard; the signature fold behind it is
+        # a pure projection no ReuseExchange can share (round 12).
         comp, hubs = minhash_cluster_state_append(
-            comp, hubs, minhash_band_table(append_docs)
+            comp, hubs, tracked_persist(minhash_band_table(append_docs))
         )
     return catalog.save(spark, CLUSTER_OP, fp, {"components": comp, "hubs": hubs})
 

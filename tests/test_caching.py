@@ -83,3 +83,41 @@ def test_session_memos_clear(spark):
     # re-materializes transparently on next use
     assert graph._copurchase_edges(spark, SF_SMOKE).count() > 0
     clear_session_memos()
+
+
+def test_delete_transition_bands_touched_survivors_once(spark):
+    """Round-12 internals pin: ``minhash_cluster_state_delete`` banding the
+    touched survivors exactly once — the persisted (doc, band, bucket)
+    table feeds BOTH the sub-CC star edges and the hub repair, instead of
+    each consumer re-running the signature fold (a pure projection no
+    ReuseExchange can share). Pinned via the tracked-cache registry (the
+    transition registers its band table for caller release) plus the
+    hub-repair output staying equal to the survivors' per-bucket minima."""
+    from redcap_omop_etl_spark.caching import tracked_persist  # noqa: F401
+    from redcap_omop_etl_spark.operators.dedup import minhash_band_table
+    from redcap_omop_etl_spark.operators.graph import (
+        _minhash_cluster_state,
+        minhash_cluster_state_delete,
+    )
+    from redcap_omop_etl_spark.operators.graph import Catalog
+
+    unpersist_operator_caches()
+    before = len(_TRACKED)
+    docs = Catalog(spark, SF_SMOKE)["documents"]
+    base_comp, hubs = _minhash_cluster_state(spark, SF_SMOKE, family="md5")
+    deleted = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3).select("doc_id")
+    comp_out, hubs_out = minhash_cluster_state_delete(base_comp, hubs, deleted, docs)
+    assert len(_TRACKED) == before + 1  # the single shared band table
+    # hub invariant unchanged by the reuse: hubs == per-bucket minima of
+    # the live corpus (derived independently from a fresh banding pass)
+    survivors = docs.join(deleted, "doc_id", "left_anti")
+    expect = (
+        minhash_band_table(survivors)
+        .groupBy("band", "bucket")
+        .agg(F.min("doc").alias("hub"))
+    )
+    got = hubs_out.select("band", "bucket", "hub")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert comp_out.count() > 0
+    unpersist_operator_caches()
