@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from redcap_omop_etl_spark import workload
-from redcap_omop_etl_spark.caching import unpersist_operator_caches
+from redcap_omop_etl_spark.caching import clear_session_memos, unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 # Headline set: one per operator family — scan/agg, multi-join, window,
@@ -296,11 +296,25 @@ def main() -> None:
         # ownership convention: operators tracked_cache, callers release),
         # then clearCache for any caller-level leftovers.
         unpersist_operator_caches()
+        clear_session_memos()
         spark.catalog.clearCache()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
+        # Round-13 measurement fix (round-12 verdict item 1): reset AGAIN
+        # between the warm and the timed pass. Previously the reset ran
+        # only BEFORE the warm pass, so tracked_cache materializations and
+        # localCheckpoint-backed session memos (MinHash+CC components,
+        # k-means/PQ codebooks, edge lists) were built in the untimed warm
+        # run and consumed by the timed run — and memos additionally
+        # survived ACROSS queries for the whole bench. Now every timed
+        # window computes from the parquet inputs: memo/cache builds are
+        # paid inside the window that uses them. The warm pass still
+        # absorbs first-call JIT/codegen, which is its actual job.
+        unpersist_operator_caches()
+        clear_session_memos()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
