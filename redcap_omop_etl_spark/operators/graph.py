@@ -1198,20 +1198,27 @@ def _minhash_cluster_state(
     if key in _MINHASH_COMP_MEMO:
         return _MINHASH_COMP_MEMO[key]
     docs = Catalog(spark, sf_dir)["documents"]
-    banded = minhash_band_table(docs, family=family).localCheckpoint(eager=True)
-    hubs = (
-        banded.groupBy("band", "bucket")
-        .agg(F.min("doc").alias("hub"))
-        .localCheckpoint(eager=True)
-    )
+    # Round 13: ONE (band, bucket) exchange feeds both derived tables.
+    # The per-bucket min is attached by a keyed window and materialized
+    # once; hubs are the rows where doc == min (exactly one per bucket —
+    # band rows are unique per (doc, band)), star edges the rest. The
+    # former shape shuffled the band table twice (a groupBy-min for hubs
+    # plus the window for star edges) and ran the signature fold's
+    # checkpoint as a third materialization.
+    banded = minhash_band_table(docs, family=family)
     m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    withm = banded.withColumn("m", m).localCheckpoint(eager=True)
+    hubs = (
+        withm.filter(F.col("doc") == F.col("m"))
+        .select("band", "bucket", F.col("doc").alias("hub"))
+        .localCheckpoint(eager=False)
+    )
     star = (
-        banded.withColumn("m", m)
-        .filter(F.col("doc") != F.col("m"))
+        withm.filter(F.col("doc") != F.col("m"))
         .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
         .distinct()
     )
-    comp = connected_components(star).localCheckpoint(eager=True)
+    comp = connected_components(star).localCheckpoint(eager=False)
     _MINHASH_COMP_MEMO[key] = (comp, hubs)
     return comp, hubs
 
@@ -1775,6 +1782,7 @@ def incremental_minhash_components(
     hubs: DataFrame,
     batch_banded: DataFrame,
     check_ids: bool = True,
+    _only_with_min: DataFrame | None = None,
 ) -> DataFrame:
     """Attach a batch of NEW documents to an existing MinHash cluster
     state WITHOUT recomputing base signatures or re-running components
@@ -1852,11 +1860,18 @@ def incremental_minhash_components(
         F.coalesce("component", "hub").alias("d1"), F.col("doc").alias("d2")
     )
     e1 = hub_rep.distinct()
-    only = batch_banded.join(hubs, ["band", "bucket"], "left_anti")
-    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    # ``_only_with_min``: the batch-only band rows with the per-bucket
+    # min already attached — minhash_cluster_state_append passes its
+    # persisted copy so the hubs anti-join and the keyed window run ONCE
+    # per tick instead of once here (star edges) and once there (hub
+    # extension). Derivation below is byte-identical when absent.
+    if _only_with_min is None:
+        m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+        _only_with_min = batch_banded.join(
+            hubs, ["band", "bucket"], "left_anti"
+        ).withColumn("m", m)
     e2 = (
-        only.withColumn("m", m)
-        .filter(F.col("doc") != F.col("m"))
+        _only_with_min.filter(F.col("doc") != F.col("m"))
         .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
         .distinct()
     )
@@ -2031,7 +2046,22 @@ def minhash_cluster_state_append(
     frozen (an edge to a hub preserves connectivity regardless of later
     smaller ids). Invariant preserved for the DELETE transition below:
     every live doc appears in comp.node or hubs.hub."""
-    merged = incremental_minhash_components(base_comp, hubs, batch_banded, check_ids)
+    from pyspark.sql.window import Window
+
+    from redcap_omop_etl_spark.caching import tracked_persist
+
+    # Round 13: the batch-only band rows (hubs anti-join) feed BOTH the
+    # merge CC's batch-star edges and the hub extension; compute them
+    # once with the per-bucket min attached by one keyed window and
+    # persist (batch-sized) — previously the anti-join ran twice and the
+    # min twice (window here, groupBy-min there).
+    m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    only_m = tracked_persist(
+        batch_banded.join(hubs, ["band", "bucket"], "left_anti").withColumn("m", m)
+    )
+    merged = incremental_minhash_components(
+        base_comp, hubs, batch_banded, check_ids, _only_with_min=only_m
+    )
     rep_map = merged.select(
         F.col("node").alias("__rep"), F.col("component").alias("__final")
     )
@@ -2040,10 +2070,8 @@ def minhash_cluster_state_append(
     ).select("node", F.coalesce("__final", "component").alias("component"))
     new_nodes = merged.join(base_comp.select("node"), "node", "left_anti")
     comp_out = base_upd.unionByName(new_nodes.select("node", "component"))
-    new_hubs = (
-        batch_banded.join(hubs, ["band", "bucket"], "left_anti")
-        .groupBy("band", "bucket")
-        .agg(F.min("doc").alias("hub"))
+    new_hubs = only_m.filter(F.col("doc") == F.col("m")).select(
+        "band", "bucket", F.col("doc").alias("hub")
     )
     return comp_out, hubs.unionByName(new_hubs)
 
@@ -2080,13 +2108,18 @@ def minhash_cluster_state_delete(
     # each re-ran the 64-permutation signature fold over sub_docs — the
     # transition's dominant per-row compute — because the fold is a pure
     # scan-side projection with no exchange for ReuseExchange to share).
-    # The persisted table is narrow (doc, band, bucket) and touched-members
-    # × bands sized, not corpus sized.
-    banded_sub = tracked_persist(minhash_band_table(sub_docs))
+    # Round 13: the shared table now carries the per-bucket min attached
+    # by ONE keyed window, so the hub repair reads the doc == min rows
+    # instead of re-shuffling the band table through a groupBy-min — the
+    # same single-exchange fusion as _minhash_cluster_state. The persisted
+    # table is narrow (doc, band, bucket, m) and touched-members × bands
+    # sized, not corpus sized.
     m = F.min("doc").over(Window.partitionBy("band", "bucket"))
+    banded_sub = tracked_persist(
+        minhash_band_table(sub_docs).withColumn("m", m)
+    )
     sub_star = (
-        banded_sub.withColumn("m", m)
-        .filter(F.col("doc") != F.col("m"))
+        banded_sub.filter(F.col("doc") != F.col("m"))
         .select(F.col("m").alias("d1"), F.col("doc").alias("d2"))
         .distinct()
     )
@@ -2098,7 +2131,9 @@ def minhash_cluster_state_delete(
     hubs_keep = hubs.join(
         stale_hub_ids.withColumnRenamed("node", "hub"), "hub", "left_anti"
     )
-    new_hubs = banded_sub.groupBy("band", "bucket").agg(F.min("doc").alias("hub"))
+    new_hubs = banded_sub.filter(F.col("doc") == F.col("m")).select(
+        "band", "bucket", F.col("doc").alias("hub")
+    )
     return comp_out, hubs_keep.unionByName(new_hubs)
 
 

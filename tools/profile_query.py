@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from redcap_omop_etl_spark import workload
-from redcap_omop_etl_spark.caching import unpersist_operator_caches
+from redcap_omop_etl_spark.caching import clear_session_memos, unpersist_operator_caches
 from redcap_omop_etl_spark.session import build_session
 
 
@@ -90,11 +90,17 @@ def main() -> None:
         print(f"unknown queries: {unknown}", file=sys.stderr)
     for name in names:
         unpersist_operator_caches()
+        clear_session_memos()
         spark.catalog.clearCache()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             print(f"warm {name} failed: {exc}", file=sys.stderr)
+        # honest protocol (bench.py round-13): reset again between warm and
+        # timed so memo/cache builds are paid inside the timed window
+        unpersist_operator_caches()
+        clear_session_memos()
+        spark.catalog.clearCache()
         # mark the timed window in the event stream with a sentinel job
         spark.sparkContext.setJobDescription(f"__mark__{name}")
         spark.range(1).write.format("noop").mode("overwrite").save()
