@@ -29,7 +29,14 @@ from redcap_omop_etl_spark.workload import register
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two float arrays (JVM-side fold)."""
+    """Double-precision dot product of two float arrays (JVM-side fold).
+
+    Round 13 A/B'd a width-guarded unrolled form — 64 ``element_at``
+    terms inside a ``when(size == dim, …)`` — expecting to move the fold
+    out of interpreted HOF eval into whole-stage codegen: the family ran
+    2–6× SLOWER (generated-code blowup; see OPTIMIZATION_r13.md). The
+    fold stays.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -3001,11 +3008,14 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
 
-    def arm_metrics(u, cum_codes, cum_assign, cents, qs, with_total=False):
-        """(recall_num, n_cand, occ_max[, n_total]) for one arm: probe
-        ranks and ADC tables per panel query against `cents`, candidates
-        from `cum_assign`, exact top-k from `u`. ``with_total`` rides the
-        generation's corpus count in the same scalar-union job."""
+    def arm_frame(u, cum_codes, cum_assign, cents, qs, tag, with_total=False):
+        """Scalar-union FRAME of (recall_num, n_cand, occ_max[, n_total])
+        for one arm, keys prefixed ``{tag}:`` — the caller unions BOTH
+        arms of a generation and collects ONCE (round 13; previously one
+        collect per arm). Probe ranks and ADC tables per panel query
+        against `cents`, candidates from `cum_assign`, exact top-k from
+        `u`. ``with_total`` rides the generation's corpus count in the
+        same scalar-union job."""
         qc = qs.crossJoin(F.broadcast(cents))
         d2 = F.aggregate(
             F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
@@ -3078,37 +3088,37 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= k)
             .select("qid", "vec_id")
         )
-        # ONE union-of-scalars job per arm instead of three separate
+        # ONE union-of-scalars frame per arm instead of three separate
         # actions (count/count/first): each branch is a 1-row aggregate,
         # and on this parameter-bounded panel the wall was job-count —
         # not data (round-12 measurement: the audit ran ~18 driver-side
-        # jobs; merging them roughly halved the timed wall).
+        # jobs; merging them roughly halved the timed wall; round 13
+        # merges the two arms of each generation into one collect, which
+        # also lets ReuseExchange share the exact-top-k subtree the arms
+        # have in common).
         m = (
             top.join(ex, ["qid", "vec_id"])
             .agg(F.count(F.lit(1)).alias("v"))
-            .select(F.lit("ov").alias("k"), F.col("v").cast("bigint"))
+            .select(F.lit(f"{tag}:ov").alias("k"), F.col("v").cast("bigint"))
             .unionByName(
                 cand.agg(F.count(F.lit(1)).alias("v")).select(
-                    F.lit("nc").alias("k"), F.col("v").cast("bigint")
+                    F.lit(f"{tag}:nc").alias("k"), F.col("v").cast("bigint")
                 )
             )
             .unionByName(
                 cum_assign.groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .agg(F.max("c").alias("v"))
-                .select(F.lit("occ").alias("k"), F.col("v").cast("bigint"))
+                .select(F.lit(f"{tag}:occ").alias("k"), F.col("v").cast("bigint"))
             )
         )
         if with_total:
             m = m.unionByName(
                 u.agg(F.count(F.lit(1)).alias("v")).select(
-                    F.lit("n").alias("k"), F.col("v").cast("bigint")
+                    F.lit(f"{tag}:n").alias("k"), F.col("v").cast("bigint")
                 )
             )
-        d = {r["k"]: int(r["v"]) for r in m.collect()}
-        if with_total:
-            return d["ov"], d["nc"], d["occ"], d["n"]
-        return d["ov"], d["nc"], d["occ"]
+        return m
 
     rows = []
     u = base_u
@@ -3116,9 +3126,13 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_assign = assignments.select("vec_id", "cluster")
     # generation 0: frozen == retrained by construction
     qs0 = _drift_queries(emb, 0)
-    ov0, nc0, occ0, n0 = arm_metrics(
-        u, cum_codes, cum_assign, centroids, qs0, with_total=True
-    )
+    d0 = {
+        r["k"]: int(r["v"])
+        for r in arm_frame(
+            u, cum_codes, cum_assign, centroids, qs0, "f", with_total=True
+        ).collect()
+    }
+    ov0, nc0, occ0, n0 = d0["f:ov"], d0["f:nc"], d0["f:occ"], d0["f:n"]
     r0 = ov0 * 1_000_000 // den
     rows.append((0, n0, r0, r0, 0, 0, nc0, nc0, occ0, occ0, False))
     base_recall = r0
@@ -3143,12 +3157,18 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             u, n_clusters=16, n_iters=2, memo_key=f"{sf_dir}#drift{g}"
         )
         qs = _drift_queries(emb, g)
-        fov, fnc, focc, ng = arm_metrics(
-            u, cum_codes, cum_assign, centroids, qs, with_total=True
+        # frozen + retrained arms in ONE collect (round 13): the union job
+        # shares the exact-top-k and candidate subtrees between arms
+        both = arm_frame(
+            u, cum_codes, cum_assign, centroids, qs, "f", with_total=True
+        ).unionByName(
+            arm_frame(
+                u, cum_codes, r_assign.select("vec_id", "cluster"), r_cents, qs, "r"
+            )
         )
-        rov, rnc, rocc = arm_metrics(
-            u, cum_codes, r_assign.select("vec_id", "cluster"), r_cents, qs
-        )
+        dg = {r["k"]: int(r["v"]) for r in both.collect()}
+        fov, fnc, focc, ng = dg["f:ov"], dg["f:nc"], dg["f:occ"], dg["f:n"]
+        rov, rnc, rocc = dg["r:ov"], dg["r:nc"], dg["r:occ"]
         f_ppm, r_ppm = fov * 1_000_000 // den, rov * 1_000_000 // den
         delta = r_ppm - f_ppm
         stale = base_recall - f_ppm

@@ -49,6 +49,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redcap_omop_etl_spark.caching import unpersist_operator_caches
+
 Applier = Callable[[SparkSession, DataFrame, int], None]
 
 
@@ -137,6 +139,11 @@ def cluster_delete_applier(state_path: str, corpus: DataFrame) -> Applier:
         hubs_out = hubs_out.localCheckpoint(eager=True)
         comp_out.write.mode("overwrite").parquet(f"{state_path}/components")
         hubs_out.write.mode("overwrite").parquet(f"{state_path}/hubs")
+        # the delete transition tracked_persists its band table; a
+        # micro-batch tick is an operator-composition boundary, so release
+        # here (outputs are already checkpoint-pinned above) — otherwise a
+        # long-lived stream accumulates one persisted block set per epoch
+        unpersist_operator_caches()
 
     return apply
 
@@ -333,6 +340,10 @@ def catalog_cluster_delete_applier(
             {"components": comp_out, "hubs": hubs_out},
             meta=_epoch_meta(spark, catalog, CLUSTER_OP, fp, epoch, stream_id),
         )
+        # release the transition's tracked band-table persist per tick
+        # (catalog.save has materialized both outputs) — see
+        # cluster_delete_applier
+        unpersist_operator_caches()
 
     return apply
 
