@@ -1458,6 +1458,16 @@ def _doc_capped_clusters(spark: SparkSession, sf_dir: str):
         "doc_id",
         "left_semi",
     )
+    # Explicit spread (round 13): the semi-join's output exchange AQE-
+    # coalesces to ONE partition at this data size, and the 64-permutation
+    # signature fold inside minhash_star_edges then runs serially
+    # downstream of it (profiled: a 1.8 s single-task stage in
+    # dedup_survivorship_capped; shingle_hashes' own fan_out no-ops here
+    # because the PLANNED partition count is the pre-AQE 64). A keyless
+    # repartition is exempt from AQE coalescing; at scale the overflow
+    # set is corpus-coupled and the spread is a linear reshuffle the fold
+    # amortizes.
+    over_docs = over_docs.repartition(spark.sparkContext.defaultParallelism)
     edges = (
         pairs.select("d1", "d2")
         .unionByName(minhash_star_edges(over_docs))

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.caching import tracked_cache
-from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
 from redcap_omop_etl_spark.workload import register
 
 
@@ -528,6 +528,12 @@ def ivf_build(
         )
         if key in _IVF_MEMO:
             return _IVF_MEMO[key]
+    # NOT spread (round 13 A/B): fan_out before the assign folds — plain,
+    # and spread-once-behind-a-lazy-checkpoint — both measured ~0.4 s
+    # SLOWER per build at sf0.1 (1.8→2.2 s): the added exchange + AQE
+    # stage jobs cost more than 32-way parallelism saves on the 0.3-0.4 s
+    # per-iteration fold stages. pq_assign's single heavier argmin pass
+    # (0.7-1.0 s) is spread instead — see below.
     vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     centroids = (
         vecs.orderBy("__vid")
@@ -1574,9 +1580,14 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
             F.col("embedding").alias("cvec"),
         )
     )
-    vs = e.select("vec_id", _pq_sub_struct("embedding", "sv").alias("x")).select(
-        "vec_id", "x.subspace", "x.sv"
-    )
+    # fan_out (round 13): the per-(vector, codeword) distance folds in
+    # _pq_argmin are interpreted-HOF scan-side work — profiled at
+    # 0.7-1.0 s per argmin pass on ONE core from a single-file scan. The
+    # argmin is a min(struct(d2q, codeword)) over integer-quantized
+    # distances — partitioning-independent; no-op at scale.
+    vs = fan_out(e).select(
+        "vec_id", _pq_sub_struct("embedding", "sv").alias("x")
+    ).select("vec_id", "x.subspace", "x.sv")
     cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(
         "codeword", "x.subspace", "x.cv"
     )
