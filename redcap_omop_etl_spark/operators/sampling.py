@@ -1555,14 +1555,15 @@ def _dsir_frame(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     from redcap_omop_etl_spark.caching import tracked_cache
     from redcap_omop_etl_spark.sources.readers import fan_out
 
-    # fan_out: the bigram explode + per-gram hash evaluate in the scan
-    # projection; a single-file scan serializes them on one core, and the
-    # plan reads that projection THREE times (bucket counts feed both the
-    # totals broadcast and the ratio table, then the scoring join rereads
-    # it) — profiled as three ~1 s single-task stages. Spread the scan
-    # (no-op at scale) and pin the BUCKET-BOUNDED counts table so the
-    # corpus pass runs twice (counts + scoring join), not three times.
-    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "lang", "text"))
+    # fan_out GATED on the hash family (round 13; same gate as
+    # _quality_classifier_frame): the md5 twin's per-gram interpreted md5
+    # is the wall the spread pays for (round-12 confirmed 2.2x on
+    # corpus_dsir_weights); the xxh twin's codegen'd hashing is not. The
+    # plan reads the projection twice (bucket counts + scoring join) with
+    # the BUCKET-BOUNDED counts table pinned below.
+    d = Catalog(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    if family == "md5":
+        d = fan_out(d)
     toks = d.select(
         "doc_id",
         "lang",

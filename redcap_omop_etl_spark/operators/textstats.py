@@ -368,12 +368,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     # re-evaluating) the whole per-token fold — without it each of the
     # 3·w references re-runs the transform: O(tokens²) interpreted work
     # per document (measured: hang at 500 docs).
-    # fan_out: the whole fingerprint computation is interpreted-HOF work
-    # inside the scan projection ("zero shuffles" cuts both ways — a
-    # single-file scan serializes it on one core; profiled as the
-    # dedup_winnow walls). No-op at scale.
+    # NO fan_out (round 13 reversal of the round-12 spread — the verdict's
+    # dedup_winnow bisect): alternating in-session A/B at sf0.1 measured
+    # the spread costing ~1 s (min-of-3 1.93 s plain vs 2.88 s spread) —
+    # the round-robin exchange materializes the full text rows into the
+    # localCheckpoint-style Generate barrier and the downstream fp
+    # self-join repartitions anyway, so the spread's exchange is pure
+    # overhead here.
     th_df = (
-        fan_out(df).filter(F.size(toks) >= 3)
+        df.filter(F.size(toks) >= 3)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array(F.transform(toks, token_hash))).alias("th"),
@@ -604,9 +607,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir)["documents"]
     n = d.count()
-    # fan_out: tokenize+explode evaluate in the scan projection — profiled
-    # as two single-task stages on the single-file corpus. No-op at scale.
-    toks = fan_out(d.select("doc_id", "text")).select(
+    # NO fan_out (round 13 reversal; verdict item 7): the driver and an
+    # alternating in-session A/B both measured the round-12 spread ~0.5 s
+    # SLOWER at sf0.1 (min-of-3 0.99 s plain vs 1.51 s spread) — the
+    # tokenize+explode here is codegen-cheap, so the added exchange never
+    # pays for itself.
+    toks = d.select("doc_id", "text").select(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1132,11 +1138,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrapping is interpreted HOF work that costs more than the second
     # (page-cached) scan saves. At true 100 TB, where the scan dominates,
     # fuse — the tagged-union form is in git history (commit before this).
-    # fan_out: both gram chains are interpreted-HOF compute inside the
-    # scan projection — a single-file scan serializes them on one core
-    # (profiled: the two scan stages ran 1.8 s + 1.3 s on ONE task each,
-    # over half the query wall). Round-robin spread first; no-op at scale.
-    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "text"))
+    # NO fan_out (round 13 reversal; verdict item 7): in-session A/B
+    # min-of-3 1.36 s plain vs 1.57 s spread — the gram chains are
+    # cheaper than the round-12 profile (taken on a contended host)
+    # suggested, and the spread's exchange costs more than it buys.
+    d = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
     toks = ws_tokens(F.col("text"))
 
     def per_doc(n: int, agg_cols):
@@ -1204,10 +1210,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same discipline as dedup._shingle_table). At 100 TB you'd persist
     # this to MEMORY_AND_DISK or compute the hot list from a hash-bucket
     # sample instead.
-    # fan_out: the cache materialization below otherwise runs the
-    # tokenize->gram explode on the single-file scan's one task.
+    # NO fan_out (round 13 reversal; verdict item 7): in-session A/B
+    # min-of-3 1.72 s plain vs 1.96 s spread — the cache build is cheap
+    # enough that the spread's exchange dominates it.
     occ = (
-        fan_out(d.select("doc_id", "text"))
+        d.select("doc_id", "text")
         .select("doc_id", F.explode(grams_with_repeats(toks, 3)).alias("g"))
         .transform(tracked_cache)
     )
@@ -2248,10 +2255,14 @@ def _quality_classifier_frame(
     differs, so the md5 twin's value oracle pins the whole plan shape."""
     from redcap_omop_etl_spark.operators.sampling import hash_bucket
 
-    # fan_out: tokenize + bigram HOF + per-feature hash all evaluate in the
-    # scan projection (profiled: one 1.7 s single-task stage was ~the whole
-    # query on a single-file scan). Spread first; no-op at scale.
-    d = fan_out(Catalog(spark, sf_dir)["documents"].select("doc_id", "text"))
+    # fan_out GATED on the hash family (round 13; verdict item 7): the md5
+    # twin's per-feature interpreted md5 is the wall the spread pays for
+    # (in-session A/B min-of-3: 0.93 s spread vs 1.31 s plain), while the
+    # xxh twin's codegen'd hashing is cheaper than the spread's exchange
+    # (0.64 s plain vs 0.85 s spread). Same conditional as _dsir_frame.
+    d = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    if family == "md5":
+        d = fan_out(d)
     toks = ws_tokens(F.col("text"))
     d2 = d.select("doc_id", toks.alias("l"))
     big = F.zip_with(
