@@ -523,7 +523,11 @@ def ivf_build(
 
     Scale: each iteration shuffles only (cluster, dim, value) triples —
     rows × dim, independent of cluster count; the vector table itself is
-    never shuffled. localCheckpoint per iteration keeps the plan flat.
+    never shuffled. localCheckpoint per iteration keeps the plan flat;
+    eager=False (round 13) — the plan is truncated either way, but the
+    loop no longer pays a blocking Python-paced job per round (the next
+    iteration's broadcast materializes the checkpoint JVM-side; A/B at
+    sf0.1: 1.64 s vs 1.81 s min-of-4 per build).
     """
     if memo_key is not None:
         key = (
@@ -546,7 +550,7 @@ def ivf_build(
             F.row_number().over(W.partitionBy(F.lit(0)).orderBy("__vid")).alias("cluster"),
             F.transform("__v", lambda x: x.cast("double")).alias("centroid"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(n_iters):
         assigned = _ivf_assign(vecs, centroids)
@@ -560,7 +564,7 @@ def ivf_build(
                     F.array_sort(F.collect_list(F.struct("dim", "mean"))), lambda s: s["mean"]
                 ).alias("centroid")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     assignments = (
         _ivf_assign(vecs, centroids)
