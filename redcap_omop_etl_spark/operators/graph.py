@@ -166,71 +166,118 @@ def connected_components(
         CC_LAST_ROUNDS = 0
         empty = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         return _with_singletons(empty)
-    for rounds in range(1, max_iter + 1):
-        # LARGE-STAR: center a over ALL neighbors b (both directions);
-        # every strictly-greater neighbor rewires to the center's
-        # neighborhood min. Output edges all point larger -> smaller.
-        # The neighborhood min attaches via a KEYED WINDOW over the
-        # center instead of the groupBy-min + join-back it replaced:
-        # one exchange per half-round instead of three (round-9 rewrite;
-        # the CC loop measured as ~60% of the cluster-table build wall,
-        # and per-round exchanges — not data volume — were the cost).
-        nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
-            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+
+    # Size-adaptive AQE gate (round 13): with AQE on, every exchange in a
+    # round materializes as its OWN job (QueryStageExec), so a round is
+    # ~4-5 driver-paced jobs; profiled at sf0.1 that scheduling overhead
+    # — not data — is most of the loop wall across the whole cluster/tick
+    # family. AQE's value (runtime coalescing, skew splits) is nil once
+    # the edge table is far below one advisory partition, so rounds whose
+    # MEASURED edge count (the signature's n, free) is below the
+    # threshold plan with AQE off and run as ONE job. Large graphs keep
+    # AQE for every round; a shrinking graph flips mode when contraction
+    # crosses the threshold — at any scale the tail rounds are tiny, so
+    # this is a cluster win too, derived from input size rather than a
+    # local core count. 256k edges ≈ 6 MB shuffled — under a tenth of one
+    # advisory (64 MB) partition.
+    _CC_SMALL_EDGES = 256 * 1024
+    conf = e.sparkSession.conf
+    aqe_was = conf.get("spark.sql.adaptive.enabled")
+    parts_was = conf.get("spark.sql.shuffle.partitions")
+
+    def _round_conf(n_edges: int) -> None:
+        small_graph = n_edges < _CC_SMALL_EDGES
+        conf.set(
+            "spark.sql.adaptive.enabled", "false" if small_graph else aqe_was
         )
-        if neighborhood_min == "window":
-            m_a = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
-            with_min = nbrs.withColumn("m", m_a)
+        # without AQE's runtime coalescing the static shuffle width must
+        # itself derive from the measured size, or each tiny round pays
+        # full-width task launches (~64k edges ≈ 1.5 MB per partition)
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, n_edges // (64 * 1024))) if small_graph else parts_was,
+        )
+
+    try:
+        for rounds in range(1, max_iter + 1):
+            _round_conf(sig[0])
+            e = _cc_round(e, neighborhood_min)
+            # ONE job per round: the signature materializes the checkpoint
+            new_sig = _signature(e)
+            if new_sig == sig:
+                CC_LAST_ROUNDS = rounds
+                break
+            sig = new_sig
         else:
-            mins = nbrs.groupBy("a").agg(F.min("b").alias("__mb"))
-            with_min = nbrs.join(mins, "a").withColumn(
-                "m", F.least(F.col("__mb"), F.col("a"))
+            raise RuntimeError(
+                f"connected_components: no fixpoint within {max_iter} "
+                "star-contraction rounds"
             )
-        large = (
-            with_min.where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # SMALL-STAR: key by the larger endpoint; it and all its (smaller)
-        # neighbors rewire to the neighborhood min. Same keyed-window
-        # fusion; `large` is deliberately NOT distinct'd first — its row
-        # count is exactly one per directed (b > a) edge, duplicates of
-        # (u, v) pairs don't change the window min, and the single
-        # canonical distinct below dedups the round's output once.
-        if neighborhood_min == "window":
-            sm_all = large.withColumn(
-                "m", F.min("v").over(Window.partitionBy("u"))
-            )
-        else:
-            umins = large.groupBy("u").agg(F.min("v").alias("__mu"))
-            sm_all = large.join(umins, "u").withColumn("m", F.col("__mu"))
-        sm_all = sm_all.select("u", "v", "m")
-        small = (
-            sm_all.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(sm_all.select("u", F.col("m").alias("v")))
-            .where(F.col("u") != F.col("v"))
-            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        # ONE job per round: the signature materializes the checkpoint
-        new_sig = _signature(small)
-        e = small
-        if new_sig == sig:
-            CC_LAST_ROUNDS = rounds
-            break
-        sig = new_sig
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint within {max_iter} "
-            "star-contraction rounds"
-        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_was)
+        conf.set("spark.sql.shuffle.partitions", parts_was)
     # At the fixpoint the edge set is a union of stars (u -> component
     # min); roots appear only on the v side and label themselves.
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     )
     return _with_singletons(comp)
+
+
+def _cc_round(e: DataFrame, neighborhood_min: str) -> DataFrame:
+    """One LARGE-STAR + SMALL-STAR contraction round over a canonical
+    (u > v) edge table; returns the next round's canonical edge table,
+    lazily localCheckpoint'ed (the caller's signature job materializes
+    it)."""
+    from pyspark.sql.window import Window
+
+    # LARGE-STAR: center a over ALL neighbors b (both directions);
+    # every strictly-greater neighbor rewires to the center's
+    # neighborhood min. Output edges all point larger -> smaller.
+    # The neighborhood min attaches via a KEYED WINDOW over the
+    # center instead of the groupBy-min + join-back it replaced:
+    # one exchange per half-round instead of three (round-9 rewrite;
+    # the CC loop measured as ~60% of the cluster-table build wall,
+    # and per-round exchanges — not data volume — were the cost).
+    nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    if neighborhood_min == "window":
+        m_a = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        with_min = nbrs.withColumn("m", m_a)
+    else:
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("__mb"))
+        with_min = nbrs.join(mins, "a").withColumn(
+            "m", F.least(F.col("__mb"), F.col("a"))
+        )
+    large = (
+        with_min.where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    # SMALL-STAR: key by the larger endpoint; it and all its (smaller)
+    # neighbors rewire to the neighborhood min. Same keyed-window
+    # fusion; `large` is deliberately NOT distinct'd first — its row
+    # count is exactly one per directed (b > a) edge, duplicates of
+    # (u, v) pairs don't change the window min, and the single
+    # canonical distinct below dedups the round's output once.
+    if neighborhood_min == "window":
+        sm_all = large.withColumn(
+            "m", F.min("v").over(Window.partitionBy("u"))
+        )
+    else:
+        umins = large.groupBy("u").agg(F.min("v").alias("__mu"))
+        sm_all = large.join(umins, "u").withColumn("m", F.col("__mu"))
+    sm_all = sm_all.select("u", "v", "m")
+    small = (
+        sm_all.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(sm_all.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return small
 
 
 # Shared oracle fragment: near-dup edges (stop-shingle-guarded Jaccard
