@@ -62,6 +62,45 @@ from redcap_omop_etl_spark.workload import register
 CC_LAST_ROUNDS: int | None = None
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _small_plan_rounds(
+    spark: SparkSession,
+    n_rows: int,
+    threshold: int = 256 * 1024,
+    rows_per_part: int = 64 * 1024,
+):
+    """Plan an iterative loop's per-round queries as single jobs when the
+    MEASURED working-set row count is tiny.
+
+    With AQE on, every exchange materializes as its own driver-paced job
+    (QueryStageExec) — a round of a contraction/propagation loop is 4-6
+    jobs whose scheduling overhead dwarfs the data below one advisory
+    partition (~64 MB). Inside this context, plans are built with AQE off
+    and a static shuffle width derived from ``n_rows`` (64k rows per
+    partition), so a round plans as ONE job with single-digit tasks.
+    Above ``threshold`` the context is a no-op: big graphs keep AQE's
+    coalescing and skew handling. Both knobs derive from the measured
+    input, not the local core count. Only affects queries PLANNED inside
+    the block (per-round ``localCheckpoint`` calls plan eagerly); the
+    caller's final action keeps the session settings."""
+    conf = spark.conf
+    if n_rows >= threshold:
+        yield
+        return
+    aqe_was = conf.get("spark.sql.adaptive.enabled")
+    parts_was = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(max(1, n_rows // rows_per_part)))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_was)
+        conf.set("spark.sql.shuffle.partitions", parts_was)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
@@ -519,18 +558,23 @@ def pagerank(
     contrib_edges = both.join(degrees, "s").localCheckpoint()
     n = degrees.count()
     ranks = degrees.select(F.col("s").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iters):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        ranks = (
-            r.join(contrib_edges, ranks.node == contrib_edges.s)
-            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg((F.lit((1.0 - damping) / n) + damping * F.sum("c")).alias("rank"))
-            # eager=False: lineage is still truncated once the next
-            # iteration's join materializes this frame, but the loop no
-            # longer pays a blocking job per round (~20% wall at sf0.1).
-            .localCheckpoint(eager=False)
-        )
+    # each iteration's shuffle carries ~one row per node (map-side
+    # partial agg), so the node count is the round working set
+    with _small_plan_rounds(edges.sparkSession, n):
+        for _ in range(n_iters):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            ranks = (
+                r.join(contrib_edges, ranks.node == contrib_edges.s)
+                .select(
+                    F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+                )
+                .groupBy("node")
+                .agg((F.lit((1.0 - damping) / n) + damping * F.sum("c")).alias("rank"))
+                # eager=False: lineage is still truncated once the next
+                # iteration's join materializes this frame, but the loop no
+                # longer pays a blocking job per round (~20% wall at sf0.1).
+                .localCheckpoint(eager=False)
+            )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
@@ -844,20 +888,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", F.col("x").alias("lab"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(_LPA_ROUNDS):
-        nb = edges.join(labels, edges.v == labels.x).select(
-            F.col("u").alias("x"), "lab"
-        ).unionByName(
-            edges.join(labels, edges.u == labels.x).select(F.col("v").alias("x"), "lab")
-        )
-        cnt = nb.groupBy("x", "lab").agg(F.count(F.lit(1)).alias("c"))
-        w = W.partitionBy("x").orderBy(F.desc("c"), F.asc("lab"))
-        labels = (
-            cnt.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("x", "lab")
-            .localCheckpoint(eager=False)
-        )
+    # per-round shuffles carry <= 2|E| (x, lab) rows; the edge list is
+    # memoized + eagerly checkpointed, so the count is a ~free job
+    with _small_plan_rounds(spark, 2 * edges.count()):
+        for _ in range(_LPA_ROUNDS):
+            nb = edges.join(labels, edges.v == labels.x).select(
+                F.col("u").alias("x"), "lab"
+            ).unionByName(
+                edges.join(labels, edges.u == labels.x).select(
+                    F.col("v").alias("x"), "lab"
+                )
+            )
+            cnt = nb.groupBy("x", "lab").agg(F.count(F.lit(1)).alias("c"))
+            w = W.partitionBy("x").orderBy(F.desc("c"), F.asc("lab"))
+            labels = (
+                cnt.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("x", "lab")
+                .localCheckpoint(eager=False)
+            )
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
