@@ -45,7 +45,7 @@ from redcap_omop_etl_spark.operators.dedup import (
     prefix_jaccard_pairs_capped,
     shingle_sql_cte,
 )
-from redcap_omop_etl_spark.sources.readers import Catalog
+from redcap_omop_etl_spark.sources.readers import Catalog, small_plan_rounds
 from redcap_omop_etl_spark.workload import register
 
 
@@ -60,45 +60,6 @@ from redcap_omop_etl_spark.workload import register
 # sequential bench_scale harness ONLY; nothing in the registered query
 # surface reads it, and no correctness path may ever depend on it.
 CC_LAST_ROUNDS: int | None = None
-
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def _small_plan_rounds(
-    spark: SparkSession,
-    n_rows: int,
-    threshold: int = 256 * 1024,
-    rows_per_part: int = 64 * 1024,
-):
-    """Plan an iterative loop's per-round queries as single jobs when the
-    MEASURED working-set row count is tiny.
-
-    With AQE on, every exchange materializes as its own driver-paced job
-    (QueryStageExec) — a round of a contraction/propagation loop is 4-6
-    jobs whose scheduling overhead dwarfs the data below one advisory
-    partition (~64 MB). Inside this context, plans are built with AQE off
-    and a static shuffle width derived from ``n_rows`` (64k rows per
-    partition), so a round plans as ONE job with single-digit tasks.
-    Above ``threshold`` the context is a no-op: big graphs keep AQE's
-    coalescing and skew handling. Both knobs derive from the measured
-    input, not the local core count. Only affects queries PLANNED inside
-    the block (per-round ``localCheckpoint`` calls plan eagerly); the
-    caller's final action keeps the session settings."""
-    conf = spark.conf
-    if n_rows >= threshold:
-        yield
-        return
-    aqe_was = conf.get("spark.sql.adaptive.enabled")
-    parts_was = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", str(max(1, n_rows // rows_per_part)))
-    try:
-        yield
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_was)
-        conf.set("spark.sql.shuffle.partitions", parts_was)
 
 
 def connected_components(
@@ -560,7 +521,7 @@ def pagerank(
     ranks = degrees.select(F.col("s").alias("node"), F.lit(1.0 / n).alias("rank"))
     # each iteration's shuffle carries ~one row per node (map-side
     # partial agg), so the node count is the round working set
-    with _small_plan_rounds(edges.sparkSession, n):
+    with small_plan_rounds(edges.sparkSession, n):
         for _ in range(n_iters):
             r = F.broadcast(ranks) if broadcast_ranks else ranks
             ranks = (
@@ -890,7 +851,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-round shuffles carry <= 2|E| (x, lab) rows; the edge list is
     # memoized + eagerly checkpointed, so the count is a ~free job
-    with _small_plan_rounds(spark, 2 * edges.count()):
+    with small_plan_rounds(spark, 2 * edges.count()):
         for _ in range(_LPA_ROUNDS):
             nb = edges.join(labels, edges.v == labels.x).select(
                 F.col("u").alias("x"), "lab"

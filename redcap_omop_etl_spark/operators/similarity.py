@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from redcap_omop_etl_spark.caching import tracked_cache
-from redcap_omop_etl_spark.sources.readers import Catalog, fan_out
+from redcap_omop_etl_spark.sources.readers import Catalog, fan_out, small_plan_rounds
 from redcap_omop_etl_spark.workload import register
 
 
@@ -543,34 +543,44 @@ def ivf_build(
     # per-iteration fold stages. pq_assign's single heavier argmin pass
     # (0.7-1.0 s) is spread instead — see below.
     vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-    centroids = (
-        vecs.orderBy("__vid")
-        .limit(n_clusters)
-        .select(
-            F.row_number().over(W.partitionBy(F.lit(0)).orderBy("__vid")).alias("cluster"),
-            F.transform("__v", lambda x: x.cast("double")).alias("centroid"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(n_iters):
-        assigned = _ivf_assign(vecs, centroids)
+    # size-adaptive single-job rounds (round 13, same gate as the CC
+    # loop): each iteration's centroid update shuffles rows x dim
+    # (posexplode) triples, so the measured vector count x 64 bounds the
+    # round working set; tiny trainings plan with AQE off + derived
+    # width, big corpora keep AQE. One cheap count job per build
+    # (metadata-only on a parquet scan).
+    with small_plan_rounds(embeddings.sparkSession, embeddings.count() * 64):
         centroids = (
-            assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mean"))), lambda s: s["mean"]
-                ).alias("centroid")
+            vecs.orderBy("__vid")
+            .limit(n_clusters)
+            .select(
+                F.row_number()
+                .over(W.partitionBy(F.lit(0)).orderBy("__vid"))
+                .alias("cluster"),
+                F.transform("__v", lambda x: x.cast("double")).alias("centroid"),
             )
             .localCheckpoint(eager=False)
         )
-    assignments = (
-        _ivf_assign(vecs, centroids)
-        .select(F.col("__vid").alias(id_col), "cluster")
-        .localCheckpoint(eager=False)
-    )
+        for _ in range(n_iters):
+            assigned = _ivf_assign(vecs, centroids)
+            centroids = (
+                assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                        lambda s: s["mean"],
+                    ).alias("centroid")
+                )
+                .localCheckpoint(eager=False)
+            )
+        assignments = (
+            _ivf_assign(vecs, centroids)
+            .select(F.col("__vid").alias(id_col), "cluster")
+            .localCheckpoint(eager=False)
+        )
     if memo_key is not None:
         _IVF_MEMO[key] = (assignments, centroids)
     return assignments, centroids
@@ -1578,59 +1588,63 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
         key = (e.sparkSession.sparkContext.applicationId, memo_key)
         if key in _PQ_MEMO:
             return _PQ_MEMO[key]
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(PQ_CODEWORDS)
-        .select(
-            F.row_number()
-            .over(W.partitionBy(F.lit(0)).orderBy("vec_id"))
-            .alias("codeword"),
-            F.col("embedding").alias("cvec"),
+    # size-adaptive single-job planning (round 13, same gate as
+    # ivf_build): the Lloyd update shuffles rows x dim triples, so the
+    # measured vector count x 64 bounds the working set.
+    with small_plan_rounds(e.sparkSession, e.count() * 64):
+        seeds = (
+            e.orderBy("vec_id")
+            .limit(PQ_CODEWORDS)
+            .select(
+                F.row_number()
+                .over(W.partitionBy(F.lit(0)).orderBy("vec_id"))
+                .alias("codeword"),
+                F.col("embedding").alias("cvec"),
+            )
         )
-    )
-    # fan_out (round 13): the per-(vector, codeword) distance folds in
-    # _pq_argmin are interpreted-HOF scan-side work — profiled at
-    # 0.7-1.0 s per argmin pass on ONE core from a single-file scan. The
-    # argmin is a min(struct(d2q, codeword)) over integer-quantized
-    # distances — partitioning-independent; no-op at scale.
-    vs = fan_out(e).select(
-        "vec_id", _pq_sub_struct("embedding", "sv").alias("x")
-    ).select("vec_id", "x.subspace", "x.sv")
-    cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(
-        "codeword", "x.subspace", "x.cv"
-    )
-    # ONE Lloyd training round (mirrored by the unrolled oracle): assign
-    # every subvector to its nearest init codeword, then replace each
-    # (subspace, codeword) cell with the mean of its assigned subvectors.
-    # The update shuffles (subspace, codeword, dim, value) triples only —
-    # rows × dim, same shape as ivf_build's centroid update — and the
-    # retrained codebook stays parameter-bounded (≤ subspaces×codewords
-    # rows, eagerly checkpointed like ivf_build's centroid table). A
-    # codeword left empty in a subspace drops out of the inner-join
-    # update on both engines.
-    assign0 = _pq_argmin(vs, cs)
-    vsl = vs.select(
-        "vec_id",
-        "subspace",
-        F.posexplode(F.transform("sv", lambda x: x.cast("double"))).alias(
-            "dim", "val"
-        ),
-    )
-    cs = (
-        assign0.select("vec_id", "subspace", "codeword")
-        .join(vsl, ["vec_id", "subspace"])
-        .groupBy("subspace", "codeword", "dim")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("subspace", "codeword")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-                lambda s: s["cval"],
-            ).alias("cv")
+        # fan_out (round 13): the per-(vector, codeword) distance folds in
+        # _pq_argmin are interpreted-HOF scan-side work — profiled at
+        # 0.7-1.0 s per argmin pass on ONE core from a single-file scan. The
+        # argmin is a min(struct(d2q, codeword)) over integer-quantized
+        # distances — partitioning-independent; no-op at scale.
+        vs = fan_out(e).select(
+            "vec_id", _pq_sub_struct("embedding", "sv").alias("x")
+        ).select("vec_id", "x.subspace", "x.sv")
+        cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(
+            "codeword", "x.subspace", "x.cv"
         )
-        .localCheckpoint(eager=True)
-    )
-    best = _pq_argmin(vs, cs)
+        # ONE Lloyd training round (mirrored by the unrolled oracle): assign
+        # every subvector to its nearest init codeword, then replace each
+        # (subspace, codeword) cell with the mean of its assigned subvectors.
+        # The update shuffles (subspace, codeword, dim, value) triples only —
+        # rows × dim, same shape as ivf_build's centroid update — and the
+        # retrained codebook stays parameter-bounded (≤ subspaces×codewords
+        # rows, eagerly checkpointed like ivf_build's centroid table). A
+        # codeword left empty in a subspace drops out of the inner-join
+        # update on both engines.
+        assign0 = _pq_argmin(vs, cs)
+        vsl = vs.select(
+            "vec_id",
+            "subspace",
+            F.posexplode(F.transform("sv", lambda x: x.cast("double"))).alias(
+                "dim", "val"
+            ),
+        )
+        cs = (
+            assign0.select("vec_id", "subspace", "codeword")
+            .join(vsl, ["vec_id", "subspace"])
+            .groupBy("subspace", "codeword", "dim")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("subspace", "codeword")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+        best = _pq_argmin(vs, cs)
     if memo_key is not None:
         # checkpoint-bound the memoized frames: the code table is read by
         # every subsequent search in the session, the codebook is tiny.

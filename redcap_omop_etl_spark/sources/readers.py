@@ -15,6 +15,8 @@ reader as ``PushedFilters`` / ``ReadSchema`` (verify with
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -168,6 +170,42 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+@contextmanager
+def small_plan_rounds(
+    spark,
+    n_rows: int,
+    threshold: int = 256 * 1024,
+    rows_per_part: int = 64 * 1024,
+):
+    """Plan an iterative loop's per-round queries as single jobs when the
+    MEASURED working-set row count is tiny.
+
+    With AQE on, every exchange materializes as its own driver-paced job
+    (QueryStageExec) — a round of a contraction/propagation loop is 4-6
+    jobs whose scheduling overhead dwarfs the data below one advisory
+    partition (~64 MB). Inside this context, plans are built with AQE off
+    and a static shuffle width derived from ``n_rows`` (64k rows per
+    partition), so a round plans as ONE job with single-digit tasks.
+    Above ``threshold`` the context is a no-op: big graphs keep AQE's
+    coalescing and skew handling. Both knobs derive from the measured
+    input, not the local core count. Only affects queries PLANNED inside
+    the block (per-round ``localCheckpoint`` calls plan eagerly); the
+    caller's final action keeps the session settings."""
+    conf = spark.conf
+    if n_rows >= threshold:
+        yield
+        return
+    aqe_was = conf.get("spark.sql.adaptive.enabled")
+    parts_was = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(max(1, n_rows // rows_per_part)))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_was)
+        conf.set("spark.sql.shuffle.partitions", parts_was)
 
 
 class Catalog:
