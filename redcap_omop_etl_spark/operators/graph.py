@@ -660,26 +660,38 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = _copurchase_edges(spark, sf_dir)
     out = None
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        inc = cur.select(F.col("u").alias("x")).unionByName(cur.select(F.col("v").alias("x")))
-        deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("x")
-        nxt = tracked_cache(
-            cur.join(keep.withColumnRenamed("x", "u"), "u")
-            .join(keep.withColumnRenamed("x", "v"), "v")
-            .select("u", "v")
-        )
-        row = (
-            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(F.broadcast(nxt.agg(F.count(F.lit(1)).alias("n_edges"))))
-            .select(
-                F.lit(rnd).cast("bigint").alias("round"),
-                F.col("n_nodes").cast("bigint").alias("n_nodes"),
-                F.col("n_edges").cast("bigint").alias("n_edges"),
+    # per-round lazy checkpoints + the size gate (round 13): without the
+    # checkpoints every round planned at ACTION time under session AQE —
+    # 4-6 stage jobs per round on a peeled graph that only shrinks; the
+    # gate plans each round as one job below 256k measured edges (the
+    # memoized edge list is pinned, so the count is a ~free job). The
+    # checkpoint replaces the round-12 tracked_cache of `nxt` (same
+    # single-materialization purpose — nxt feeds the next round AND its
+    # own count — without the IMR build).
+    with small_plan_rounds(spark, cur.count()):
+        for rnd in range(1, _KCORE_ROUNDS + 1):
+            inc = cur.select(F.col("u").alias("x")).unionByName(
+                cur.select(F.col("v").alias("x"))
             )
-        )
-        out = row if out is None else out.unionByName(row)
-        cur = nxt
+            deg = inc.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= _KCORE_K).select("x")
+            nxt = (
+                cur.join(keep.withColumnRenamed("x", "u"), "u")
+                .join(keep.withColumnRenamed("x", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+            row = (
+                keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+                .crossJoin(F.broadcast(nxt.agg(F.count(F.lit(1)).alias("n_edges"))))
+                .select(
+                    F.lit(rnd).cast("bigint").alias("round"),
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.col("n_edges").cast("bigint").alias("n_edges"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+            cur = nxt
     return out.orderBy("round")
 
 
