@@ -20,6 +20,8 @@ before the top-k ordering so the selected sets agree bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -587,19 +589,46 @@ def ivf_build(
 
 
 def _ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, keep the
-    min-distance cluster per vector via an argmin aggregate — the
-    min(struct(dist, cluster, vec)) partial-aggregates MAP-SIDE, so the
-    shuffle carries one row per vector instead of one per (vector,
-    centroid) pair that the equivalent rank-window formulation ships
-    (measured 2x faster at 16 clusters; the gap widens with n_clusters).
-    Tie-break (dist, cluster) matches the unrolled DuckDB oracle."""
-    scored = vecs.join(F.broadcast(centroids)).withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
-    return (
-        scored.groupBy("__vid")
-        .agg(F.min(F.struct("__d", "cluster", "__v")).alias("m"))
-        .select("__vid", F.col("m.__v").alias("__v"), F.col("m.cluster").alias("cluster"))
+    """Nearest-centroid assignment, vectorized through the Arrow boundary
+    (round 13). The centroid table is parameter-bounded (n_clusters rows)
+    by construction — collected once per call, exactly the relation the
+    previous formulation broadcast — and each vector row computes its
+    argmin cluster inside ONE ArrowEvalPython pass over the vector column
+    alone: no crossJoin row blowup (the previous broadcast-join shape
+    shipped rows x n_clusters pairs into an interpreted zip_with/aggregate
+    fold and re-aggregated them back to one row per vector; profiled at
+    0.3-0.5 s single-task per assign on sf0.1, and the blowup grows with
+    n_clusters at scale). No shuffle at all: the aggregation-based argmin
+    disappears with the pair table.
+
+    Bit-exactness: the kernel accumulates (v_j - c_j)^2 sequentially over
+    dims (acc = acc + d*d per dim, vectorized across ROWS), replicating
+    the interpreted fold's IEEE operation order exactly — assignments,
+    centroids and PQ codes verified bit-identical across all three SFs.
+    Tie-break: centroid rows sorted by cluster id, np.argmin keeps the
+    first minimum — identical to min(struct(dist, cluster))."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cluster"])
+    ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
     )
+
+    @F.pandas_udf("int")
+    def _argmin_cluster(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        D = np.empty((V.shape[0], len(ids)), dtype=np.float64)
+        for ci in range(len(ids)):
+            c = cmat[ci]
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for j in range(V.shape[1]):
+                d = V[:, j] - c[j]
+                acc = acc + d * d
+            D[:, ci] = acc
+        return pd.Series(ids[np.argmin(D, axis=1)])
+
+    return vecs.withColumn("cluster", _argmin_cluster("__v"))
 
 
 def ivf_topk(
@@ -1510,31 +1539,85 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_argmin(vs: DataFrame, cs: DataFrame) -> DataFrame:
-    """Nearest-codeword assignment per (vector, subspace): broadcast the
-    parameter-bounded codebook, integer-quantize the squared distance
-    (floor(d2·10⁴+0.5)) BEFORE the argmin, and take the min as a
-    min(struct(d2q, codeword)) hash aggregate — partial-aggregated
-    map-side so only rows × subspaces single-struct rows shuffle; the
-    lexicographic struct order reproduces the (d2q, codeword) tie-break
-    of the oracle's row_number exactly."""
-    d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
-        F.col("sv"), F.col("cv")
-    )
-    j = vs.join(F.broadcast(cs), "subspace").select(
+    """Nearest-codeword assignment per (vector, subspace), vectorized
+    through the Arrow boundary (round 13, same treatment as
+    ``_ivf_assign``). The codebook is parameter-bounded (≤ subspaces ×
+    codewords rows) — collected once per call, exactly the relation the
+    previous formulation broadcast — and each (vector, subspace) row
+    computes its argmin codeword in ONE ArrowEvalPython pass: no
+    broadcast-join row blowup (the previous shape shipped rows × 16
+    codeword pairs into interpreted dot-product folds and re-aggregated),
+    no shuffle (the min(struct) aggregate disappears with the pair
+    table).
+
+    Bit-exactness: d2 = (dot(sv,sv) + dot(cv,cv)) - 2·dot(sv,cv) with
+    each dot accumulated sequentially over dims in IEEE order (vectorized
+    across rows), then integer-quantized floor(d2·10⁴+0.5) exactly as
+    before — verified bit-identical across all three SFs. Tie-break:
+    codeword ids sorted ascending, np.argmin keeps the first minimum —
+    identical to min(struct(d2q, codeword)). A subspace absent from the
+    codebook drops its rows (the inner-join semantics), kept as a
+    null-filter on the result struct."""
+    rows = cs.collect()
+    book: dict[int, list] = {}
+    for r in rows:
+        book.setdefault(int(r["subspace"]), []).append(
+            (int(r["codeword"]), [float(x) for x in r["cv"]])
+        )
+    for s in book:
+        book[s].sort()
+    bids = {s: np.array([c for c, _ in v], dtype=np.int64) for s, v in book.items()}
+    bmat = {s: np.array([cv for _, cv in v], dtype=np.float64) for s, v in book.items()}
+
+    @F.pandas_udf("codeword int, d2q bigint")
+    def _argmin_codeword(sub: pd.Series, sv: pd.Series) -> pd.DataFrame:
+        n_all = len(sub)
+        out_c = np.full(n_all, -1, dtype=np.int64)
+        out_d = np.zeros(n_all, dtype=np.int64)
+        if n_all:
+            subs = sub.to_numpy()
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in sv], dtype=np.float64
+            )
+            for s in np.unique(subs):
+                si = int(s)
+                if si not in bids:
+                    continue
+                m = subs == s
+                Vm = V[m]
+                n = Vm.shape[0]
+                dvv = np.zeros(n, dtype=np.float64)
+                for j in range(Vm.shape[1]):
+                    dvv = dvv + Vm[:, j] * Vm[:, j]
+                ids_s, cm = bids[si], bmat[si]
+                Q = np.empty((n, len(ids_s)), dtype=np.int64)
+                for ci in range(len(ids_s)):
+                    c = cm[ci]
+                    dcc = 0.0
+                    for j in range(len(c)):
+                        dcc = dcc + c[j] * c[j]
+                    dvc = np.zeros(n, dtype=np.float64)
+                    for j in range(Vm.shape[1]):
+                        dvc = dvc + Vm[:, j] * c[j]
+                    d2 = (dvv + dcc) - 2 * dvc
+                    Q[:, ci] = np.floor(d2 * 10000 + 0.5).astype(np.int64)
+                am = np.argmin(Q, axis=1)
+                out_c[m] = ids_s[am]
+                out_d[m] = Q[np.arange(n), am]
+        cw = pd.Series(out_c).astype("Int32")
+        cw[out_c < 0] = pd.NA
+        return pd.DataFrame({"codeword": cw, "d2q": out_d})
+
+    # asNondeterministic: without it the null-filter + struct-field
+    # projections below duplicate the ArrowEvalPython node in the
+    # physical plan (2 nodes -> every row pays the kernel twice); the
+    # kernel is pure, the marker only stops duplication/reordering.
+    r = vs.withColumn("m", _argmin_codeword.asNondeterministic()("subspace", "sv"))
+    return r.filter(F.col("m.codeword").isNotNull()).select(
         "vec_id",
         "subspace",
-        "codeword",
-        F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("d2q"),
-    )
-    return (
-        j.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d2q", "codeword")).alias("m"))
-        .select(
-            "vec_id",
-            "subspace",
-            F.col("m.codeword").alias("codeword"),
-            F.col("m.d2q").alias("d2q"),
-        )
+        F.col("m.codeword").alias("codeword"),
+        F.col("m.d2q").alias("d2q"),
     )
 
 
@@ -1602,12 +1685,12 @@ def pq_assign(e: DataFrame, memo_key: str | None = None) -> tuple[DataFrame, Dat
                 F.col("embedding").alias("cvec"),
             )
         )
-        # fan_out (round 13): the per-(vector, codeword) distance folds in
-        # _pq_argmin are interpreted-HOF scan-side work — profiled at
-        # 0.7-1.0 s per argmin pass on ONE core from a single-file scan. The
-        # argmin is a min(struct(d2q, codeword)) over integer-quantized
-        # distances — partitioning-independent; no-op at scale.
-        vs = fan_out(e).select(
+        # fan_out REMOVED (round 13, final session): the spread existed to
+        # parallelize _pq_argmin's interpreted 0.7-1.0 s single-task
+        # distance folds; the vectorized Arrow argmin kernel made them
+        # milliseconds and the round-robin exchange became pure overhead
+        # (A/B: adc 3.4-3.6 s without vs 4.1-4.3 s with, others neutral).
+        vs = e.select(
             "vec_id", _pq_sub_struct("embedding", "sv").alias("x")
         ).select("vec_id", "x.subspace", "x.sv")
         cs = seeds.select("codeword", _pq_sub_struct("cvec", "cv").alias("x")).select(

@@ -245,21 +245,25 @@ def test_q21_single_lineitem_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan
 
 
-def test_pq_audit_argmin_is_aggregate_not_window(spark):
-    # round-6 rewrite pin: the PQ assignment argmin must stay a
-    # min(struct(d2q, codeword)) hash aggregate — the row_number-window
-    # form exchanged and sorted rows x subspaces x 32 candidates. The only
-    # permitted Window is the 32-row codeword-seed init. Pinned on the
-    # UN-memoized pq_assign build plan: the registered query now starts
-    # from the per-(session, corpus) localCheckpoint RDD, which hides the
-    # build shape (round-8 code-table memo).
+def test_pq_argmin_is_single_arrow_pass(spark):
+    # round-13 rewrite pin (supersedes the round-6 aggregate pin): the PQ
+    # assignment argmin is ONE vectorized ArrowEvalPython pass over the
+    # (vector, subspace) rows against the collected parameter-bounded
+    # codebook — no broadcast-join pair blowup (rows x codewords), no
+    # min(struct) re-aggregation, no exchange, and exactly one Arrow node
+    # (a filter on the UDF output duplicates it unless the UDF is marked
+    # nondeterministic). Pinned on the UN-memoized pq_assign build plan:
+    # the registered query starts from the per-(session, corpus)
+    # localCheckpoint RDD, which hides the build shape (round-8 memo).
     from redcap_omop_etl_spark.operators.similarity import pq_assign
     from redcap_omop_etl_spark.sources.readers import Catalog
 
     best, _cs = pq_assign(Catalog(spark, SF_SMOKE)["embeddings"])
     plan = best._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") <= 1, plan
-    assert "min(struct" in plan.replace(" ", "").lower() or "min(named_struct" in plan.lower() or "partial_min" in plan.lower(), plan
+    assert plan.count("Window") == 0, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
 
 
 def test_global_index_is_lazy():
