@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_TRACKED_CKPT_RDDS: list = []  # JVM RDDs backing tracked_checkpoint frames
 
 
 def tracked_cache(df: DataFrame) -> DataFrame:
@@ -42,6 +43,34 @@ def tracked_cache(df: DataFrame) -> DataFrame:
 def tracked_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` + register for ``unpersist_operator_caches``."""
     out = df.persist()
+    _TRACKED.append(out)
+    return out
+
+
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + register for release.
+
+    Same single-materialization purpose as ``tracked_persist``, plus a
+    PLAN barrier: the returned frame's logical plan is a leaf (LogicalRDD),
+    so every downstream action re-plans from the barrier instead of
+    re-analyzing the full upstream lineage. Use at tick/transition
+    boundaries of deeply composed maintenance queries, where profiling
+    showed ~1 s Catalyst stalls per action over persisted-but-not-
+    truncated plans (the persisted node still carries its whole subtree
+    through analysis). Release: ``unpersist_operator_caches`` drops the
+    registry reference and the checkpoint RDD blocks are freed by the
+    ContextCleaner once the frame is garbage-collected — same lifecycle
+    as the per-round loop checkpoints in connected_components/kcore."""
+    out = df.localCheckpoint(eager=True)
+    try:
+        # The materialized blocks belong to the LogicalRDD's backing RDD,
+        # which df.unpersist() does NOT reach (it only consults the SQL
+        # CacheManager). Capture it so release is deterministic instead
+        # of GC-timed — lingering checkpoint blocks from one query were
+        # measured inflating later queries in a long bench run.
+        _TRACKED_CKPT_RDDS.append(out._jdf.queryExecution().logical().rdd())
+    except Exception:  # noqa: BLE001 - plan shape is an implementation detail
+        pass
     _TRACKED.append(out)
     return out
 
@@ -74,9 +103,12 @@ def clear_session_memos() -> int:
 def unpersist_operator_caches(blocking: bool = False) -> int:
     """Unpersist every operator-internal cache; returns how many.
 
-    Idempotent and safe while results are still lazily pending — Spark
-    just recomputes on the next action. Call at operator-composition
-    boundaries (between queries / pipeline stages), not mid-plan.
+    Idempotent. For ``tracked_cache``/``tracked_persist`` frames, safe
+    while results are still lazily pending — Spark just recomputes on
+    the next action. ``tracked_checkpoint`` frames are NOT recomputable
+    after release (their lineage is the checkpoint); call only at
+    operator-composition boundaries (between queries / pipeline stages,
+    after outputs are collected or pinned), never mid-plan.
     """
     n = 0
     for df in _TRACKED:
@@ -86,4 +118,10 @@ def unpersist_operator_caches(blocking: bool = False) -> int:
         except Exception:  # noqa: BLE001 - session may already be stopped
             pass
     _TRACKED.clear()
+    for rdd in _TRACKED_CKPT_RDDS:
+        try:
+            rdd.unpersist(blocking)
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    _TRACKED_CKPT_RDDS.clear()
     return n

@@ -2660,10 +2660,16 @@ def _ppj_cluster_route_delta(spark: SparkSession, sf_dir: str, batch: DataFrame)
     )
 
     comp, hubs = _minhash_cluster_state(spark, sf_dir, family="md5")
-    # Persisted: the merge consumes the batch band table twice (shared-
-    # bucket join + batch-only anti-join) and the signature fold behind
-    # it is a pure projection no ReuseExchange can share (round 12).
-    banded = minhash_band_table(batch).transform(tracked_persist)
+    # Checkpointed (round 13 final session; was tracked_persist): the
+    # merge consumes the batch band table twice (shared-bucket join +
+    # batch-only anti-join), the signature fold behind it is a pure
+    # projection no ReuseExchange can share (round 12), and the eager
+    # localCheckpoint additionally truncates the tick's lineage so the
+    # downstream merge/delta actions re-plan from a leaf (the measured
+    # Catalyst-stall fix of the graph.py tick boundaries).
+    from redcap_omop_etl_spark.caching import tracked_checkpoint
+
+    banded = minhash_band_table(batch).transform(tracked_checkpoint)
     merged = incremental_minhash_components(comp, hubs, banded, check_ids=False)
     bid = batch.select(F.col("doc_id").alias("node"))
     batch_rows = merged.join(bid, "node", "left_semi").select("node", "component")

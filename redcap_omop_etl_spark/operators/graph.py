@@ -32,7 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from redcap_omop_etl_spark.caching import tracked_persist
+# tracked_checkpoint (round 13, final session): the tick/transition
+# boundary materializations below were tracked_persist; profiling the
+# composed maintenance queries showed ~0.7-1.1 s DRIVER stalls per
+# downstream action (7.7 s of inter-job gaps in the 13 s upsert tick) —
+# Catalyst re-analyzing the full persisted-but-not-truncated lineage.
+# tracked_checkpoint is the same single-materialization with a PLAN
+# BARRIER: downstream actions plan from a LogicalRDD leaf. Alternating
+# A/B over the 9-query tick family (3 rounds, same JVM): persist
+# 60.2/61.7/56.8 s vs checkpoint 52.2/54.5/50.8 s; the upsert tick
+# alone 13.5/14.9/12.6 -> 8.9/10.4/8.3 s.
+from redcap_omop_etl_spark.caching import tracked_checkpoint
 from redcap_omop_etl_spark.operators.dedup import (
     _PPJOIN_GATE_CAP,
     components_sql_cte,
@@ -1202,7 +1212,7 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("component"), F.col("doc_id")), dict(_SPLIT_CUTS)
             ).alias("s_grp"),
         )
-        .transform(tracked_persist)
+        .transform(tracked_checkpoint)
     )
     px = (
         pairs.join(
@@ -1221,7 +1231,7 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "d2",
         )
-        .transform(tracked_persist)
+        .transform(tracked_checkpoint)
     )
     nx = (
         px.where(F.col("n1") != F.col("n2"))
@@ -1730,7 +1740,7 @@ def sampling_leakage_safe_split_capped(spark: SparkSession, sf_dir: str) -> Data
                 F.coalesce(F.col("component"), F.col("doc_id")), dict(_SPLIT_CUTS)
             ).alias("s_grp"),
         )
-        .transform(tracked_persist)
+        .transform(tracked_checkpoint)
     )
     px = (
         edges.join(
@@ -1749,7 +1759,7 @@ def sampling_leakage_safe_split_capped(spark: SparkSession, sf_dir: str) -> Data
             ),
             "d2",
         )
-        .transform(tracked_persist)
+        .transform(tracked_checkpoint)
     )
     nx = (
         px.where(F.col("n1") != F.col("n2"))
@@ -2037,7 +2047,7 @@ def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame
             "text",
         )
     )
-    batch_banded = minhash_band_table(batch).transform(tracked_persist)
+    batch_banded = minhash_band_table(batch).transform(tracked_checkpoint)
     # Round 12: labels come off the APPEND-transition state core (the
     # union-corpus component table minhash_cluster_state_append builds —
     # same remap-through-rep-map labeling this function previously
@@ -2047,7 +2057,7 @@ def dedup_minhash_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame
     comp_out, _hubs_out = minhash_cluster_state_append(base_comp, hubs, batch_banded)
     alld = docs.select("doc_id").unionByName(batch.select("doc_id"))
     return cluster_table_from_components(
-        alld, comp_out.transform(tracked_persist), appended_from=_CLUSTER_APPEND_SHIFT
+        alld, comp_out.transform(tracked_checkpoint), appended_from=_CLUSTER_APPEND_SHIFT
     )
 
 
@@ -2118,7 +2128,7 @@ def dedup_minhash_clusters_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     comp_out, _hubs_out = minhash_cluster_state_delete(base_comp, hubs, deleted, docs)
     survivors = docs.filter(~is_del).select("doc_id")
     return cluster_table_from_components(
-        survivors, comp_out.transform(tracked_persist)
+        survivors, comp_out.transform(tracked_checkpoint)
     )
 
 
@@ -2147,7 +2157,7 @@ def minhash_cluster_state_append(
     every live doc appears in comp.node or hubs.hub."""
     from pyspark.sql.window import Window
 
-    from redcap_omop_etl_spark.caching import tracked_persist
+    from redcap_omop_etl_spark.caching import tracked_checkpoint
 
     # Round 13: the batch-only band rows (hubs anti-join) feed BOTH the
     # merge CC's batch-star edges and the hub extension; compute them
@@ -2155,7 +2165,7 @@ def minhash_cluster_state_append(
     # persist (batch-sized) — previously the anti-join ran twice and the
     # min twice (window here, groupBy-min there).
     m = F.min("doc").over(Window.partitionBy("band", "bucket"))
-    only_m = tracked_persist(
+    only_m = tracked_checkpoint(
         batch_banded.join(hubs, ["band", "bucket"], "left_anti").withColumn("m", m)
     )
     merged = incremental_minhash_components(
@@ -2214,7 +2224,7 @@ def minhash_cluster_state_delete(
     # table is narrow (doc, band, bucket, m) and touched-members × bands
     # sized, not corpus sized.
     m = F.min("doc").over(Window.partitionBy("band", "bucket"))
-    banded_sub = tracked_persist(
+    banded_sub = tracked_checkpoint(
         minhash_band_table(sub_docs).withColumn("m", m)
     )
     sub_star = (
@@ -2290,7 +2300,7 @@ def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.pmod(F.col("doc_id"), F.lit(_CLUSTER_DELETE_MOD)) == _CLUSTER_DELETE_RES
     ).select("doc_id")
     comp1, hubs1 = minhash_cluster_state_delete(base_comp, hubs, deleted, docs)
-    comp1, hubs1 = comp1.transform(tracked_persist), hubs1.transform(tracked_persist)
+    comp1, hubs1 = comp1.transform(tracked_checkpoint), hubs1.transform(tracked_checkpoint)
     one = docs.filter(
         F.pmod(F.col("doc_id"), F.lit(_CLUSTER_APPEND_MOD)) == _CLUSTER_APPEND_RES
     ).select(
@@ -2310,7 +2320,7 @@ def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     # a pure projection no ReuseExchange can share (round 12 — the append
     # tick already passed its band table persisted; the upsert did not).
     comp2, _hubs2 = minhash_cluster_state_append(
-        comp1, hubs1, minhash_band_table(batch).transform(tracked_persist)
+        comp1, hubs1, minhash_band_table(batch).transform(tracked_checkpoint)
     )
     survivors = docs.join(deleted, "doc_id", "left_anti").select("doc_id")
     alld = survivors.unionByName(batch.select("doc_id"))
@@ -2318,5 +2328,5 @@ def dedup_minhash_clusters_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     # broadcast-size join instead of the corpus-wide count() window
     # (the former wall floor of the delete/upsert paths).
     return cluster_table_from_components(
-        alld, comp2.transform(tracked_persist), appended_from=_CLUSTER_APPEND_SHIFT
+        alld, comp2.transform(tracked_checkpoint), appended_from=_CLUSTER_APPEND_SHIFT
     )

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from redcap_omop_etl_spark.caching import tracked_cache
+from redcap_omop_etl_spark.caching import tracked_cache, tracked_checkpoint
 from redcap_omop_etl_spark.sources.readers import Catalog, fan_out, small_plan_rounds
 from redcap_omop_etl_spark.workload import register
 
@@ -3265,10 +3265,15 @@ def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")),
             centroids,
         ).select(F.col("__vid").alias("vec_id"), "cluster")
-        # both arms + the next generation re-scan these; pin them
-        u = u.transform(tracked_cache)
-        cum_codes = cum_codes.unionByName(ncodes).transform(tracked_cache)
-        cum_assign = cum_assign.unionByName(nassign).transform(tracked_cache)
+        # both arms + the next generation re-scan these; pin them with a
+        # PLAN BARRIER (round 13 final session, was tracked_cache): each
+        # generation unions on top of the previous one, so the cached
+        # lineage grew per generation and every panel action re-analyzed
+        # the whole chain — the checkpointed frames plan as leaves (same
+        # Catalyst-stall fix as the graph.py tick boundaries)
+        u = u.transform(tracked_checkpoint)
+        cum_codes = cum_codes.unionByName(ncodes).transform(tracked_checkpoint)
+        cum_assign = cum_assign.unionByName(nassign).transform(tracked_checkpoint)
         r_assign, r_cents = ivf_build(
             u, n_clusters=16, n_iters=2, memo_key=f"{sf_dir}#drift{g}"
         )

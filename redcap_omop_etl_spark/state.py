@@ -218,14 +218,17 @@ def cluster_state_tick(
         comp = comp.localCheckpoint(eager=True)
         hubs = hubs.localCheckpoint(eager=True)
     if append_docs is not None:
-        from redcap_omop_etl_spark.caching import tracked_persist
+        from redcap_omop_etl_spark.caching import tracked_checkpoint
 
-        # Persisted: the append transition consumes the batch band table
-        # three times (shared-bucket join, batch-only anti-join, new-hub
-        # aggregation) plus the id guard; the signature fold behind it is
-        # a pure projection no ReuseExchange can share (round 12).
+        # Checkpointed (round 13; was tracked_persist): the append
+        # transition consumes the batch band table three times (shared-
+        # bucket join, batch-only anti-join, new-hub aggregation) plus
+        # the id guard; the signature fold behind it is a pure projection
+        # no ReuseExchange can share (round 12), and the plan barrier
+        # keeps the tick's downstream actions from re-analyzing the
+        # band-table lineage (same fix as the graph.py tick boundaries).
         comp, hubs = minhash_cluster_state_append(
-            comp, hubs, tracked_persist(minhash_band_table(append_docs))
+            comp, hubs, tracked_checkpoint(minhash_band_table(append_docs))
         )
     return catalog.save(spark, CLUSTER_OP, fp, {"components": comp, "hubs": hubs})
 

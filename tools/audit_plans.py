@@ -69,12 +69,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     # class as the memo NOTEs above).
     ("ivfpq_recall_audit", "bnlj"): "1-row overlap-count x 1-row "
     "candidate-count summary crossJoin (the sanctioned scalar pattern)",
-    ("ivfpq_append_search", "bnlj"): "the append batch's coarse assign "
-    "(_ivf_assign: batch vectors x broadcast 16-row FROZEN centroid "
-    "table) — the same parameter-bounded assignment crossJoin "
-    "similarity_ann_ivf's NOTE documents; it surfaces here because the "
-    "batch encode runs un-memoized inside the audited plan (base codes "
-    "come from the checkpointed memo, the batch is new by definition)",
+    # (round 13: the batch coarse-assign bnlj entries for
+    # ivfpq_append_search / ivfpq_upsert_search / semdedup_flags_append /
+    # semdedup_flags_upsert are gone — _ivf_assign's crossJoin pair
+    # blowup was replaced by a single ArrowEvalPython pass, so the
+    # audited plans no longer contain a BroadcastNestedLoopJoin.)
     ("ivfpq_recall_sweep", "bnlj"): "four 1-row overlap x 1-row "
     "candidate-count scalar crossJoins (one per statically-unrolled "
     "sweep arm) — the same sanctioned scalar pattern as "
@@ -83,19 +82,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     "similarity_ivf_pq_adc (shared frozen index state + _adc_topk over "
     "the takedown survivors): adc_rank over the LIMIT-k (10) survivors "
     "of the TakeOrdered ADC heap",
-    ("semdedup_flags_append", "bnlj"): "the ingest batch's coarse assign "
-    "(_ivf_assign: batch vectors x broadcast 16-row FROZEN centroid "
-    "table) — identical parameter-bounded crossJoin to "
-    "ivfpq_append_search's; base flags come from the checkpointed memo, "
-    "only the batch assigns inside the audited plan",
-    ("semdedup_flags_upsert", "bnlj"): "the upsert's append leg is the "
-    "same parameter-bounded batch-coarse-assign crossJoin as "
-    "semdedup_flags_append (_ivf_assign vs the broadcast 16-row FROZEN "
-    "centroid table); the delete leg's recompute is cell-keyed joins, "
-    "no new shape",
-    ("ivfpq_upsert_search", "bnlj"): "the ingest leg's coarse assign — "
-    "identical parameter-bounded crossJoin to ivfpq_append_search's "
-    "(the delete leg is a pmod candidate filter, no join at all)",
     ("ivfpq_upsert_search", "global-window"): "same shape as "
     "ivfpq_append_search (shared frozen index state + _adc_topk): "
     "adc_rank over the LIMIT-k (10) survivors of the TakeOrdered ADC "

@@ -138,9 +138,21 @@ def main() -> None:
     for name, jids in segs.items():
         jids = [j for j in jids if jobs[j].get("desc") == name]
         print(f"\n##### {name}: {len(jids)} jobs in timed window")
+        prev_end = None
+        gap_total = 0.0
         for jid in jids:
             j = jobs[jid]
             jwall = (j.get("t1", j["t0"]) - j["t0"]) / 1e3
+            # driver-side gap since the previous job's end: planning,
+            # Python orchestration, collect post-processing — the time no
+            # stage accounts for
+            if prev_end is not None:
+                gap = (j["t0"] - prev_end) / 1e3
+                if gap > 0:
+                    gap_total += gap
+                if gap > 0.05:
+                    print(f"  -- gap {gap:7.3f}s before job {jid}")
+            prev_end = j.get("t1", j["t0"])
             done = [s for s in j["stages"] if s in stages]
             print(f"  job {jid}: {jwall:7.3f}s  ({len(j['stages'])} stages, {len(done)} ran)")
             for sid in sorted(done):
@@ -149,6 +161,7 @@ def main() -> None:
                     f"    stage {sid:4d}: {s['wall']:7.3f}s {s['tasks']:4d} tasks "
                     f"sw={s['sw']/1e6:8.2f}MB  {s['name'][:80]}"
                 )
+        print(f"  ## inter-job gap total: {gap_total:.3f}s")
 
 
 if __name__ == "__main__":
